@@ -1,0 +1,177 @@
+"""Connected components: edges -> cluster assignments.
+
+Two interchangeable implementations behind one interface
+(``edges_ds, members_ds -> clusters_ds``):
+
+- :func:`connected_components_driver` — union-find on the driver, streaming
+  edge batches (O(V) driver memory; fine up to ~10^8 vertices).
+- :func:`connected_components_distributed` — iterative min-label
+  propagation: each round co-partitions edges and the label table on the
+  vertex key (hash shuffle), flows every vertex's current label to its
+  neighbors, and keeps the per-vertex minimum; repeat to fixpoint.
+  O(log n)–O(diameter) rounds, no driver state — the scale path for
+  10^12-turn inputs.  LSH consecutive-chain components have small
+  diameters, and label propagation halves them each round.
+
+cluster_id = min conv_id of the component (deterministic, permutation
+invariant).  Vertices with no edges are their own singleton clusters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class _UnionFind:
+    __slots__ = ("parent",)
+
+    def __init__(self):
+        self.parent: dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        p = self.parent
+        root = x
+        while p.get(root, root) != root:
+            root = p[root]
+        while p.get(x, x) != root:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a: str, b: str) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        # min-id wins so cluster_id = min conv_id falls out of the structure
+        if rb < ra:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+
+
+def connected_components_driver(edges_ds, members_ds):
+    """Driver union-find. ``members_ds`` supplies the vertex universe
+    (column conv_id) so edge-less conversations become singletons."""
+    import ray
+
+    uf = _UnionFind()
+    for batch in edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for s, d in zip(batch["src"].to_pylist(), batch["dst"].to_pylist()):
+            uf.union(s, d)
+    mapping = {v: uf.find(v) for v in list(uf.parent.keys())}
+    map_ref = ray.put(mapping)  # broadcast once; read per task, not per batch row
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        conv = t["conv_id"].to_pylist()
+        cluster = [m.get(c, c) for c in conv]
+        return pa.table(
+            {
+                "conv_id": pa.array(conv, pa.string()),
+                "cluster_id": pa.array(cluster, pa.string()),
+            }
+        )
+
+    return members_ds.select_columns(["conv_id"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+def connected_components_distributed(
+    edges_ds, members_ds, max_rounds: int = 50, num_partitions: int = 32
+):
+    """Iterative min-label propagation, fully inside Ray Data (see module
+    docstring).  Exercised at small scale in tests; equivalent output to the
+    driver variant."""
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                ),
+                "u": pa.concat_arrays(
+                    [t["dst"].combine_chunks(), t["src"].combine_chunks()]
+                ),
+            }
+        )
+
+    edges = edges_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    labels = (
+        members_ds.select_columns(["conv_id"])
+        .map_batches(
+            lambda t: pa.table({"v": t["conv_id"], "label": t["conv_id"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def _fingerprint(ds) -> int:
+        s = 0
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+            for v, l in zip(b["v"].to_pylist(), b["label"].to_pylist()):
+                s ^= hash((v, l))
+        return s
+
+    prev_fp = _fingerprint(labels)
+    for _ in range(max_rounds):
+        e2 = edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "v": t["v"],
+                    "u": t["u"],
+                    "label": pa.nulls(len(t), pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        l2 = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "v": t["v"],
+                    "u": pa.nulls(len(t), pa.string()),
+                    "label": t["label"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        both = e2.union(l2).repartition(num_blocks=num_partitions, keys=["v"])
+
+        def propagate(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = t.to_pandas()
+            lab = df[df["label"].notna()][["v", "label"]]
+            edg = df[df["u"].notna()][["v", "u"]]
+            merged = edg.merge(lab, on="v", how="left")
+            cand = merged[["u", "label"]].rename(columns={"u": "v"}).dropna()
+            allc = pd.concat([lab, cand])
+            out = allc.groupby("v", as_index=False)["label"].min()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        # After this propagation the new label of u is min(own, neighbors');
+        # but candidates for u land in u's partition only if we shuffle them
+        # there — propagate emits (v=u, label) rows which ARE in v's
+        # partition of the *next* round.  One more min-combine round fixes
+        # the split: repartition by v and take per-vertex min.
+        cand = both.map_batches(propagate, batch_format="pyarrow", batch_size=None)
+        cand = cand.repartition(num_blocks=num_partitions, keys=["v"])
+
+        def combine(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = t.to_pandas()
+            out = df.groupby("v", as_index=False)["label"].min()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        labels = cand.map_batches(
+            combine, batch_format="pyarrow", batch_size=None
+        ).materialize()
+        fp = _fingerprint(labels)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    return labels.map_batches(
+        lambda t: pa.table({"conv_id": t["v"], "cluster_id": t["label"]}),
+        batch_format="pyarrow",
+    )

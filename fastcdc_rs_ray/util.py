@@ -1,0 +1,68 @@
+"""Shared hash/mixing utilities (vectorized uint64)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+_M = (1 << 64) - 1
+U64 = np.uint64
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (public-domain avalanche function): uniform
+    64-bit mixing, vectorized, wrapping uint64."""
+    u = U64
+    z = np.asarray(x, dtype=np.uint64) + u(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> u(30))) * u(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> u(27))) * u(0x94D049BB133111EB)
+    return z ^ (z >> u(31))
+
+
+def mix64_scalar(x: int) -> int:
+    z = (x + 0x9E3779B97F4A7C15) & _M
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M
+    return z ^ (z >> 31)
+
+
+def hash_str_array_u64(arr) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash of a pyarrow string/binary array.
+
+    Per-row position-weighted sum of mixed bytes (order-sensitive), then a
+    final mix.  Used for salting and bucketing, not content identity.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    odt = (
+        np.int64
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+        else np.int32
+    )
+    offsets = np.frombuffer(arr.buffers()[1], dtype=odt, count=len(arr) + 1 + arr.offset)
+    offsets = offsets[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    databuf = arr.buffers()[2]
+    data = (
+        np.frombuffer(databuf, dtype=np.uint8)
+        if databuf is not None and len(databuf) > 0
+        else np.empty(0, dtype=np.uint8)
+    )
+    lens = np.diff(offsets)
+    n = len(arr)
+    total = int(offsets[-1] - offsets[0])
+    if total == 0:
+        return mix64(np.zeros(n, dtype=np.uint64))
+    seg = np.repeat(offsets[:-1], lens)  # row start per byte position
+    pos = np.arange(int(offsets[0]), int(offsets[-1]), dtype=np.int64) - seg
+    vals = mix64(
+        data[int(offsets[0]) : int(offsets[-1])].astype(np.uint64)
+        + (pos.astype(np.uint64) << U64(8))
+    )
+    row_starts = (offsets[:-1] - offsets[0]).astype(np.int64)
+    sums = np.zeros(n, dtype=np.uint64)
+    nz = lens > 0
+    if nz.any():
+        red = np.add.reduceat(vals, row_starts[nz])
+        sums[nz] = red
+    return mix64(sums + lens.astype(np.uint64))
