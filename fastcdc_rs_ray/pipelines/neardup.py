@@ -39,38 +39,63 @@ def signatures_pipeline(
     return minhash(chunks, n_perms=n_perms, k=shingle_k, seed=seed)
 
 
+def _pack_signatures(t: pa.Table, out_name: str) -> pa.Table:
+    """minhash fixed_size_list<uint64> -> large_binary blob (Arrow joins do
+    not support fixed_size_list non-key fields)."""
+    g = len(t)
+    mh = t["minhash"].combine_chunks()
+    nb = mh.type.list_size * 8
+    values = np.ascontiguousarray(mh.flatten().to_numpy()).view(np.uint8)
+    offs = np.arange(g + 1, dtype=np.int64) * nb
+    packed = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), g, [None, pa.py_buffer(offs), pa.py_buffer(values)]
+    )
+    return pa.table({"conv_id": t["conv_id"], out_name: packed})
+
+
+def _unpack_binary_u64(col, n_rows: int) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=n_rows + 1 + arr.offset)
+    offs = offs[arr.offset : arr.offset + n_rows + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    width = int(offs[1] - offs[0]) if n_rows else 0
+    idx = offs[:-1, None] + np.arange(width)
+    return data[idx].view(np.uint64)
+
+
 def verify_edges(edges_ds, sig_ds, threshold: float, num_partitions: int = 32):
     """Keep candidate edges whose signature-estimated Jaccard (fraction of
     equal minhash components) >= threshold.  Hash-partitioned joins on each
     endpoint; the verification itself is vectorized per batch."""
+    sig_a = sig_ds.map_batches(
+        lambda t: _pack_signatures(t, "sig_a"), batch_format="pyarrow"
+    )
+    sig_b = sig_ds.map_batches(
+        lambda t: _pack_signatures(t, "sig_b"), batch_format="pyarrow"
+    )
     edges = edges_ds.join(
-        sig_ds,
+        sig_a,
         join_type="inner",
         num_partitions=num_partitions,
         on=("src",),
         right_on=("conv_id",),
     )
     edges = edges.join(
-        sig_ds,
+        sig_b,
         join_type="inner",
         num_partitions=num_partitions,
         on=("dst",),
         right_on=("conv_id",),
-        left_suffix="_l",
-        right_suffix="_r",
     )
 
     def est(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
-        cols = t.column_names
-        a_name = "minhash_l" if "minhash_l" in cols else "minhash"
-        b_name = "minhash_r" if "minhash_r" in cols else [c for c in cols if c.startswith("minhash")][-1]
-        a = t[a_name].combine_chunks()
-        b = t[b_name].combine_chunks()
-        n_perms = a.type.list_size
-        av = a.flatten().to_numpy().reshape(len(t), n_perms)
-        bv = b.flatten().to_numpy().reshape(len(t), n_perms)
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+            )
+        av = _unpack_binary_u64(t["sig_a"], n)
+        bv = _unpack_binary_u64(t["sig_b"], n)
         sim = (av == bv).mean(axis=1)
         keep = sim >= threshold
         return pa.table(

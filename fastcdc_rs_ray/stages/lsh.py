@@ -130,7 +130,11 @@ def candidate_edges(sig_ds, n_bands: int = N_BANDS, n_salts: int = N_SALTS,
         )
         return pa.concat_tables([e, rp])
 
-    mixed = bands.map_batches(level1, batch_format="pyarrow", batch_size=None)
+    # Both the edge stream and the representative stream consume `level1`;
+    # without a materialization the lazy upstream (bands + shuffle) would
+    # execute twice.  At 10^12-turn scale this materialize becomes a
+    # parquet checkpoint (state.checkpoint) instead of object-store pinning.
+    mixed = bands.map_batches(level1, batch_format="pyarrow", batch_size=None).materialize()
     edges1 = mixed.filter(expr="kind == 0").select_columns(["src", "dst"])
     reps = mixed.filter(expr="kind == 1").select_columns(["band_id", "band_hash", "src"])
     # level 2: link representatives across salts (small: <= n_salts rows per
