@@ -1,0 +1,157 @@
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the flagship pipeline twice in fresh processes
+(num_cpus=8 and num_cpus=32) on the same input and reports throughput at
+both plus scaling efficiency (the sandbox stand-in for the north rule's
+N vs 4N node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline pipelines (a representative subset of __ray_entry__.queries();
+# the full set is exercised by the driver's correctness gate)
+BENCH_QUERIES = [
+    "chunks",
+    "minhash_signatures",
+    "lsh_candidates",
+    "neardup_clusters",
+    "dedup_exact",
+    "ngram_dups",
+    "ann_topk",
+    "simhash",
+    "token_count",
+]
+
+
+def _consume(res) -> int:
+    """Fully execute a query result, returning row count (no driver-side
+    materialization of data beyond counting)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    if isinstance(res, pa.Table):
+        return len(res)
+    total = 0
+    for b in res.iter_batches(batch_format="pyarrow"):
+        total += len(b) if not hasattr(b, "num_rows") else b.num_rows
+    return total
+
+
+def run_bench(sf_dir: str, num_cpus: int, queries=None) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fastcdc_rs_ray.pipelines.queries import QUERIES
+
+    # corpus bytes processed by the chunk kernel (for GB/s style context)
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    doc_meta = pq.read_table(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    corpus_bytes = int(pc.sum(doc_meta["n_chars"]).as_py())
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in queries or BENCH_QUERIES:
+        if name not in QUERIES:
+            sys.exit(f"bench.py: unknown query {name!r}; known: {sorted(QUERIES)}")
+        t0 = time.perf_counter()
+        rows[name] = _consume(QUERIES[name](sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(times.values()), 3)
+    return {
+        "metric": "fastcdc_rs_ray_pipeline_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "rows": rows,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "corpus_bytes": corpus_bytes,
+        "physical_cpus": os.cpu_count(),
+    }
+
+
+def _scaling_child(sf_dir: str, num_cpus: int) -> dict:
+    """Run the flagship pipeline in a fresh process; parse its JSON line."""
+    env = dict(os.environ)
+    env["GRAFT_SF_DIR"] = sf_dir
+    env["RAY_GRAFT_CPUS"] = str(num_cpus)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one", "neardup_clusters"],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    raise RuntimeError(f"scaling child failed: {out.stderr[-2000:]}")
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    a = _scaling_child(sf_dir, lo)
+    b = _scaling_child(sf_dir, hi)
+    ta, tb = a["value"], b["value"]
+    # throughput ratio / cpu ratio; 1.0 = perfect linear scaling
+    eff = (ta / tb) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "lo_cpus": lo,
+        "hi_cpus": hi,
+        "lo_sec": ta,
+        "hi_sec": tb,
+        "lo_rows_per_sec": round(a["rows"]["neardup_clusters"] / ta, 1),
+        "hi_rows_per_sec": round(b["rows"]["neardup_clusters"] / tb, 1),
+        "sf": sf_dir,
+        "physical_cpus": os.cpu_count(),
+        "note": "same job, fresh ray.init sessions at two num_cpus levels "
+        "(sandbox stand-in for N vs 4N nodes; box has "
+        f"{os.cpu_count()} logical CPUs)",
+    }
+
+
+def main() -> None:
+    import ray
+
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR)))
+        return
+    if "--one" in sys.argv:
+        names = [sys.argv[sys.argv.index("--one") + 1]]
+        print(json.dumps(run_bench(SF_DIR, NUM_CPUS, names)))
+        ray.shutdown()
+        return
+    print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

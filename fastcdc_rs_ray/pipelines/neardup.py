@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..cdc import ChunkerConfig
 from ..stages.assemble import assemble
@@ -65,47 +66,109 @@ def _unpack_binary_u64(col, n_rows: int) -> np.ndarray:
 
 def verify_edges(edges_ds, sig_ds, threshold: float, num_partitions: int = 32):
     """Keep candidate edges whose signature-estimated Jaccard (fraction of
-    equal minhash components) >= threshold.  Hash-partitioned joins on each
-    endpoint; the verification itself is vectorized per batch."""
-    sig_a = sig_ds.map_batches(
-        lambda t: _pack_signatures(t, "sig_a"), batch_format="pyarrow"
-    )
-    sig_b = sig_ds.map_batches(
-        lambda t: _pack_signatures(t, "sig_b"), batch_format="pyarrow"
-    )
-    edges = edges_ds.join(
-        sig_a,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("src",),
-        right_on=("conv_id",),
-    )
-    edges = edges.join(
-        sig_b,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("dst",),
-        right_on=("conv_id",),
+    equal minhash components) >= threshold.
+
+    Two hash shuffles, no ``Dataset.join`` (Ray's join finalize breaks on
+    schema-less empty partitions): (1) endpoint rows and packed-signature
+    rows are tag-unioned and co-partitioned on conv_id, where each endpoint
+    picks up its signature; (2) the sig-carrying endpoint rows are
+    repartitioned on (src, dst) so each edge's two halves meet, and the
+    similarity test is one vectorized pass."""
+    _EMPTY = pa.schema(
+        [
+            ("key", pa.string()),
+            ("src", pa.string()),
+            ("dst", pa.string()),
+            ("side", pa.int8()),
+            ("sig", pa.large_binary()),
+        ]
     )
 
-    def est(t: pa.Table) -> pa.Table:
+    def endpoint_rows(t: pa.Table) -> pa.Table:
         n = len(t)
-        if n == 0:
-            return pa.table(
-                {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
-            )
-        av = _unpack_binary_u64(t["sig_a"], n)
-        bv = _unpack_binary_u64(t["sig_b"], n)
-        sim = (av == bv).mean(axis=1)
-        keep = sim >= threshold
+        src = t["src"].combine_chunks()
+        dst = t["dst"].combine_chunks()
+        key = pa.concat_arrays([src, dst])
+        side = np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+        both_src = pa.concat_arrays([src, src])
+        both_dst = pa.concat_arrays([dst, dst])
         return pa.table(
             {
-                "src": t["src"].combine_chunks().filter(pa.array(keep)),
-                "dst": t["dst"].combine_chunks().filter(pa.array(keep)),
+                "key": key,
+                "src": both_src,
+                "dst": both_dst,
+                "side": pa.array(side, pa.int8()),
+                "sig": pa.nulls(2 * n, pa.large_binary()),
             }
         )
 
-    return edges.map_batches(est, batch_format="pyarrow")
+    def sig_rows(t: pa.Table) -> pa.Table:
+        packed = _pack_signatures(t, "sig")
+        n = len(t)
+        return pa.table(
+            {
+                "key": packed["conv_id"],
+                "src": pa.nulls(n, pa.string()),
+                "dst": pa.nulls(n, pa.string()),
+                "side": pa.array(np.full(n, -1, np.int8), pa.int8()),
+                "sig": packed["sig"],
+            }
+        )
+
+    mixed = edges_ds.map_batches(endpoint_rows, batch_format="pyarrow").union(
+        sig_ds.map_batches(sig_rows, batch_format="pyarrow")
+    )
+    mixed = mixed.repartition(num_blocks=num_partitions, keys=["key"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        sigs = df[df["side"] == -1][["key", "sig"]]
+        eps = df[df["side"] >= 0].drop(columns=["sig"])
+        out = eps.merge(sigs, on="key", how="inner").drop(columns=["key"])
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("src", pa.string()),
+                    ("dst", pa.string()),
+                    ("side", pa.int8()),
+                    ("sig", pa.large_binary()),
+                ]
+            )
+        )
+
+    halves = mixed.map_batches(attach, batch_format="pyarrow", batch_size=None)
+    halves = halves.repartition(num_blocks=num_partitions, keys=["src", "dst"])
+
+    def est(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+        )
+        n = len(t)
+        if n < 2:
+            return empty
+        order = pc.sort_indices(
+            t,
+            sort_keys=[("src", "ascending"), ("dst", "ascending"), ("side", "ascending")],
+        )
+        t = t.take(order)
+        src = t["src"].combine_chunks()
+        dst = t["dst"].combine_chunks()
+        side = t["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        # rows come in (side=0, side=1) pairs per edge; guard against strays
+        same_edge = (
+            pc.equal(src.slice(0, n - 1), src.slice(1)).to_numpy(zero_copy_only=False)
+            & pc.equal(dst.slice(0, n - 1), dst.slice(1)).to_numpy(zero_copy_only=False)
+        )
+        first = np.flatnonzero((side[:-1] == 0) & (side[1:] == 1) & same_edge)
+        if len(first) == 0:
+            return empty
+        sig_all = _unpack_binary_u64(t["sig"], n)
+        sim = (sig_all[first] == sig_all[first + 1]).mean(axis=1)
+        keep = first[sim >= threshold]
+        idx = pa.array(keep, pa.int64())
+        return pa.table({"src": src.take(idx), "dst": dst.take(idx)})
+
+    return halves.map_batches(est, batch_format="pyarrow", batch_size=None)
 
 
 def neardup_clusters(
@@ -127,8 +190,13 @@ def neardup_clusters(
     edges = candidate_edges(sigs, n_bands=n_bands, n_salts=n_salts,
                             num_partitions=num_partitions)
     if verify_threshold is not None:
-        edges = verify_edges(edges, sigs, verify_threshold,
-                             num_partitions=max(8, num_partitions // 2))
+        # count() pins the (already small) candidate set; an empty edge set
+        # must skip the join — Ray's hash-shuffle join chokes on schema-less
+        # empty partitions, and there is nothing to verify anyway.
+        edges = edges.materialize()
+        if edges.count() > 0:
+            edges = verify_edges(edges, sigs, verify_threshold,
+                                 num_partitions=max(8, num_partitions // 2))
     if cc == "driver":
         return connected_components_driver(edges, sigs)
     return connected_components_distributed(edges, sigs, num_partitions=num_partitions)

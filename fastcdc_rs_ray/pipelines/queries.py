@@ -1,0 +1,364 @@
+"""Driver-facing query registry: named pipelines + DuckDB oracle SQL.
+
+Every entry in :data:`QUERIES` is ``name -> callable(sf_dir) -> Dataset |
+pandas.DataFrame | pyarrow.Table``; SQL-expressible ones have a matching
+entry in :data:`ORACLE_SQL` whose column names and types match the Ray
+result exactly (the driver sorts columns by name and value-hashes).
+
+The transcripts table is derived deterministically from the driver's
+``documents`` table (sources.transcripts.documents_to_transcripts_table),
+and the same derivation is inlined in each oracle as a CTE, so both sides
+compute over identical inputs.
+
+Regex-counting oracles use DuckDB's RE2 via ``regexp_extract_all`` with the
+*same pattern strings* the Ray side feeds to pyarrow (also RE2): identical
+engine, identical pattern, identical semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.transcripts import (
+    DOCUMENTS_TRANSCRIPT_SQL,
+    transcripts_from_documents,
+)
+from ..stages.assemble import assemble, explode_turns
+from ..stages.chunk import DEFAULT_CONFIG, chunk
+from ..stages.dedup import exact_dedup, ngram_jaccard_pairs, simhash_signatures
+from ..stages.ann import ann_topk_bruteforce, ann_topk_ivf, load_queries_from_dataset
+from ..stages.lsh import candidate_edges
+from ..functions.text import (
+    PUNCT_CLASS,
+    TOKEN_RE,
+    STOPWORDS,
+    fingerprint_batch,
+    lang_id_batch,
+    quality_batch,
+    token_count_batch,
+)
+from .neardup import neardup_clusters, signatures_pipeline
+
+_TRANSCRIPT_CTE = f"WITH transcripts AS ({DOCUMENTS_TRANSCRIPT_SQL})"
+
+ANN_N_QUERIES = 8
+ANN_K = 10
+NGRAM_K = 3
+NGRAM_TAU = 0.35
+
+
+def _documents(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _embeddings(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+# --------------------------------------------------------------------------
+# SQL-checked queries
+# --------------------------------------------------------------------------
+
+
+def q_transcripts(sf_dir: str):
+    """The derived input table itself (source-derivation correctness)."""
+    return transcripts_from_documents(sf_dir)
+
+
+def q_turn_equality(sf_dir: str):
+    """assemble -> explode round trip == the north-rule per-turn text
+    equality invariant, checked against SQL identity."""
+    conv = assemble(transcripts_from_documents(sf_dir), num_partitions=16)
+    return explode_turns(conv)
+
+
+def q_conv_stats(sf_dir: str):
+    conv = assemble(transcripts_from_documents(sf_dir), num_partitions=16)
+
+    def stats(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "n_turns": pc.cast(t["n_turns"], pa.int64()),
+                "total_bytes": t["total_bytes"],
+            }
+        )
+
+    return conv.map_batches(stats, batch_format="pyarrow")
+
+
+def q_chunk_coverage(sf_dir: str):
+    """Every payload byte appears in exactly one chunk (reference coverage
+    invariant, src/v2020/mod.rs:1253-1274) -> per-conv covered bytes equals
+    SQL's total text bytes."""
+    conv = assemble(transcripts_from_documents(sf_dir), num_partitions=16)
+    chunks = chunk(conv, DEFAULT_CONFIG)
+    agg = chunks.groupby("conv_id").aggregate(_sum_length())
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "covered_bytes": t["sum(length)"],
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def _sum_length():
+    from ray.data.aggregate import Sum
+
+    return Sum("length")
+
+
+def q_dedup_exact(sf_dir: str):
+    return exact_dedup(_documents(sf_dir, ["doc_id", "text"]), num_partitions=16)
+
+
+def q_token_count(sf_dir: str):
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow"
+    )
+
+
+def q_quality(sf_dir: str):
+    ds = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow"
+    )
+    # drop the float score for the oracle-checked result; integer components
+    # fully determine it
+    return ds.select_columns(
+        ["doc_id", "n_chars", "n_words", "n_punct", "n_upper", "n_stopwords"]
+    )
+
+
+def q_ngram_dups(sf_dir: str):
+    return ngram_jaccard_pairs(
+        _documents(sf_dir, ["doc_id", "text"]),
+        k=NGRAM_K,
+        tau=NGRAM_TAU,
+        num_partitions=16,
+        max_group=1_000_000,  # uncapped: oracle-checked run
+    )
+
+
+def q_ann_topk(sf_dir: str):
+    ds = _embeddings(sf_dir)
+    qids, qmat = load_queries_from_dataset(ds, ANN_N_QUERIES)
+    return ann_topk_bruteforce(ds, qids, qmat, k=ANN_K)
+
+
+def q_embed_neardup(sf_dir: str, tau: float = 0.9, limit: int = 2000):
+    """Exact cosine near-dup pairs among vec_id < limit (bounded self-join
+    on both sides so the oracle stays cheap)."""
+    import ray
+
+    ds = _embeddings(sf_dir).filter(expr=f"vec_id < {limit}")
+    sub = ds.to_pandas().sort_values("vec_id")
+    ids = sub["vec_id"].to_numpy(np.int64)
+    mat = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    ref = ray.put({"ids": ids, "matrix": mat})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        from ..stages.ann import embedding_matrix, _normalize
+
+        q = ray.get(ref)
+        vm = _normalize(embedding_matrix(t["embedding"]))
+        vids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        sims = vm @ q["matrix"].T  # (batch, all)
+        ii, jj = np.nonzero(sims >= tau)
+        src, dst = vids[ii], q["ids"][jj]
+        keep = src < dst
+        return pa.table(
+            {
+                "src": pa.array(src[keep], pa.int64()),
+                "dst": pa.array(dst[keep], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(pairs, batch_format="pyarrow")
+    # collect: the pair set is small by construction, and an all-empty
+    # Dataset would otherwise lose its schema on conversion
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in out.iter_batches(batch_format="pyarrow")
+    ]
+    if not tables:
+        return pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables(tables)
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: CDC kernel, MinHash, clustering)
+# --------------------------------------------------------------------------
+
+
+def q_chunks(sf_dir: str):
+    conv = assemble(transcripts_from_documents(sf_dir), num_partitions=16)
+    return chunk(conv, DEFAULT_CONFIG)
+
+
+def q_minhash_signatures(sf_dir: str):
+    sigs = signatures_pipeline(
+        transcripts_from_documents(sf_dir), num_partitions=16
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        # fixed_size_list -> first/last components as plain columns (driver
+        # hashing copes better with scalars)
+        mh = t["minhash"].combine_chunks()
+        n = len(t)
+        flat = mh.flatten().to_numpy()
+        w = mh.type.list_size
+        m = flat.reshape(n, w)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "sig_first": pa.array(m[:, 0], pa.uint64()),
+                "sig_last": pa.array(m[:, -1], pa.uint64()),
+                "sig_xor": pa.array(np.bitwise_xor.reduce(m, axis=1), pa.uint64()),
+            }
+        )
+
+    return sigs.map_batches(unpack, batch_format="pyarrow")
+
+
+def q_lsh_candidates(sf_dir: str):
+    sigs = signatures_pipeline(
+        transcripts_from_documents(sf_dir), num_partitions=16
+    ).materialize()
+    return candidate_edges(sigs, num_partitions=16)
+
+
+def q_neardup_clusters(sf_dir: str):
+    return neardup_clusters(
+        transcripts_from_documents(sf_dir), num_partitions=16, verify_threshold=0.4
+    )
+
+
+def q_lang_id(sf_dir: str):
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        lang_id_batch, batch_format="pyarrow"
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def q_simhash(sf_dir: str):
+    return simhash_signatures(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def q_ann_topk_ivf(sf_dir: str):
+    ds = _embeddings(sf_dir)
+    qids, qmat = load_queries_from_dataset(ds, ANN_N_QUERIES)
+    return ann_topk_ivf(ds, qids, qmat, k=ANN_K, n_cells=16, n_probe=8)
+
+
+QUERIES = {
+    "transcripts": q_transcripts,
+    "turn_equality": q_turn_equality,
+    "conv_stats": q_conv_stats,
+    "chunk_coverage": q_chunk_coverage,
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "quality": q_quality,
+    "ngram_dups": q_ngram_dups,
+    "ann_topk": q_ann_topk,
+    "embed_neardup": q_embed_neardup,
+    "chunks": q_chunks,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidates": q_lsh_candidates,
+    "neardup_clusters": q_neardup_clusters,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_fingerprint,
+    "simhash": q_simhash,
+    "ann_topk_ivf": q_ann_topk_ivf,
+}
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered by the driver)
+# --------------------------------------------------------------------------
+
+_TOKENS_SQL = (
+    f"len(regexp_extract_all(text, '{TOKEN_RE}'))"
+)
+
+ORACLE_SQL = {
+    "transcripts": f"SELECT * FROM ({DOCUMENTS_TRANSCRIPT_SQL})",
+    "turn_equality": f"{_TRANSCRIPT_CTE} SELECT conv_id, turn_idx, text FROM transcripts",
+    "conv_stats": f"""{_TRANSCRIPT_CTE}
+SELECT conv_id,
+       COUNT(*) AS n_turns,
+       SUM(strlen(text)) AS total_bytes
+FROM transcripts GROUP BY conv_id""",
+    "chunk_coverage": f"""{_TRANSCRIPT_CTE}
+SELECT conv_id, SUM(strlen(text)) AS covered_bytes
+FROM transcripts GROUP BY conv_id""",
+    "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+    "token_count": f"SELECT doc_id, {_TOKENS_SQL} AS n_tokens FROM documents",
+    "quality": f"""
+SELECT doc_id,
+       strlen(text) AS n_chars,
+       {_TOKENS_SQL} AS n_words,
+       len(regexp_extract_all(text, '{PUNCT_CLASS}')) AS n_punct,
+       len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+       len(list_filter(regexp_extract_all(text, '{TOKEN_RE}'),
+                       x -> x IN ({", ".join("'" + w + "'" for w in STOPWORDS["en"])}))) AS n_stopwords
+FROM documents""",
+    "ngram_dups": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS w FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM toks, UNNEST(range(1, len(w) - {NGRAM_K - 2})) AS r(i)
+  WHERE len(w) >= {NGRAM_K}
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS c
+  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src, dst
+FROM inter JOIN sizes sa ON inter.src = sa.doc_id
+           JOIN sizes sb ON inter.dst = sb.doc_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {NGRAM_TAU}""",
+    "ann_topk": f"""
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(n.embedding AS DOUBLE[])) DESC,
+                    n.vec_id
+         ) AS rank
+  FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+  WHERE q.vec_id < {ANN_N_QUERIES}
+) WHERE rank <= {ANN_K}""",
+    "embed_neardup": """
+WITH nrm AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000
+)
+SELECT a.vec_id AS src, b.vec_id AS dst
+FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.9""",
+}

