@@ -100,23 +100,36 @@ def q_chunk_coverage(sf_dir: str):
     SQL's total text bytes."""
     conv = assemble(transcripts_from_documents(sf_dir), num_partitions=16)
     chunks = chunk(conv, DEFAULT_CONFIG)
-    agg = chunks.groupby("conv_id").aggregate(_sum_length())
 
-    def rename(t: pa.Table) -> pa.Table:
+    # chunks inherit assemble's conv_id-keyed block layout (the chunk stage
+    # is per-row), so the per-conv sum needs no further shuffle: one
+    # vectorized reduceat per block
+    def per_block_sum(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "covered_bytes": pa.array([], pa.int64()),
+                }
+            )
+        order = pc.sort_indices(t, sort_keys=[("conv_id", "ascending")])
+        t = t.take(order)
+        conv = t["conv_id"].combine_chunks()
+        length = t["length"].combine_chunks().to_numpy()
+        neq = pc.not_equal(conv.slice(1), conv.slice(0, n - 1))
+        starts = np.concatenate([[0], np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1])
+        sums = np.add.reduceat(length, starts)
         return pa.table(
             {
-                "conv_id": t["conv_id"],
-                "covered_bytes": t["sum(length)"],
+                "conv_id": conv.take(pa.array(starts, pa.int64())),
+                "covered_bytes": pa.array(sums, pa.int64()),
             }
         )
 
-    return agg.map_batches(rename, batch_format="pyarrow")
-
-
-def _sum_length():
-    from ray.data.aggregate import Sum
-
-    return Sum("length")
+    return chunks.map_batches(per_block_sum, batch_format="pyarrow", batch_size=None)
 
 
 def q_dedup_exact(sf_dir: str):

@@ -182,8 +182,27 @@ def simhash_pairs(sig_ds, max_hamming: int = 3, num_partitions: int = 16,
         )
 
     pairs = exploded.map_batches(emit, batch_format="pyarrow", batch_size=None)
-    # blocks can duplicate a pair across block groups -> global distinct
-    return pairs.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+    # blocks can duplicate a pair across block groups -> global distinct via
+    # one keyed shuffle + a vectorized per-block unique (Ray's generic hash
+    # aggregate is overkill for this shape)
+    pairs = pairs.repartition(num_blocks=max(4, num_partitions // 4),
+                              keys=["src", "dst"])
+
+    def distinct(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        first = np.concatenate(
+            [[True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+        )
+        return pa.table(
+            {"src": pa.array(src[first], pa.int64()), "dst": pa.array(dst[first], pa.int64())}
+        )
+
+    return pairs.map_batches(distinct, batch_format="pyarrow", batch_size=None)
 
 
 # --------------------------------------------------------------------------
@@ -285,33 +304,34 @@ def ngram_jaccard_pairs(ds, k: int = 3, tau: float = 0.8, num_partitions: int = 
         )
 
     pairs = exploded.map_batches(emit_pairs, batch_format="pyarrow", batch_size=None)
-    inter = pairs.groupby(["src", "dst"]).aggregate(
-        *_pair_aggs()
-    )
+    # pair-intersection counting: one keyed shuffle co-locates all rows of a
+    # (src, dst) pair, then a vectorized per-block count + Jaccard filter
+    # (sizes ride along on every row, so no driver state and no join)
+    pairs = pairs.repartition(num_blocks=max(4, num_partitions // 4),
+                              keys=["src", "dst"])
 
-    def filter_tau(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.table(
-                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
-            )
-        inter_n = t["count()"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
-        a = t["min(src_size)"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
-        b = t["min(dst_size)"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
-        jac = inter_n / (a + b - inter_n)
-        keep = pa.array(jac >= tau)
+    def combine_filter(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+        n = len(t)
+        if n == 0:
+            return empty
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        a = t["src_size"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["dst_size"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        src, dst, a, b = src[order], dst[order], a[order], b[order]
+        new = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        firsts = np.concatenate([[0], np.flatnonzero(new) + 1])
+        counts = np.diff(np.concatenate([firsts, [n]])).astype(np.float64)
+        av = a[firsts].astype(np.float64)
+        bv = b[firsts].astype(np.float64)
+        jac = counts / (av + bv - counts)
+        keep = firsts[jac >= tau]
         return pa.table(
-            {
-                "src": t["src"].combine_chunks().filter(keep),
-                "dst": t["dst"].combine_chunks().filter(keep),
-            }
+            {"src": pa.array(src[keep], pa.int64()), "dst": pa.array(dst[keep], pa.int64())}
         )
 
-    return inter.map_batches(filter_tau, batch_format="pyarrow")
-
-
-def _pair_aggs():
-    from ray.data.aggregate import Count, Min
-
-    # set sizes are identical on every row of a (src,dst) group; Min is just
-    # a pick-one that Ray's hash aggregate supports
-    return (Count(), Min("src_size"), Min("dst_size"))
+    return pairs.map_batches(combine_filter, batch_format="pyarrow", batch_size=None)
