@@ -94,13 +94,66 @@ def run_bench(sf_dir: str, num_cpus: int, queries=None) -> dict:
     }
 
 
-def _scaling_child(sf_dir: str, num_cpus: int) -> dict:
-    """Run the flagship pipeline in a fresh process; parse its JSON line."""
+SCALE_CONVS = int(os.environ.get("GRAFT_SCALE_CONVS", "50000"))
+SCALE_CORPUS = os.environ.get("GRAFT_SCALE_CORPUS", "/tmp/fastcdc_bench_corpus")
+
+
+def run_corpus_flagship(corpus_dir: str, num_cpus: int) -> dict:
+    """Time the flagship near-dup pipeline over the synthetic corpus.
+
+    This is the scaling workload: the sf tables are KBs-to-MBs (overhead
+    dominated), the corpus is hundreds of MB of transcript text.
+    """
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import pyarrow.parquet as pq
+
+    from fastcdc_rs_ray.pipelines.neardup import neardup_clusters
+    from fastcdc_rs_ray.sources.transcripts import read_transcripts
+
+    nbytes = 0
+    nrows = 0
+    for f in os.listdir(corpus_dir):
+        if f.endswith(".parquet"):
+            md = pq.ParquetFile(os.path.join(corpus_dir, f)).metadata
+            nrows += md.num_rows
+    t0 = time.perf_counter()
+    ds = read_transcripts(corpus_dir)
+    # partitions ~ CPUs: each keyed shuffle runs num_partitions aggregator
+    # actors, so over-partitioning a small cluster thrashes worker startup
+    clusters = neardup_clusters(
+        ds, num_partitions=num_cpus, verify_threshold=0.4
+    )
+    n_out = 0
+    for b in clusters.iter_batches(batch_format="pyarrow"):
+        n_out += b.num_rows
+    wall = time.perf_counter() - t0
+    return {
+        "metric": "flagship_corpus",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "rows": {"neardup_clusters": n_out},
+        "input_turns": nrows,
+        "turns_per_sec": round(nrows / wall, 1),
+        "num_cpus": num_cpus,
+    }
+
+
+def _scaling_child(corpus_dir: str, num_cpus: int) -> dict:
+    """Run the flagship corpus pipeline in a fresh process; parse its JSON."""
     env = dict(os.environ)
-    env["GRAFT_SF_DIR"] = sf_dir
     env["RAY_GRAFT_CPUS"] = str(num_cpus)
+    env["GRAFT_SCALE_CORPUS"] = corpus_dir
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--one", "neardup_clusters"],
+        [sys.executable, os.path.abspath(__file__), "--corpus-run"],
         capture_output=True,
         text=True,
         env=env,
@@ -114,9 +167,12 @@ def _scaling_child(sf_dir: str, num_cpus: int) -> dict:
     raise RuntimeError(f"scaling child failed: {out.stderr[-2000:]}")
 
 
-def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
-    a = _scaling_child(sf_dir, lo)
-    b = _scaling_child(sf_dir, hi)
+def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+    from fastcdc_rs_ray.sources.synth_fast import ensure_corpus
+
+    corpus = ensure_corpus(SCALE_CORPUS, n_convs=SCALE_CONVS)
+    a = _scaling_child(corpus, lo)
+    b = _scaling_child(corpus, hi)
     ta, tb = a["value"], b["value"]
     # throughput ratio / cpu ratio; 1.0 = perfect linear scaling
     eff = (ta / tb) / (hi / lo)
@@ -128,12 +184,14 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         "hi_cpus": hi,
         "lo_sec": ta,
         "hi_sec": tb,
-        "lo_rows_per_sec": round(a["rows"]["neardup_clusters"] / ta, 1),
-        "hi_rows_per_sec": round(b["rows"]["neardup_clusters"] / tb, 1),
-        "sf": sf_dir,
+        "lo_turns_per_sec": a["turns_per_sec"],
+        "hi_turns_per_sec": b["turns_per_sec"],
+        "input_turns": a["input_turns"],
+        "corpus": corpus,
+        "n_convs": SCALE_CONVS,
         "physical_cpus": os.cpu_count(),
-        "note": "same job, fresh ray.init sessions at two num_cpus levels "
-        "(sandbox stand-in for N vs 4N nodes; box has "
+        "note": "same flagship near-dup job, fresh ray.init sessions at two "
+        "num_cpus levels (sandbox stand-in for N vs 4N nodes; box has "
         f"{os.cpu_count()} logical CPUs)",
     }
 
@@ -142,7 +200,11 @@ def main() -> None:
     import ray
 
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(SF_DIR)))
+        print(json.dumps(run_scaling()))
+        return
+    if "--corpus-run" in sys.argv:
+        print(json.dumps(run_corpus_flagship(SCALE_CORPUS, NUM_CPUS)))
+        ray.shutdown()
         return
     if "--one" in sys.argv:
         names = [sys.argv[sys.argv.index("--one") + 1]]

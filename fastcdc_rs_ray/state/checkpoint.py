@@ -96,19 +96,31 @@ def run_stage_checkpointed(
             "_bucket", pa.array((h % np.uint64(num_partitions)).astype(np.int32))
         )
 
+    def keep_buckets(buckets: list[int]):
+        want = pa.array(np.asarray(buckets, dtype=np.int32))
+
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.is_in(t["_bucket"], value_set=want))
+
+        return f
+
     os.makedirs(stage_dir, exist_ok=True)
     for g0 in range(0, len(missing), group_size):
         group = missing[g0 : g0 + group_size]
         t0 = time.perf_counter()
         sub = (
             ds.map_batches(add_bucket, batch_format="pyarrow")
-            .filter(expr=f"_bucket in {tuple(group)}")
+            .map_batches(keep_buckets(group), batch_format="pyarrow")
             .drop_columns(["_bucket"])
         )
         out = fn(sub).map_batches(add_bucket, batch_format="pyarrow").materialize()
         wall_group = time.perf_counter() - t0
         for p in group:
-            part = out.filter(expr=f"_bucket == {p}").drop_columns(["_bucket"])
+            part = out.map_batches(
+                keep_buckets([p]), batch_format="pyarrow"
+            ).drop_columns(["_bucket"])
             part_dir = os.path.join(stage_dir, f"part={p}")
             tmp_dir = part_dir + ".tmp"
             if os.path.exists(tmp_dir):
