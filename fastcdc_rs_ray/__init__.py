@@ -21,8 +21,30 @@ def ensure_data_context() -> None:
         ctx = DataContext.get_current()
         if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
             ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # By default every hash-shuffle aggregator actor reserves a full CPU
+        # per partition, so a num_partitions≈num_cpus shuffle starves the
+        # map tasks (measured 3x slowdown of the assemble shuffle at 32
+        # cpus).  Aggregators are IO/concat-bound; 0.25 CPU each restores
+        # pipeline overlap.
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.1
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.1
     except Exception:
         pass
 
 
 ensure_data_context()
+
+
+def _warm_native() -> None:
+    """Build/load the native kernels at import (driver AND workers): the
+    .so is compiled once per machine under a file lock, so worker tasks
+    never hit a compile race that would pin them to the NumPy fallback."""
+    try:
+        from .cdc._native import get_lib
+
+        get_lib()
+    except Exception:
+        pass
+
+
+_warm_native()

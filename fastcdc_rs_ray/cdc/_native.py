@@ -194,7 +194,36 @@ int64_t chunk_ronomon(const uint8_t* buf, const int64_t* row_offsets, int64_t nr
     }
     return k;
 }
+
+/* MinHash signatures: per segment, per permutation, min over shingles of
+   splitmix64(shingle ^ key[p]).  Bit-identical to the NumPy path in
+   stages/minhash.py (same finalizer constants as util.mix64), but with no
+   large temporaries: 128 running minima live in cache, so the stage stays
+   ALU-bound instead of memory-bandwidth-bound. */
+int64_t minhash_sigs(const uint64_t* sh, int64_t m,
+                     const int64_t* seg_starts, int64_t G,
+                     const uint64_t* keys, int64_t P, uint64_t* out)
+{
+    for (int64_t g = 0; g < G; g++) {
+        int64_t s = seg_starts[g];
+        int64_t e = (g + 1 < G) ? seg_starts[g + 1] : m;
+        uint64_t* o = out + g * P;
+        for (int64_t p = 0; p < P; p++) o[p] = UINT64_MAX;
+        for (int64_t i = s; i < e; i++) {
+            uint64_t x = sh[i];
+            for (int64_t p = 0; p < P; p++) {
+                uint64_t z = (x ^ keys[p]) + 0x9E3779B97F4A7C15ULL;
+                z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+                z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+                z = z ^ (z >> 31);
+                if (z < o[p]) o[p] = z;
+            }
+        }
+    }
+    return 0;
+}
 """
+
 
 
 def _build() -> ctypes.CDLL | None:
@@ -204,18 +233,32 @@ def _build() -> ctypes.CDLL | None:
     if not os.path.exists(so_path):
         try:
             os.makedirs(cache_dir, exist_ok=True)
-            with tempfile.TemporaryDirectory(dir=cache_dir) as td:
-                c_path = os.path.join(td, "fastcdc.c")
-                tmp_so = os.path.join(td, "lib.so")
-                with open(c_path, "w") as f:
-                    f.write(_C_SOURCE)
-                subprocess.run(
-                    ["cc", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp_so, c_path],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-                os.replace(tmp_so, so_path)  # atomic; races are benign
+            # serialize concurrent builds (many Ray workers importing at
+            # once): one process compiles, the rest wait on the lock —
+            # a failed racer would otherwise silently pin the 100x-slower
+            # NumPy fallback for its whole worker lifetime
+            import fcntl
+            import time as _time
+
+            with open(os.path.join(cache_dir, ".build.lock"), "w") as lockf:
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+                try:
+                    if not os.path.exists(so_path):
+                        with tempfile.TemporaryDirectory(dir=cache_dir) as td:
+                            c_path = os.path.join(td, "fastcdc.c")
+                            tmp_so = os.path.join(td, "lib.so")
+                            with open(c_path, "w") as f:
+                                f.write(_C_SOURCE)
+                            subprocess.run(
+                                ["cc", "-O3", "-march=native", "-shared", "-fPIC",
+                                 "-o", tmp_so, c_path],
+                                check=True,
+                                capture_output=True,
+                                timeout=120,
+                            )
+                            os.replace(tmp_so, so_path)  # atomic
+                finally:
+                    fcntl.flock(lockf, fcntl.LOCK_UN)
         except Exception:
             return None
     try:
@@ -230,6 +273,8 @@ def _build() -> ctypes.CDLL | None:
     lib.chunk_v2016.argtypes = [p, p, i64, i64, i64, i64, u64, u64, p, p, p, p, p]
     lib.chunk_ronomon.restype = i64
     lib.chunk_ronomon.argtypes = [p, p, i64, i64, i64, i64, u32, u32, p, p, p, p, p]
+    lib.minhash_sigs.restype = i64
+    lib.minhash_sigs.argtypes = [p, i64, p, i64, p, i64, p]
     return lib
 
 
@@ -295,3 +340,18 @@ def chunk_rows_native(buf: np.ndarray, row_offsets: np.ndarray, cfg):
         )
     k = int(k)
     return out_row[:k].copy(), out_hash[:k].copy(), out_off[:k].copy(), out_len[:k].copy()
+
+
+def minhash_sigs_native(shingles: np.ndarray, seg_starts: np.ndarray,
+                        keys: np.ndarray) -> np.ndarray | None:
+    """(G, P) uint64 signature matrix, or None when the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    sh = np.ascontiguousarray(shingles, dtype=np.uint64)
+    ss = np.ascontiguousarray(seg_starts, dtype=np.int64)
+    ks = np.ascontiguousarray(keys, dtype=np.uint64)
+    G, P = len(ss), len(ks)
+    out = np.empty((G, P), dtype=np.uint64)
+    lib.minhash_sigs(_ptr(sh), len(sh), _ptr(ss), G, _ptr(ks), P, _ptr(out))
+    return out

@@ -1,16 +1,22 @@
 """The flagship pipeline: transcripts -> near-duplicate cluster assignments.
 
     read transcripts                          (streaming blocks)
-      -> assemble           [shuffle #1: hash(conv_id)]
+      -> assemble           [shuffle #1: hash(conv_id), or pre-partitioned]
       -> chunk              (stateless map_batches; FastCDC v2020 kernel)
-      -> minhash            (actor pool; 128 keyed-mix permutations)
-      -> bands + salted link[shuffle #2: hash(band_id, band_hash, salt)]
-      -> verify (optional)  [signature-estimate Jaccard >= threshold]
+      -> minhash            (128 keyed-mix permutations, per-worker cache)
+      -> bands              (u64 band_key x conv_key rows)
+      -> sort(band_key) + per-block link + boundary stitch  [exchange #2]
+      -> dedupe + verify    [signature-estimate Jaccard >= threshold]
       -> connected components (driver union-find | distributed label prop)
       -> clusters (conv_id, cluster_id)
 
 Every stage is a plain ``Dataset -> Dataset`` function, composable and
 individually checkpointable (see state.checkpoint).
+
+Vertex identity through the wide middle is the u64 ``conv_key`` (see
+stages.lsh.conv_keys); conv_id strings are re-attached during
+verification/translation, which only ever touches the (thin) candidate
+endpoint set.
 """
 
 from __future__ import annotations
@@ -23,7 +29,7 @@ from ..cdc import ChunkerConfig
 from ..stages.assemble import assemble
 from ..stages.chunk import DEFAULT_CONFIG, chunk
 from ..stages.cc import connected_components_distributed, connected_components_driver
-from ..stages.lsh import N_BANDS, N_SALTS, candidate_edges
+from ..stages.lsh import N_BANDS, N_SALTS, candidate_edges, conv_keys
 from ..stages.minhash import N_PERMS, SHINGLE_K, minhash
 
 
@@ -34,15 +40,16 @@ def signatures_pipeline(
     shingle_k: int = SHINGLE_K,
     seed: int = 7,
     num_partitions: int = 64,
+    pre_partitioned: bool = False,
 ):
-    conv = assemble(transcripts_ds, num_partitions=num_partitions)
+    conv = assemble(transcripts_ds, num_partitions=num_partitions,
+                    pre_partitioned=pre_partitioned)
     chunks = chunk(conv, cfg or DEFAULT_CONFIG)
     return minhash(chunks, n_perms=n_perms, k=shingle_k, seed=seed)
 
 
 def _pack_signatures(t: pa.Table, out_name: str) -> pa.Table:
-    """minhash fixed_size_list<uint64> -> large_binary blob (Arrow joins do
-    not support fixed_size_list non-key fields)."""
+    """minhash fixed_size_list<uint64> -> large_binary blob."""
     g = len(t)
     mh = t["minhash"].combine_chunks()
     nb = mh.type.list_size * 8
@@ -64,40 +71,189 @@ def _unpack_binary_u64(col, n_rows: int) -> np.ndarray:
     return data[idx].view(np.uint64)
 
 
-def verify_edges(edges_ds, sig_ds, threshold: float, num_partitions: int = 32):
+# --------------------------------------------------------------------------
+# endpoint signature collection (shared by the driver verify/translate paths)
+# --------------------------------------------------------------------------
+
+
+def _collect_endpoints(sig_ds, endpoint_keys: np.ndarray):
+    """One parallel filtered pass over signatures: for every row whose
+    conv_key is in ``endpoint_keys``, fetch (conv_key, conv_id, low byte of
+    each signature component).  Returns (keys_sorted, ids StringArray,
+    sig_matrix uint8) driver-side, aligned to keys_sorted; bounded by the
+    candidate endpoint count (~160 B per endpoint).
+
+    The similarity estimator downstream compares component *low bytes*:
+    equal components always match, unequal ones collide with p=1/256, so
+    the estimate is J + (1-J)/256 — a +0.4% bias that can only widen the
+    kept set (recall unaffected), for 8x less driver traffic."""
+    import ray
+
+    eps_sorted = np.sort(np.asarray(endpoint_keys, np.uint64))
+    ref = ray.put(eps_sorted)
+
+    def keep(t: pa.Table) -> pa.Table:
+        eps = ray.get(ref)
+        ck = conv_keys(t["conv_id"])
+        pos = np.searchsorted(eps, ck)
+        pos[pos == len(eps)] = 0
+        sel = np.flatnonzero(eps[pos] == ck)
+        sub = t.take(pa.array(sel, pa.int64()))
+        mh = sub["minhash"].combine_chunks()
+        P = mh.type.list_size
+        lo_bytes = (mh.flatten().to_numpy().reshape(len(sub), P) & np.uint64(0xFF)).astype(np.uint8)
+        offs = np.arange(len(sub) + 1, dtype=np.int64) * P
+        sig8 = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), len(sub),
+            [None, pa.py_buffer(offs), pa.py_buffer(np.ascontiguousarray(lo_bytes))],
+        )
+        return pa.table(
+            {
+                "conv_key": pa.array(ck[sel], pa.uint64()),
+                "conv_id": sub["conv_id"],
+                "sig8": sig8,
+            }
+        )
+
+    keys_l, ids_l, sig_l = [], [], []
+    for b in sig_ds.map_batches(keep, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        n = b.num_rows
+        if n == 0:
+            continue
+        keys_l.append(b["conv_key"].combine_chunks().to_numpy())
+        ids_l.append(b["conv_id"].combine_chunks())
+        arr = b["sig8"].combine_chunks()
+        offs = np.frombuffer(arr.buffers()[1], np.int64, count=n + 1 + arr.offset)
+        offs = offs[arr.offset : arr.offset + n + 1]
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        sig_l.append(data[offs[0] : offs[-1]].reshape(n, -1))
+    if not keys_l:
+        return (
+            np.empty(0, np.uint64),
+            pa.array([], pa.string()),
+            np.empty((0, 1), np.uint8),
+        )
+    keys = np.concatenate(keys_l)
+    ids = pa.concat_arrays(ids_l)
+    sigm = np.vstack(sig_l)
+    order = np.argsort(keys, kind="stable")
+    return keys[order], ids.take(pa.array(order, pa.int64())), sigm[order]
+
+
+def _dedupe_pairs(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Direction-normalize, drop self-pairs, distinct."""
+    lo = np.minimum(src, dst)
+    hi = np.maximum(src, dst)
+    keep = lo != hi
+    lo, hi = lo[keep], hi[keep]
+    if len(lo) == 0:
+        return lo, hi
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    first = np.concatenate([[True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])])
+    return lo[first], hi[first]
+
+
+def verify_edges_driver(edges_ds, sig_ds, threshold: float | None) -> pa.Table:
+    """Candidate-set-sized fast path, fully vectorized:
+
+    1. collect + dedupe the u64 edge list on the driver,
+    2. fetch only the endpoints' signatures (one parallel filtered pass —
+       the sole distributed step),
+    3. one numpy compare per edge; emit surviving (src, dst) conv_id
+       strings (re-attachment happens here for free).
+
+    ``threshold=None`` skips the similarity test (pure translation).
+    """
+    src_l, dst_l = [], []
+    for b in edges_ds.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            src_l.append(b["src"].combine_chunks().to_numpy())
+            dst_l.append(b["dst"].combine_chunks().to_numpy())
+    empty = pa.table(
+        {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+    )
+    if not src_l:
+        return empty
+    lo, hi = _dedupe_pairs(np.concatenate(src_l), np.concatenate(dst_l))
+    if len(lo) == 0:
+        return empty
+    endpoints = np.unique(np.concatenate([lo, hi]))
+    keys, ids, sigm = _collect_endpoints(sig_ds, endpoints)
+    if len(keys) == 0:
+        return empty
+    il = np.searchsorted(keys, lo)
+    ih = np.searchsorted(keys, hi)
+    il_ok = (il < len(keys)) & (keys[np.minimum(il, len(keys) - 1)] == lo)
+    ih_ok = (ih < len(keys)) & (keys[np.minimum(ih, len(keys) - 1)] == hi)
+    ok = il_ok & ih_ok
+    if threshold is not None:
+        sim = np.zeros(len(lo))
+        okx = np.flatnonzero(ok)
+        sim[okx] = (sigm[il[okx]] == sigm[ih[okx]]).mean(axis=1)
+        ok &= sim >= threshold
+    sel = np.flatnonzero(ok)
+    return pa.table(
+        {
+            "src": ids.take(pa.array(il[sel], pa.int64())),
+            "dst": ids.take(pa.array(ih[sel], pa.int64())),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# scale fallback: two-shuffle tag-union verification (u64 edges in,
+# conv_id-string edges out)
+# --------------------------------------------------------------------------
+
+
+def dedupe_edges(edges_ds, num_partitions: int = 16):
+    """Distinct normalized (src, dst) u64 pairs via one keyed shuffle."""
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {"src": pa.array([], pa.uint64()), "dst": pa.array([], pa.uint64())}
+            )
+        lo, hi = _dedupe_pairs(
+            t["src"].combine_chunks().to_numpy(), t["dst"].combine_chunks().to_numpy()
+        )
+        return pa.table(
+            {"src": pa.array(lo, pa.uint64()), "dst": pa.array(hi, pa.uint64())}
+        )
+
+    ded = edges_ds.map_batches(local_distinct, batch_format="pyarrow")
+    ded = ded.repartition(num_blocks=num_partitions, keys=["src", "dst"])
+    return ded.map_batches(local_distinct, batch_format="pyarrow", batch_size=None)
+
+
+def verify_edges_shuffle(edges_ds, sig_ds, threshold: float | None,
+                         num_partitions: int = 32):
     """Keep candidate edges whose signature-estimated Jaccard (fraction of
-    equal minhash components) >= threshold.
+    equal minhash components) >= threshold; emit conv_id string pairs.
 
     Two hash shuffles, no ``Dataset.join`` (Ray's join finalize breaks on
     schema-less empty partitions): (1) endpoint rows and packed-signature
-    rows are tag-unioned and co-partitioned on conv_id, where each endpoint
-    picks up its signature; (2) the sig-carrying endpoint rows are
-    repartitioned on (src, dst) so each edge's two halves meet, and the
-    similarity test is one vectorized pass."""
-    _EMPTY = pa.schema(
-        [
-            ("key", pa.string()),
-            ("src", pa.string()),
-            ("dst", pa.string()),
-            ("side", pa.int8()),
-            ("sig", pa.large_binary()),
-        ]
-    )
+    rows are tag-unioned and co-partitioned on conv_key, where each endpoint
+    picks up its signature and id string; (2) the sig-carrying endpoint rows
+    are repartitioned on (src, dst) so each edge's two halves meet."""
 
     def endpoint_rows(t: pa.Table) -> pa.Table:
         n = len(t)
-        src = t["src"].combine_chunks()
-        dst = t["dst"].combine_chunks()
-        key = pa.concat_arrays([src, dst])
+        src = t["src"].combine_chunks().to_numpy()
+        dst = t["dst"].combine_chunks().to_numpy()
+        key = np.concatenate([src, dst])
         side = np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
-        both_src = pa.concat_arrays([src, src])
-        both_dst = pa.concat_arrays([dst, dst])
         return pa.table(
             {
-                "key": key,
-                "src": both_src,
-                "dst": both_dst,
+                "key": pa.array(key, pa.uint64()),
+                "src": pa.array(np.concatenate([src, src]), pa.uint64()),
+                "dst": pa.array(np.concatenate([dst, dst]), pa.uint64()),
                 "side": pa.array(side, pa.int8()),
+                "conv_id": pa.nulls(2 * n, pa.string()),
                 "sig": pa.nulls(2 * n, pa.large_binary()),
             }
         )
@@ -105,12 +261,14 @@ def verify_edges(edges_ds, sig_ds, threshold: float, num_partitions: int = 32):
     def sig_rows(t: pa.Table) -> pa.Table:
         packed = _pack_signatures(t, "sig")
         n = len(t)
+        ck = conv_keys(t["conv_id"])
         return pa.table(
             {
-                "key": packed["conv_id"],
-                "src": pa.nulls(n, pa.string()),
-                "dst": pa.nulls(n, pa.string()),
+                "key": pa.array(ck, pa.uint64()),
+                "src": pa.nulls(n, pa.uint64()),
+                "dst": pa.nulls(n, pa.uint64()),
                 "side": pa.array(np.full(n, -1, np.int8), pa.int8()),
+                "conv_id": packed["conv_id"],
                 "sig": packed["sig"],
             }
         )
@@ -122,15 +280,16 @@ def verify_edges(edges_ds, sig_ds, threshold: float, num_partitions: int = 32):
 
     def attach(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        sigs = df[df["side"] == -1][["key", "sig"]]
-        eps = df[df["side"] >= 0].drop(columns=["sig"])
+        sigs = df[df["side"] == -1][["key", "conv_id", "sig"]]
+        eps = df[df["side"] >= 0].drop(columns=["sig", "conv_id"])
         out = eps.merge(sigs, on="key", how="inner").drop(columns=["key"])
         return pa.Table.from_pandas(out, preserve_index=False).cast(
             pa.schema(
                 [
-                    ("src", pa.string()),
-                    ("dst", pa.string()),
+                    ("src", pa.uint64()),
+                    ("dst", pa.uint64()),
                     ("side", pa.int8()),
+                    ("conv_id", pa.string()),
                     ("sig", pa.large_binary()),
                 ]
             )
@@ -151,24 +310,42 @@ def verify_edges(edges_ds, sig_ds, threshold: float, num_partitions: int = 32):
             sort_keys=[("src", "ascending"), ("dst", "ascending"), ("side", "ascending")],
         )
         t = t.take(order)
-        src = t["src"].combine_chunks()
-        dst = t["dst"].combine_chunks()
+        src = t["src"].combine_chunks().to_numpy()
+        dst = t["dst"].combine_chunks().to_numpy()
         side = t["side"].combine_chunks().to_numpy(zero_copy_only=False)
-        # rows come in (side=0, side=1) pairs per edge; guard against strays
-        same_edge = (
-            pc.equal(src.slice(0, n - 1), src.slice(1)).to_numpy(zero_copy_only=False)
-            & pc.equal(dst.slice(0, n - 1), dst.slice(1)).to_numpy(zero_copy_only=False)
-        )
+        same_edge = (src[1:] == src[:-1]) & (dst[1:] == dst[:-1])
         first = np.flatnonzero((side[:-1] == 0) & (side[1:] == 1) & same_edge)
         if len(first) == 0:
             return empty
-        sig_all = _unpack_binary_u64(t["sig"], n)
-        sim = (sig_all[first] == sig_all[first + 1]).mean(axis=1)
-        keep = first[sim >= threshold]
-        idx = pa.array(keep, pa.int64())
-        return pa.table({"src": src.take(idx), "dst": dst.take(idx)})
+        if threshold is not None:
+            sig_all = _unpack_binary_u64(t["sig"], n)
+            sim = (sig_all[first] == sig_all[first + 1]).mean(axis=1)
+            first = first[sim >= threshold]
+        ids = t["conv_id"].combine_chunks()
+        return pa.table(
+            {
+                "src": ids.take(pa.array(first, pa.int64())),
+                "dst": ids.take(pa.array(first + 1, pa.int64())),
+            }
+        )
 
     return halves.map_batches(est, batch_format="pyarrow", batch_size=None)
+
+
+def verify_edges(edges_ds, sig_ds, threshold: float | None,
+                 num_partitions: int = 32, driver_limit: int = 5_000_000):
+    """u64 candidate edges -> verified conv_id-string edges.
+
+    Driver numpy path while the candidate set is driver-sized (the common
+    case: candidates are a thin slice of the corpus — ~200 MB of signatures
+    per million endpoints); tag-union shuffle path beyond."""
+    n_edges = edges_ds.count()
+    if n_edges <= driver_limit:
+        import ray.data as rd
+
+        return rd.from_arrow(verify_edges_driver(edges_ds, sig_ds, threshold))
+    ded = dedupe_edges(edges_ds, num_partitions=max(4, num_partitions // 4))
+    return verify_edges_shuffle(ded, sig_ds, threshold, num_partitions)
 
 
 def neardup_clusters(
@@ -182,21 +359,19 @@ def neardup_clusters(
     num_partitions: int = 64,
     verify_threshold: float | None = 0.5,
     cc: str = "driver",
+    pre_partitioned: bool = False,
 ):
     """transcripts Dataset -> clusters Dataset (conv_id, cluster_id)."""
     sigs = signatures_pipeline(
-        transcripts_ds, cfg, n_perms, shingle_k, seed, num_partitions
+        transcripts_ds, cfg, n_perms, shingle_k, seed, num_partitions,
+        pre_partitioned=pre_partitioned,
     ).materialize()  # reused by banding, verification and the member universe
     edges = candidate_edges(sigs, n_bands=n_bands, n_salts=n_salts,
-                            num_partitions=num_partitions)
-    if verify_threshold is not None:
-        # count() pins the (already small) candidate set; an empty edge set
-        # must skip the join — Ray's hash-shuffle join chokes on schema-less
-        # empty partitions, and there is nothing to verify anyway.
-        edges = edges.materialize()
-        if edges.count() > 0:
-            edges = verify_edges(edges, sigs, verify_threshold,
-                                 num_partitions=max(8, num_partitions // 2))
+                            num_partitions=num_partitions).materialize()
+    # verify also dedupes and re-attaches conv_id strings; with
+    # threshold=None it is a pure dedupe+translate
+    edges = verify_edges(edges, sigs, verify_threshold,
+                         num_partitions=max(8, num_partitions // 2))
     if cc == "driver":
         return connected_components_driver(edges, sigs)
     return connected_components_distributed(edges, sigs, num_partitions=num_partitions)

@@ -168,12 +168,44 @@ def ensure_corpus(
             if name.endswith(".parquet"):
                 os.remove(os.path.join(root, name))
     per = (n_convs + slices - 1) // slices
-    for s in range(slices):
-        lo, hi = s * per, min((s + 1) * per, n_convs)
-        if lo >= hi:
-            break
-        t = synth_corpus_slice(lo, hi, **kwargs)
-        pq.write_table(t, os.path.join(root, f"part-{s:04d}.parquet"))
+    ranges = [
+        (s, s * per, min((s + 1) * per, n_convs))
+        for s in range(slices)
+        if s * per < n_convs
+    ]
+    if _write_slices_parallel(root, ranges, kwargs) is None:
+        for s, lo, hi in ranges:
+            _write_slice(root, s, lo, hi, kwargs)
     with open(marker, "w") as f:
         json.dump(params, f)
     return root
+
+
+def _write_slice(root: str, s: int, lo: int, hi: int, kwargs: dict) -> None:
+    t = synth_corpus_slice(lo, hi, **kwargs)
+    pq.write_table(t, os.path.join(root, f"part-{s:04d}.parquet"),
+                   row_group_size=1 << 30)  # one row group: a block never splits a conversation
+
+
+def _write_slices_parallel(root: str, ranges: list, kwargs: dict):
+    """Generate slices as Ray tasks (each writes its own file).  Returns
+    None when Ray is unavailable so the caller falls back to serial."""
+    try:
+        import ray
+    except Exception:
+        return None
+    own_session = not ray.is_initialized()
+    if own_session:
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+    @ray.remote
+    def gen(s, lo, hi):
+        _write_slice(root, s, lo, hi, kwargs)
+        return s
+
+    try:
+        ray.get([gen.remote(s, lo, hi) for s, lo, hi in ranges])
+    finally:
+        if own_session:
+            ray.shutdown()
+    return True

@@ -113,13 +113,24 @@ def _span_type() -> pa.StructType:
     )
 
 
-def assemble(ds, num_partitions: int | None = None):
-    """transcripts Dataset -> conv_bytes Dataset (shuffle #1, key conv_id)."""
-    if num_partitions is None:
-        num_partitions = 64
-    ds = ds.repartition(num_blocks=num_partitions, keys=["conv_id"])
-    # batch_size=None => whole blocks; keyed repartition guarantees whole
-    # conversations per block, so per-batch assembly is complete.
+def assemble(ds, num_partitions: int | None = None, pre_partitioned: bool = False):
+    """transcripts Dataset -> conv_bytes Dataset (shuffle #1, key conv_id).
+
+    ``pre_partitioned=True`` asserts the *input layout* already co-locates
+    every conversation inside one block (e.g. parquet files written
+    conversation-contiguous with one row group per file — the normal
+    at-scale ingest layout) and skips the hash shuffle entirely.  The
+    partitioning assumption this relies on: no conv_id spans two input
+    blocks; violating it yields duplicate conv_bytes rows for the split
+    conversation (each covering only its block's turns).
+    """
+    if not pre_partitioned:
+        if num_partitions is None:
+            num_partitions = 64
+        ds = ds.repartition(num_blocks=num_partitions, keys=["conv_id"])
+    # batch_size=None => whole blocks; keyed repartition (or the declared
+    # input layout) guarantees whole conversations per block, so per-batch
+    # assembly is complete.
     return ds.map_batches(assemble_batch, batch_format="pyarrow", batch_size=None)
 
 

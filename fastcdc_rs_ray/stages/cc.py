@@ -50,26 +50,33 @@ class _UnionFind:
 
 def connected_components_driver(edges_ds, members_ds):
     """Driver union-find. ``members_ds`` supplies the vertex universe
-    (column conv_id) so edge-less conversations become singletons."""
+    (column conv_id) so edge-less conversations become singletons.
+
+    The vertex->root mapping is broadcast as two aligned Arrow string
+    arrays (buffer-backed, cheap to ship/get) and applied with a
+    vectorized ``pc.index_in`` hash lookup per batch — a Python dict here
+    costs a full unpickle per task."""
+    import pyarrow.compute as pc
     import ray
 
     uf = _UnionFind()
     for batch in edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for s, d in zip(batch["src"].to_pylist(), batch["dst"].to_pylist()):
             uf.union(s, d)
-    mapping = {v: uf.find(v) for v in list(uf.parent.keys())}
-    map_ref = ray.put(mapping)  # broadcast once; read per task, not per batch row
+    touched = list(uf.parent.keys())
+    keys = pa.array(touched, pa.string())
+    labels = pa.array([uf.find(v) for v in touched], pa.string())
+    map_ref = ray.put((keys, labels))  # broadcast once
 
     def assign(t: pa.Table) -> pa.Table:
-        m = ray.get(map_ref)
-        conv = t["conv_id"].to_pylist()
-        cluster = [m.get(c, c) for c in conv]
-        return pa.table(
-            {
-                "conv_id": pa.array(conv, pa.string()),
-                "cluster_id": pa.array(cluster, pa.string()),
-            }
-        )
+        ks, ls = ray.get(map_ref)
+        conv = t["conv_id"].combine_chunks()
+        if len(ks) == 0:
+            return pa.table({"conv_id": conv, "cluster_id": conv})
+        pos = pc.index_in(conv, value_set=ks)
+        hit = pc.is_valid(pos)
+        cluster = pc.if_else(hit, ls.take(pc.fill_null(pos, 0)), conv)
+        return pa.table({"conv_id": conv, "cluster_id": cluster})
 
     return members_ds.select_columns(["conv_id"]).map_batches(
         assign, batch_format="pyarrow"

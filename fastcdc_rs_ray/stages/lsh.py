@@ -5,17 +5,23 @@ hash collides for two conversations iff their signatures agree on all r
 components, so the candidate-pair probability follows the classic
 (1 - (1 - j^r)^b) S-curve.
 
-Scale design (the north rule's "explicit salting for hot bands"):
+Scale design (the widest exchange of the pipeline — n_bands x corpus rows):
 
-- Pair emission is *linear*, not quadratic: within a (band_id, band_hash)
-  group the members are sorted and linked consecutively — connectivity (and
-  therefore cluster assignments) is identical to emitting all O(n^2) pairs,
-  but a boilerplate band with 10^6 members emits 10^6 - 1 edges.
-- Hot-band salting: every band row also carries ``salt = conv_hash % S``;
-  the shuffle key is (band_id, band_hash, salt), so a giant group splits
-  across S reducers.  Each salted subgroup additionally emits its minimum
-  member as a *representative* row; a second (tiny) groupby over
-  representatives links the subgroups, restoring full connectivity.
+- **Lean rows**: two uint64 columns (band key, conv key).  A 64-bit key
+  collision can only merge two unrelated groups (never drop an edge), and
+  the signature-verification stage filters those — recall unaffected.
+- **Range-sort exchange, not hash shuffle**: ``Dataset.sort(band_key)``
+  co-locates equal keys with a task-based range shuffle (measured 4-6x
+  cheaper than the aggregator-actor hash shuffle at every partition
+  count).  Equal-key runs may straddle adjacent sorted blocks; per-block
+  consecutive linking plus a driver-side **boundary stitch** (one tiny row
+  per block) restores full connectivity.
+- **Skew (hot bands) falls out for free**: a boilerplate band with 10^6
+  members becomes one long sorted run *split across blocks by the range
+  partitioner* — each block links its slice linearly (emission is linear,
+  never O(n^2)), and the stitch joins the slices.  No explicit salting
+  machinery needed; connectivity (and therefore cluster assignments) is
+  identical to emitting all pairs.
 """
 
 from __future__ import annotations
@@ -24,130 +30,140 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import U64, mix64, hash_str_array_u64
+from ..util import U64, mix64
 
 N_BANDS = 32
+# retained for API compatibility: salting is subsumed by range-sort block
+# splitting + boundary stitching (see module docstring)
 N_SALTS = 8
 
 
-def bands_from_signatures(t: pa.Table, n_bands: int = N_BANDS, n_salts: int = N_SALTS) -> pa.Table:
-    """signatures batch -> exploded bands (band_id, band_hash, salt, conv_id)."""
+def conv_keys(conv_col) -> np.ndarray:
+    """Deterministic u64 vertex key per conv_id.  All wide LSH exchanges
+    move only fixed-width u64 columns (a string id column measured 16x
+    slower through Ray's range/hash exchanges); the string id is re-attached
+    after verification.  A key collision (~n^2/2^65: ~6e-7 at 5M convs)
+    can only merge two conversations into one cluster."""
+    from ..util import hash_str_array_u64
+
+    return hash_str_array_u64(conv_col)
+
+
+def bands_from_signatures(t: pa.Table, n_bands: int = N_BANDS) -> pa.Table:
+    """signatures batch -> exploded band rows (band_key, conv_key)."""
     g = len(t)
     if g == 0:
         return pa.table(
             {
-                "band_id": pa.array([], pa.int32()),
-                "band_hash": pa.array([], pa.uint64()),
-                "salt": pa.array([], pa.int32()),
-                "conv_id": pa.array([], pa.string()),
+                "band_key": pa.array([], pa.uint64()),
+                "conv_key": pa.array([], pa.uint64()),
             }
         )
     sigcol = t["minhash"].combine_chunks()
     n_perms = sigcol.type.list_size
     r = n_perms // n_bands
     sig = sigcol.flatten().to_numpy().reshape(g, n_perms)
-    # band hash: chained mix over the r components + band id
-    bh = np.empty((g, n_bands), dtype=np.uint64)
+    # band key: chained mix over the r components + band id
+    key = np.empty((g, n_bands), dtype=np.uint64)
     for b in range(n_bands):
         acc = mix64(np.full(g, b, dtype=np.uint64))
         for j in range(r):
             acc = mix64(acc ^ sig[:, b * r + j])
-        bh[:, b] = acc
-    conv = t["conv_id"].combine_chunks()
-    salt = (hash_str_array_u64(conv) % U64(n_salts)).astype(np.int32)
-    band_id = np.broadcast_to(np.arange(n_bands, dtype=np.int32), (g, n_bands))
-    rep_idx = pa.array(np.repeat(np.arange(g, dtype=np.int64), n_bands))
+        key[:, b] = acc
+    ck = conv_keys(t["conv_id"].combine_chunks())
     return pa.table(
         {
-            "band_id": pa.array(band_id.reshape(-1), pa.int32()),
-            "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
-            "salt": pa.array(np.repeat(salt, n_bands), pa.int32()),
-            "conv_id": conv.take(rep_idx),
+            "band_key": pa.array(key.reshape(-1), pa.uint64()),
+            "conv_key": pa.array(np.repeat(ck, n_bands), pa.uint64()),
         }
     )
 
 
-def _link_consecutive(t: pa.Table, keys: list[str]) -> tuple[pa.Table, pa.Table]:
-    """Sort by keys + conv_id; emit consecutive-link edges within groups and
-    one representative (min conv_id) row per group."""
+def _link_block(t: pa.Table) -> pa.Table:
+    """Within one sorted block: consecutive-link equal-key neighbors."""
+    n = len(t)
+    if n < 2:
+        return pa.table(
+            {"src": pa.array([], pa.uint64()), "dst": pa.array([], pa.uint64())}
+        )
+    kv = t["band_key"].combine_chunks().to_numpy()
+    conv = t["conv_key"].combine_chunks().to_numpy()
+    link = np.flatnonzero(kv[1:] == kv[:-1])
+    return pa.table(
+        {
+            "src": pa.array(conv[link], pa.uint64()),
+            "dst": pa.array(conv[link + 1], pa.uint64()),
+        }
+    )
+
+
+def _block_boundary(t: pa.Table) -> pa.Table:
+    """One row per non-empty sorted block: its first/last key and conv."""
     n = len(t)
     if n == 0:
-        empty_edges = pa.table(
-            {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+        return pa.table(
+            {
+                "first_key": pa.array([], pa.uint64()),
+                "first_conv": pa.array([], pa.uint64()),
+                "last_key": pa.array([], pa.uint64()),
+                "last_conv": pa.array([], pa.uint64()),
+            }
         )
-        return empty_edges, t
-    order = pc.sort_indices(
-        t, sort_keys=[(k, "ascending") for k in keys] + [("conv_id", "ascending")]
-    )
-    t = t.take(order)
-    same = np.ones(n - 1, dtype=bool)
-    for k in keys:
-        col = t[k].combine_chunks()
-        eq = pc.equal(col.slice(1), col.slice(0, n - 1)).to_numpy(zero_copy_only=False)
-        same &= eq
-    conv = t["conv_id"].combine_chunks()
-    link = np.flatnonzero(same)  # edge conv[i] -- conv[i+1]
-    edges = pa.table(
+    return pa.table(
         {
-            "src": conv.take(pa.array(link, pa.int64())),
-            "dst": conv.take(pa.array(link + 1, pa.int64())),
+            "first_key": t["band_key"].slice(0, 1),
+            "first_conv": t["conv_key"].slice(0, 1),
+            "last_key": t["band_key"].slice(n - 1, 1),
+            "last_conv": t["conv_key"].slice(n - 1, 1),
         }
     )
-    group_starts = np.concatenate([[0], np.flatnonzero(~same) + 1]).astype(np.int64)
-    reps = t.take(pa.array(group_starts, pa.int64()))
-    return edges, reps
 
 
 def candidate_edges(sig_ds, n_bands: int = N_BANDS, n_salts: int = N_SALTS,
                     num_partitions: int = 64):
-    """signatures Dataset -> edges Dataset (salted two-level band linking)."""
+    """signatures Dataset -> edges Dataset (sorted linking + boundary stitch).
+
+    ``n_salts``/``num_partitions`` are accepted for interface stability; the
+    sort path needs neither (block count follows the sort's range
+    partitioning).
+    """
+    import ray.data as rd
+
     bands = sig_ds.map_batches(
-        lambda t: bands_from_signatures(t, n_bands, n_salts),
+        lambda t: bands_from_signatures(t, n_bands),
         batch_format="pyarrow",
     )
-    bands = bands.repartition(num_blocks=num_partitions, keys=["band_id", "band_hash", "salt"])
+    # coalesce before the sort: the range exchange creates in-blocks x
+    # out-blocks partition objects, so hundreds of input blocks explode the
+    # object count (253s -> ~10s at 153M rows after coalescing to 64)
+    bands = bands.repartition(64)
+    srt = bands.sort("band_key").materialize()
+    edges = srt.map_batches(_link_block, batch_format="pyarrow", batch_size=None)
 
-    def level1(t: pa.Table) -> pa.Table:
-        edges, reps = _link_consecutive(t, ["band_id", "band_hash", "salt"])
-        # tag and union: kind 0 = edge, kind 1 = representative
-        e = pa.table(
+    # boundary stitch: Dataset row order == sorted order, so consecutive
+    # non-empty blocks whose adjacent (last_key, first_key) match get one
+    # linking edge.  O(num_blocks) driver work.
+    bounds = [
+        b
+        for b in srt.map_batches(
+            _block_boundary, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if bounds:
+        bt = pa.concat_tables(bounds)  # one row per non-empty block, in order
+        m = len(bt)
+        last_k = bt["last_key"].combine_chunks().to_numpy()
+        first_k = bt["first_key"].combine_chunks().to_numpy()
+        hit = np.flatnonzero(last_k[:-1] == first_k[1:]) if m > 1 else np.array([], int)
+        stitch = pa.table(
             {
-                "src": edges["src"],
-                "dst": edges["dst"],
-                "band_id": pa.array(np.zeros(len(edges), np.int32), pa.int32()),
-                "band_hash": pa.array(np.zeros(len(edges), np.uint64), pa.uint64()),
-                "kind": pa.array(np.zeros(len(edges), np.int8), pa.int8()),
+                "src": bt["last_conv"].combine_chunks().take(pa.array(hit, pa.int64())),
+                "dst": bt["first_conv"].combine_chunks().take(pa.array(hit + 1, pa.int64())),
             }
         )
-        rp = pa.table(
-            {
-                "src": reps["conv_id"],
-                "dst": reps["conv_id"],
-                "band_id": reps["band_id"],
-                "band_hash": reps["band_hash"],
-                "kind": pa.array(np.ones(len(reps), np.int8), pa.int8()),
-            }
+    else:
+        stitch = pa.table(
+            {"src": pa.array([], pa.uint64()), "dst": pa.array([], pa.uint64())}
         )
-        return pa.concat_tables([e, rp])
-
-    # Both the edge stream and the representative stream consume `level1`;
-    # without a materialization the lazy upstream (bands + shuffle) would
-    # execute twice.  At 10^12-turn scale this materialize becomes a
-    # parquet checkpoint (state.checkpoint) instead of object-store pinning.
-    mixed = bands.map_batches(level1, batch_format="pyarrow", batch_size=None).materialize()
-    edges1 = mixed.filter(expr="kind == 0").select_columns(["src", "dst"])
-    reps = mixed.filter(expr="kind == 1").select_columns(["band_id", "band_hash", "src"])
-    # level 2: link representatives across salts (small: <= n_salts rows per
-    # distinct (band_id, band_hash))
-    reps = reps.map_batches(
-        lambda t: t.rename_columns(["band_id", "band_hash", "conv_id"]),
-        batch_format="pyarrow",
-    )
-    reps = reps.repartition(num_blocks=max(8, num_partitions // 8), keys=["band_id", "band_hash"])
-
-    def level2(t: pa.Table) -> pa.Table:
-        edges, _ = _link_consecutive(t, ["band_id", "band_hash"])
-        return edges
-
-    edges2 = reps.map_batches(level2, batch_format="pyarrow", batch_size=None)
-    return edges1.union(edges2)
+    return edges.union(rd.from_arrow(stitch))

@@ -54,6 +54,11 @@ class MinHasher:
         """(G, n_perms) uint64 signature matrix for concatenated shingle
         segments (seg_starts: int64 start index per segment, strictly
         increasing, all segments non-empty)."""
+        from ..cdc._native import minhash_sigs_native
+
+        native = minhash_sigs_native(shingles, seg_starts, self.keys)
+        if native is not None:
+            return native
         G = len(seg_starts)
         sig = np.empty((G, self.n_perms), dtype=np.uint64)
         for b0 in range(0, self.n_perms, _PERM_BLOCK):
@@ -62,6 +67,46 @@ class MinHasher:
             red = np.minimum.reduceat(y, seg_starts, axis=1)  # (B, G)
             sig[:, b0 : b0 + _PERM_BLOCK] = red.T
         return sig
+
+    def _shingles_all_segments(
+        self, hashes: np.ndarray, starts: np.ndarray, ends: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-segment k-gram shingles, vectorized across segments.
+
+        One global k-gram pass over the concatenated hash array covers every
+        segment with >= k elements (positions whose window crosses a segment
+        boundary are simply never gathered); segments shorter than k fall
+        back to :func:`shingle_hashes` (rare: conversations with < k
+        chunks).  Output is bit-identical to the per-segment loop."""
+        k = self.k
+        m_seg = ends - starts
+        G = len(starts)
+        N = len(hashes)
+        L = max(N - k + 1, 0)
+        if L:
+            g = mix64(hashes[:L].copy())
+            for j in range(1, k):
+                g = mix64(g ^ hashes[j : L + j])
+        else:
+            g = np.empty(0, np.uint64)
+        big = m_seg >= k
+        cnt_big = np.where(big, m_seg - k + 1, 0)
+        out_cnt = np.where(big, cnt_big, 1)
+        seg_starts = np.concatenate([[0], np.cumsum(out_cnt)[:-1]]).astype(np.int64)
+        out = np.empty(int(out_cnt.sum()), dtype=np.uint64)
+        if big.any():
+            tot = int(cnt_big.sum())
+            base = np.repeat(starts[big], cnt_big[big])
+            off0 = np.concatenate([[0], np.cumsum(cnt_big[big])[:-1]])
+            within = np.arange(tot, dtype=np.int64) - np.repeat(off0, cnt_big[big])
+            gathered = g[base + within]
+            opos = np.repeat(seg_starts[big], cnt_big[big]) + within
+            out[opos] = gathered
+        for gi in np.flatnonzero(~big):
+            out[seg_starts[gi]] = shingle_hashes(
+                hashes[starts[gi] : ends[gi]], k
+            )[0]
+        return out, seg_starts
 
     def __call__(self, t: pa.Table) -> pa.Table:
         # group by conv within the batch (batches contain whole conversations:
@@ -87,15 +132,7 @@ class MinHasher:
         starts = np.concatenate([[0], bounds + 1]).astype(np.int64)
         ends = np.concatenate([starts[1:], [n]]).astype(np.int64)
 
-        sh_segments = []
-        seg_starts = np.empty(len(starts), dtype=np.int64)
-        acc = 0
-        for gi, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
-            sh = shingle_hashes(hashes[s:e], self.k)
-            seg_starts[gi] = acc
-            acc += len(sh)
-            sh_segments.append(sh)
-        shingles = np.concatenate(sh_segments) if sh_segments else np.empty(0, np.uint64)
+        shingles, seg_starts = self._shingles_all_segments(hashes, starts, ends)
         sig = self.signatures_for_segments(shingles, seg_starts)
         return pa.table(
             {
@@ -107,13 +144,37 @@ class MinHasher:
         )
 
 
+_HASHER_CACHE: dict[tuple, MinHasher] = {}
+
+
+def _cached_hasher(n_perms: int, k: int, seed: int) -> MinHasher:
+    key = (n_perms, k, seed)
+    h = _HASHER_CACHE.get(key)
+    if h is None:
+        h = _HASHER_CACHE[key] = MinHasher(n_perms, k, seed)
+    return h
+
+
 def minhash(chunks_ds, n_perms: int = N_PERMS, k: int = SHINGLE_K, seed: int = 7,
-            concurrency=(2, 8)):
-    """chunks Dataset -> signatures Dataset on an actor pool."""
-    return chunks_ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"n_perms": n_perms, "k": k, "seed": seed},
-        batch_format="pyarrow",
-        batch_size=None,
-        concurrency=concurrency,
-    )
+            concurrency=None):
+    """chunks Dataset -> signatures Dataset.
+
+    Stateless tasks with a module-level per-worker hasher cache (the
+    ``rechunk`` reuse pattern): MinHash state is a 1 KiB key vector, so an
+    actor pool would only add spawn latency.  Pass ``concurrency=(lo, hi)``
+    to force the actor-pool form for genuinely heavy per-worker state
+    (e.g. a learned model re-ranking stage).
+    """
+    if concurrency is not None:
+        return chunks_ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs={"n_perms": n_perms, "k": k, "seed": seed},
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=concurrency,
+        )
+
+    def apply(t: pa.Table) -> pa.Table:
+        return _cached_hasher(n_perms, k, seed)(t)
+
+    return chunks_ds.map_batches(apply, batch_format="pyarrow", batch_size=None)
