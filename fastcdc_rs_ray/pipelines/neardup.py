@@ -348,6 +348,67 @@ def verify_edges(edges_ds, sig_ds, threshold: float | None,
     return verify_edges_shuffle(ded, sig_ds, threshold, num_partitions)
 
 
+def signatures_checkpointed(
+    transcripts_ds,
+    root: str,
+    cfg: ChunkerConfig | None = None,
+    num_partitions: int = 16,
+    group_size: int = 4,
+    **kw,
+):
+    """The expensive half of the flagship pipeline (assemble -> chunk ->
+    minhash), executed through the per-partition checkpoint runner: each
+    conv_id hash bucket's signatures land in their own parquet directory
+    with a manifest row {partition_id, rows, bytes, wall_s}; a re-run after
+    a crash recomputes only the missing buckets (north rule: "resumable
+    from checkpoint with per-partition lineage + metrics")."""
+    from ..state.checkpoint import run_stage_checkpointed
+
+    def stage(ds):
+        return signatures_pipeline(ds, cfg=cfg, num_partitions=num_partitions, **kw)
+
+    return run_stage_checkpointed(
+        transcripts_ds,
+        "signatures",
+        root,
+        key="conv_id",
+        fn=stage,
+        num_partitions=num_partitions,
+        group_size=group_size,
+    )
+
+
+def neardup_clusters_from_signatures(
+    sigs,
+    n_bands: int = N_BANDS,
+    num_partitions: int = 64,
+    verify_threshold: float | None = 0.5,
+    cc: str = "driver",
+):
+    """Resume-friendly tail of the flagship pipeline: clusters from a
+    (possibly checkpoint-restored) signatures Dataset."""
+
+    def fix_sig_type(t: pa.Table) -> pa.Table:
+        # parquet round-trips fixed_size_list as plain list; restore it
+        mh = t["minhash"].combine_chunks() if isinstance(t["minhash"], pa.ChunkedArray) else t["minhash"]
+        if pa.types.is_fixed_size_list(mh.type):
+            return t
+        n = len(t)
+        widths = np.diff(mh.offsets.to_numpy())
+        w = int(widths[0]) if n else 0
+        fixed = pa.FixedSizeListArray.from_arrays(mh.flatten(), w)
+        return t.set_column(t.column_names.index("minhash"), "minhash", fixed)
+
+    sigs = sigs.map_batches(fix_sig_type, batch_format="pyarrow").materialize()
+    edges = candidate_edges(sigs, n_bands=n_bands,
+                            num_partitions=num_partitions).materialize()
+    edges = verify_edges(edges, sigs, verify_threshold,
+                         num_partitions=max(8, num_partitions // 2))
+    if cc == "driver":
+        return connected_components_driver(edges, sigs)
+    return connected_components_distributed(edges, sigs, num_partitions=num_partitions)
+
+
 def neardup_clusters(
     transcripts_ds,
     cfg: ChunkerConfig | None = None,

@@ -224,6 +224,41 @@ def q_chunks(sf_dir: str):
     return chunk(conv, DEFAULT_CONFIG)
 
 
+def _chunks_with(sf_dir: str, cfg):
+    conv = assemble(transcripts_from_documents(sf_dir), num_partitions=16)
+    return chunk(conv, cfg)
+
+
+def q_chunks_v2016(sf_dir: str):
+    """v2016 kernel variant (one byte per gear roll; same cut points as
+    v2020, different hash values — reference src/v2016/mod.rs)."""
+    from ..cdc import ChunkerConfig
+
+    return _chunks_with(sf_dir, ChunkerConfig(64, 256, 1024, algo="v2016"))
+
+
+def q_chunks_ronomon(sf_dir: str):
+    """ronomon 31-bit variant (matched byte included in the chunk)."""
+    from ..cdc import ChunkerConfig
+
+    return _chunks_with(sf_dir, ChunkerConfig(64, 256, 1024, algo="ronomon"))
+
+
+def q_chunks_seeded(sf_dir: str):
+    """Seeded gear tables (chunking-inference hardening,
+    reference src/v2020/mod.rs:36-44,543-576)."""
+    from ..cdc import ChunkerConfig
+
+    return _chunks_with(sf_dir, ChunkerConfig(64, 256, 1024, seed=666))
+
+
+def q_chunks_nc3(sf_dir: str):
+    """Normalization level 3 (tightest size concentration)."""
+    from ..cdc import ChunkerConfig
+
+    return _chunks_with(sf_dir, ChunkerConfig(64, 256, 1024, norm_level=3))
+
+
 def q_minhash_signatures(sf_dir: str):
     sigs = signatures_pipeline(
         transcripts_from_documents(sf_dir), num_partitions=16
@@ -296,6 +331,10 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "embed_neardup": q_embed_neardup,
     "chunks": q_chunks,
+    "chunks_v2016": q_chunks_v2016,
+    "chunks_ronomon": q_chunks_ronomon,
+    "chunks_seeded": q_chunks_seeded,
+    "chunks_nc3": q_chunks_nc3,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,
     "neardup_clusters": q_neardup_clusters,
