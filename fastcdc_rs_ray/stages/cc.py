@@ -113,11 +113,15 @@ def connected_components_distributed(
     )
 
     def _fingerprint(ds) -> int:
-        s = 0
+        """Order-insensitive xor of per-row (v, label) hashes, vectorized."""
+        from ..util import hash_str_array_u64, mix64
+
+        s = np.uint64(0)
         for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
-            for v, l in zip(b["v"].to_pylist(), b["label"].to_pylist()):
-                s ^= hash((v, l))
-        return s
+            hv = hash_str_array_u64(b["v"].combine_chunks())
+            hl = hash_str_array_u64(b["label"].combine_chunks())
+            s ^= np.bitwise_xor.reduce(mix64(hv ^ hl)) if len(hv) else np.uint64(0)
+        return int(s)
 
     prev_fp = _fingerprint(labels)
     for _ in range(max_rounds):
