@@ -33,6 +33,10 @@ BENCH_QUERIES = [
     "ann_topk",
     "simhash",
     "token_count",
+    "quality",
+    "lang_id",
+    "doc_fingerprint",
+    "ann_topk_ivf",
 ]
 
 

@@ -96,8 +96,9 @@ def _precompute_v2020(buf: np.ndarray, cfg: ChunkerConfig, gear, gear_ls):
         np.copyto(odds, buf[sigma + 1 : sigma + 1 + 2 * npairs : 2])
         C = _buf("C", npairs, np.uint64)
         D = _buf("D", npairs, np.uint64)
-        np.take(gear_ls, evens, out=C)
-        np.take(gear, odds, out=D)
+        # fancy indexing: np.take(..., out=) hits a ~50x slower numpy path
+        C[:] = gear_ls[evens]
+        D[:] = gear[odds]
         # W (persistent per parity): scan of S = C + D
         W = _buf(f"W{sigma}", npairs, np.uint64)
         np.add(C, D, out=W)
@@ -217,7 +218,7 @@ def _precompute_v2016(buf: np.ndarray, cfg: ChunkerConfig, gear):
     u = np.uint64
     n = len(buf)
     V = _buf("V16", n, np.uint64)
-    np.take(gear, buf, out=V)
+    V[:] = gear[buf]  # np.take(out=) is ~50x slower
     SH = _buf("SH16", n, np.uint64)
     for s in (1, 2, 4, 8, 16, 32):
         m = n - s
