@@ -174,27 +174,47 @@ def _scaling_child(corpus_dir: str, num_cpus: int) -> dict:
     raise RuntimeError(f"scaling child failed: {out.stderr[-2000:]}")
 
 
-def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+def _prepare_corpus(n_convs: int, path: str) -> str:
     from fastcdc_rs_ray.sources.synth_fast import ensure_corpus
 
-    # 64 slices: map-stage parallelism is bounded by input blocks under
+    # slices >= 64: map-stage parallelism is bounded by input blocks under
     # pre_partitioned assembly, so blocks must exceed the largest CPU level
-    corpus = ensure_corpus(SCALE_CORPUS, n_convs=SCALE_CONVS,
-                           slices=max(64, SCALE_CONVS // 16_000))
-    for f in os.listdir(corpus):  # equalize page-cache state for both children
+    corpus = ensure_corpus(path, n_convs=n_convs,
+                           slices=max(64, n_convs // 16_000))
+    for f in os.listdir(corpus):  # equalize page-cache state across children
         with open(os.path.join(corpus, f), "rb") as fh:
             while fh.read(1 << 24):
                 pass
-    # two reps per level, keep the faster (the machine is shared; min is
-    # the honest estimate of what the configuration can do)
+    return corpus
+
+
+def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+    """Two-cluster-size evidence, both regimes:
+
+    - strong: identical input at lo and hi cpus.  On one node this measures
+      the job's serial floor (driver verification/CC, Ray launch+scheduling)
+      against a fixed input — the regime a 100 TB deployment never runs in.
+    - weak: input scaled with cpus (fixed data per cpu) — the actual
+      N-node -> 4N-node regime of the north rule (cluster grows because the
+      corpus grew).  Efficiency = per-cpu throughput ratio.
+
+    Two reps per level, keep the faster (shared machine; min is the honest
+    estimate of what the configuration can do).
+    """
+    corpus = _prepare_corpus(SCALE_CONVS, SCALE_CORPUS)
     a = min((_scaling_child(corpus, lo) for _ in range(2)), key=lambda d: d["value"])
     b = min((_scaling_child(corpus, hi) for _ in range(2)), key=lambda d: d["value"])
     ta, tb = a["value"], b["value"]
-    # throughput ratio / cpu ratio; 1.0 = perfect linear scaling
-    eff = (ta / tb) / (hi / lo)
+    eff_strong = (ta / tb) / (hi / lo)
+
+    small = _prepare_corpus(SCALE_CONVS * lo // hi, SCALE_CORPUS + "_small")
+    w = min((_scaling_child(small, lo) for _ in range(2)), key=lambda d: d["value"])
+    tp_lo_per_cpu = w["turns_per_sec"] / lo
+    tp_hi_per_cpu = b["turns_per_sec"] / hi
+    eff_weak = tp_hi_per_cpu / tp_lo_per_cpu
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": round(eff_strong, 3),
         "unit": "ratio",
         "lo_cpus": lo,
         "hi_cpus": hi,
@@ -203,6 +223,12 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
         "lo_turns_per_sec": a["turns_per_sec"],
         "hi_turns_per_sec": b["turns_per_sec"],
         "input_turns": a["input_turns"],
+        "weak_efficiency": round(eff_weak, 3),
+        "weak_lo_sec": w["value"],
+        "weak_lo_turns": w["input_turns"],
+        "weak_note": "fixed data per cpu (N->4N nodes with the corpus "
+        "growing 4x): per-cpu throughput at lo on a lo/hi-sized corpus vs "
+        "at hi on the full corpus",
         "corpus": corpus,
         "n_convs": SCALE_CONVS,
         "physical_cpus": os.cpu_count(),
