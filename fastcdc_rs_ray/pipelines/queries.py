@@ -319,6 +319,24 @@ def q_ann_topk_ivf(sf_dir: str):
     return ann_topk_ivf(ds, qids, qmat, k=ANN_K, n_cells=16, n_probe=8)
 
 
+def q_sessionize(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.sessions import sessionize
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return sessionize(ds, num_partitions=8)
+
+
+def q_top_users(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.sessions import top_users
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    return top_users(ds, k=10)
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -342,6 +360,8 @@ QUERIES = {
     "doc_fingerprint": q_fingerprint,
     "simhash": q_simhash,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "sessionize": q_sessionize,
+    "top_users": q_top_users,
 }
 
 
@@ -353,7 +373,11 @@ _TOKENS_SQL = (
     f"len(regexp_extract_all(text, '{TOKEN_RE}'))"
 )
 
+from ..stages.sessions import SESSIONIZE_SQL, TOP_USERS_SQL
+
 ORACLE_SQL = {
+    "sessionize": SESSIONIZE_SQL,
+    "top_users": TOP_USERS_SQL,
     "transcripts": f"SELECT * FROM ({DOCUMENTS_TRANSCRIPT_SQL})",
     "turn_equality": f"{_TRANSCRIPT_CTE} SELECT conv_id, turn_idx, text FROM transcripts",
     "conv_stats": f"""{_TRANSCRIPT_CTE}

@@ -1,0 +1,148 @@
+"""Event-stream operators: gap-based sessionization + top-k.
+
+The reference has no event-time semantics (SURVEY.md §2.9) — these are the
+windowed/ordered operators a training-data pipeline needs around it, built
+on the same partitioning discipline as the flagship: one keyed repartition
+co-locates each user's events, then everything is a vectorized per-block
+pass (sort, lag, cumulative sum).  Both are SQL-expressible and
+oracle-checked by the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def sessionize(events_ds, gap_us: int = SESSION_GAP_US, num_partitions: int = 16):
+    """events -> (user_id, session_id, n_events, start_ts, end_ts).
+
+    session_id is the 0-based ordinal of the session within its user
+    (a new session starts when the gap to the previous event exceeds
+    ``gap_us``) — the classic LAG + cumulative-sum window, vectorized.
+    """
+    ds = events_ds.repartition(num_blocks=num_partitions, keys=["user_id"])
+
+    def per_block(t: pa.Table) -> pa.Table:
+        n = len(t)
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "session_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "start_ts": pa.array([], pa.timestamp("us")),
+                "end_ts": pa.array([], pa.timestamp("us")),
+            }
+        )
+        if n == 0:
+            return empty
+        order = pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending")]
+        )
+        t = t.take(order)
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap = np.concatenate([[0], ts[1:] - ts[:-1]])
+        new_session = new_user | (gap > gap_us)
+        # session ordinal within user: cumsum of new_session, rebased per user
+        sess_cum = np.cumsum(new_session)
+        user_base = np.maximum.accumulate(np.where(new_user, sess_cum, 0))
+        session_id = sess_cum - user_base  # 0-based within user
+        starts = np.flatnonzero(new_session)
+        ends = np.concatenate([starts[1:], [n]])
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "session_id": pa.array(session_id[starts], pa.int64()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "start_ts": pa.array(ts[starts].view("datetime64[us]")),
+                "end_ts": pa.array(ts[ends - 1].view("datetime64[us]")),
+            }
+        )
+
+    return ds.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+SESSIONIZE_SQL = f"""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS start_ts,
+       MAX(ts) AS end_ts
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def top_users(events_ds, k: int = 10):
+    """Top-k users by event count with total value (groupby + sort + limit).
+
+    Partial per-block counting keeps the exchange at one row per
+    (block, user); the final merge handles a driver-sized user universe
+    (top-k of a larger key space would keep per-block top-k' candidates)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        uid, val = uid[order], val[order]
+        starts = np.concatenate([[0], np.flatnonzero(uid[1:] != uid[:-1]) + 1])
+        counts = np.diff(np.concatenate([starts, [len(uid)]]))
+        sums = np.add.reduceat(val, starts) if len(uid) else np.empty(0)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+                "total_value": pa.array(sums, pa.float64()),
+            }
+        )
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow")
+    # final combine is tiny (distinct users x blocks rows)
+    rows = [b for b in partials.iter_batches(batch_format="pyarrow")]
+    t = pa.concat_tables(
+        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b]) for b in rows]
+    )
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    cnt = t["n_events"].to_numpy(zero_copy_only=False)
+    val = t["total_value"].to_numpy(zero_copy_only=False)
+    order = np.argsort(uid, kind="stable")
+    uid, cnt, val = uid[order], cnt[order], val[order]
+    starts = np.concatenate([[0], np.flatnonzero(uid[1:] != uid[:-1]) + 1])
+    counts = np.add.reduceat(cnt, starts)
+    sums = np.add.reduceat(val, starts)
+    users = uid[starts]
+    top = np.lexsort((users, -counts))[:k]
+    return pa.table(
+        {
+            "user_id": pa.array(users[top], pa.int64()),
+            "n_events": pa.array(counts[top], pa.int64()),
+            "total_value": pa.array(np.round(sums[top], 6), pa.float64()),
+        }
+    )
+
+
+TOP_USERS_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 10
+"""

@@ -232,3 +232,27 @@ def test_ivf_recall_reasonable(ray_session):
         b = set(approx[approx.query_id == qi].neighbor_id)
         inter += len(a & b) / len(a)
     assert inter / 4 >= 0.8  # n_probe=3/8 on well-separated clusters
+
+
+def test_sessionize_gap_semantics(ray_session):
+    import ray.data as rd
+    from fastcdc_rs_ray.stages.sessions import sessionize
+
+    us = 1_000_000
+    rows = []
+    # user 1: 3 events, gap of 31 min splits after the second
+    for i, t in enumerate([0, 10 * 60 * us, 41 * 60 * us]):
+        rows.append({"user_id": 1, "ts": np.datetime64(t, "us")})
+    # user 2: single event
+    rows.append({"user_id": 2, "ts": np.datetime64(5, "us")})
+    t = pa.table(
+        {
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+        }
+    )
+    out = sessionize(rd.from_arrow(t).repartition(2), num_partitions=2).to_pandas()
+    u1 = out[out.user_id == 1].sort_values("session_id")
+    assert u1.session_id.tolist() == [0, 1]
+    assert u1.n_events.tolist() == [2, 1]
+    assert out[out.user_id == 2].n_events.tolist() == [1]
