@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "lsh_candidates",
     "neardup_clusters",
     "dedup_exact",
+    "substring_dups",
     "ngram_dups",
     "ann_topk",
     "simhash",

@@ -163,6 +163,22 @@ def q_ngram_dups(sf_dir: str):
     )
 
 
+def q_substring_dups(sf_dir: str):
+    """Suffix-array-substring tier (north rule): per-doc positions covered
+    by a substring of length >= L occurring more than once in the corpus."""
+    from ..stages.substring import substring_dups
+
+    return substring_dups(_documents(sf_dir, ["doc_id", "text"]), num_partitions=8)
+
+
+def q_substring_spans(sf_dir: str):
+    """Maximal duplicated substrings >= L (the spans a Lee-et-al-style
+    training-data dedup pass would cut), 1-based starts."""
+    from ..stages.substring import substring_spans
+
+    return substring_spans(_documents(sf_dir, ["doc_id", "text"]), num_partitions=8)
+
+
 def q_ann_topk(sf_dir: str):
     ds = _embeddings(sf_dir)
     qids, qmat = load_queries_from_dataset(ds, ANN_N_QUERIES)
@@ -346,6 +362,8 @@ QUERIES = {
     "token_count": q_token_count,
     "quality": q_quality,
     "ngram_dups": q_ngram_dups,
+    "substring_dups": q_substring_dups,
+    "substring_spans": q_substring_spans,
     "ann_topk": q_ann_topk,
     "embed_neardup": q_embed_neardup,
     "chunks": q_chunks,
@@ -417,6 +435,43 @@ SELECT src, dst
 FROM inter JOIN sizes sa ON inter.src = sa.doc_id
            JOIN sizes sb ON inter.dst = sb.doc_id
 WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {NGRAM_TAU}""",
+    "substring_dups": """
+WITH g AS (
+  SELECT doc_id, i AS pos, substring(text, i, 30) AS gram
+  FROM documents, unnest(generate_series(1, length(text) - 29)) AS u(i)
+  WHERE length(text) >= 30
+),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+s AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+cov AS (
+  SELECT doc_id, count(DISTINCT p) AS dup_chars
+  FROM s, unnest(generate_series(pos, pos + 29)) AS v(p)
+  GROUP BY doc_id
+),
+cnt AS (SELECT doc_id, count(*) AS dup_grams FROM s GROUP BY doc_id)
+SELECT cnt.doc_id, cnt.dup_grams, cov.dup_chars
+FROM cnt JOIN cov USING (doc_id)""",
+    "substring_spans": """
+WITH g AS (
+  SELECT doc_id, i AS pos FROM (
+    SELECT doc_id, i, substring(text, i, 30) AS gram
+    FROM documents, unnest(generate_series(1, length(text) - 29)) AS u(i)
+    WHERE length(text) >= 30) q
+  QUALIFY count(*) OVER (PARTITION BY gram) > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 30
+              THEN 0 ELSE 1 END AS brk
+  FROM g
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 30 - min(pos) AS span_len
+FROM grp GROUP BY doc_id, island""",
     "ann_topk": f"""
 SELECT query_id, neighbor_id, rank FROM (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,

@@ -25,6 +25,31 @@ def mix64_scalar(x: int) -> int:
     return z ^ (z >> 31)
 
 
+def string_buffers(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (offsets int64, data uint8) views of a pyarrow
+    string/binary array's buffers, normalized for a possible array offset
+    (sliced arrays).  ``offsets`` indexes into ``data`` (the full values
+    buffer); row k's bytes are ``data[offsets[k]:offsets[k+1]]``."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    odt = (
+        np.int64
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+        else np.int32
+    )
+    offsets = np.frombuffer(arr.buffers()[1], dtype=odt, count=len(arr) + 1 + arr.offset)
+    offsets = offsets[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    databuf = arr.buffers()[2]
+    data = (
+        np.frombuffer(databuf, dtype=np.uint8)
+        if databuf is not None and len(databuf) > 0
+        else np.empty(0, dtype=np.uint8)
+    )
+    return offsets, data
+
+
 def hash_str_array_u64(arr) -> np.ndarray:
     """Deterministic vectorized 64-bit hash of a pyarrow string/binary array.
 
