@@ -335,6 +335,18 @@ def q_ann_topk_ivf(sf_dir: str):
     return ann_topk_ivf(ds, qids, qmat, k=ANN_K, n_cells=16, n_probe=8)
 
 
+def q_winnow_candidates(sf_dir: str):
+    """Winnowing-fingerprint candidate pairs (Schleimer et al. 2003): the
+    substring tier's scale prefilter; guaranteed superset of doc pairs
+    sharing any substring >= L (pytest-verified; selection is not
+    SQL-expressible, so rows-only for the driver)."""
+    from ..stages.winnow import winnow_candidates
+
+    return winnow_candidates(
+        _documents(sf_dir, ["doc_id", "text"]), num_partitions=8, max_group=10**9
+    )
+
+
 def q_sessionize(sf_dir: str):
     import ray.data as rd
 
@@ -378,6 +390,7 @@ QUERIES = {
     "doc_fingerprint": q_fingerprint,
     "simhash": q_simhash,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "winnow_candidates": q_winnow_candidates,
     "sessionize": q_sessionize,
     "top_users": q_top_users,
 }

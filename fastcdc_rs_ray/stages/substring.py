@@ -97,14 +97,21 @@ def gram_rows(t: pa.Table, L: int = L_DEFAULT) -> pa.Table:
     return _gram_rows_slice(t, L)
 
 
-def _gram_rows_slice(t: pa.Table, L: int) -> pa.Table:
+def window_hashes(t: pa.Table, L: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Mixed 64-bit hash of every L-char window of every row of ``t``.
+
+    Returns ``(keys u64, row_idx i64, pos i64)`` — one entry per valid
+    window, grouped by row in position order.  Shared core of the exact
+    substring tier and the winnowing prefilter.
+    """
     offsets, data = string_buffers(t["text"])
     lo, hi = int(offsets[0]), int(offsets[-1])
     lens = np.diff(offsets)
     cnt = np.maximum(lens - L + 1, 0)
     total = int(cnt.sum())
+    e = np.empty(0, dtype=np.int64)
     if total == 0:
-        return _empty_gram_table()
+        return e.astype(np.uint64), e, e
     window = data[lo:hi].astype(np.uint64)
     n = hi - lo
     # B^0..B^(n-1) and B^-0..B^-(n-1) via wrapping cumulative products
@@ -121,16 +128,23 @@ def _gram_rows_slice(t: pa.Table, L: int) -> pa.Table:
     np.add.accumulate(window * pw, out=pre[1:])
     # valid gram starts: for each row, [row_start, row_end - L]
     row_rel = (offsets[:-1] - lo).astype(np.int64)
-    doc_sel = np.repeat(np.arange(len(lens), dtype=np.int64), cnt)
+    row_idx = np.repeat(np.arange(len(lens), dtype=np.int64), cnt)
     shift = np.repeat(np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
     pos = (np.arange(total, dtype=np.int64) - shift).astype(np.int64)
     g = np.repeat(row_rel, cnt) + pos
     h = (pre[g + L] - pre[g]) * ipw[g]
+    return mix64(h), row_idx, pos
+
+
+def _gram_rows_slice(t: pa.Table, L: int) -> pa.Table:
+    keys, row_idx, pos = window_hashes(t, L)
+    if len(keys) == 0:
+        return _empty_gram_table()
     docs = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
     return pa.table(
         {
-            "gram_key": pa.array(mix64(h), pa.uint64()),
-            "doc_id": pa.array(docs[doc_sel], pa.int64()),
+            "gram_key": pa.array(keys, pa.uint64()),
+            "doc_id": pa.array(docs[row_idx], pa.int64()),
             "pos": pa.array(pos.astype(np.int32), pa.int32()),
         }
     )
