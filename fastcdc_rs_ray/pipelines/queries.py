@@ -179,6 +179,16 @@ def q_substring_spans(sf_dir: str):
     return substring_spans(_documents(sf_dir, ["doc_id", "text"]), num_partitions=8)
 
 
+def q_substring_dups_winnowed(sf_dir: str):
+    """The substring tier's scale path (winnow prefilter + exact per-pair
+    extension) — same relation, same oracle as substring_dups."""
+    from ..stages.winnow import substring_dups_winnowed
+
+    return substring_dups_winnowed(
+        _documents(sf_dir, ["doc_id", "text"]), num_partitions=8
+    )
+
+
 def q_ann_topk(sf_dir: str):
     ds = _embeddings(sf_dir)
     qids, qmat = load_queries_from_dataset(ds, ANN_N_QUERIES)
@@ -376,6 +386,7 @@ QUERIES = {
     "ngram_dups": q_ngram_dups,
     "substring_dups": q_substring_dups,
     "substring_spans": q_substring_spans,
+    "substring_dups_winnowed": q_substring_dups_winnowed,
     "ann_topk": q_ann_topk,
     "embed_neardup": q_embed_neardup,
     "chunks": q_chunks,
@@ -506,3 +517,7 @@ FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.9""",
 }
+
+# the prefiltered scale path computes the identical relation, so it shares
+# the exact tier's oracle verbatim
+ORACLE_SQL["substring_dups_winnowed"] = ORACLE_SQL["substring_dups"]

@@ -103,6 +103,74 @@ def test_short_docs_skipped_and_deterministic():
     assert a.equals(b)
 
 
+def brute_dup_positions(ids, texts, L):
+    from collections import Counter
+
+    c = Counter()
+    for s in texts:
+        for i in range(len(s) - L + 1):
+            c[s[i : i + L]] += 1
+    dup = set()
+    for d, s in zip(ids, texts):
+        for i in range(len(s) - L + 1):
+            if c[s[i : i + L]] > 1:
+                dup.add((d, i))
+    return dup
+
+
+@pytest.mark.parametrize(
+    "texts",
+    [
+        # periodic: overlapping within-doc copies (period < L)
+        ["ab" * 40, "completely unrelated filler text here ok"],
+        # run of one char: maximal overlap
+        ["x" * 45 + "tail distinct part 123", "y" * 60],
+        # two non-overlapping within-doc copies + a cross-doc copy
+        [
+            "SAME-PREFIX-0123456789abcdefghij" + "-" * 9 + "SAME-PREFIX-0123456789abcdefghij",
+            "zz" + "SAME-PREFIX-0123456789abcdefghij" + "qq",
+            "no dup content in this one at all, promise",
+        ],
+    ],
+)
+def test_prefiltered_rows_equal_exact_on_tricky_corpora(ray_session, texts):
+    """Winnow + per-pair extension reproduces the exact duplicated-position
+    relation even with overlapping/periodic within-doc repeats."""
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.winnow import prefiltered_dup_rows
+
+    L = 30
+    ids = list(range(1, len(texts) + 1))
+    want = brute_dup_positions(ids, texts, L)
+    ds = rd.from_arrow(_docs_table(ids, texts))
+    rows = prefiltered_dup_rows(ds, L, K_DEFAULT, num_partitions=4).take_all()
+    got = set((r["doc_id"], r["pos"]) for r in rows)
+    assert got == want
+
+
+def test_winnowed_equals_exact_tier_small_sf(ray_session):
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.substring import substring_dups
+    from fastcdc_rs_ray.stages.winnow import substring_dups_winnowed
+
+    sf = f"{SF_DIR}/documents.parquet"
+    a = sorted(
+        (r["doc_id"], r["dup_grams"], r["dup_chars"])
+        for r in substring_dups(
+            rd.read_parquet(sf, columns=["doc_id", "text"]), 30, 8
+        ).take_all()
+    )
+    b = sorted(
+        (r["doc_id"], r["dup_grams"], r["dup_chars"])
+        for r in substring_dups_winnowed(
+            rd.read_parquet(sf, columns=["doc_id", "text"]), 30
+        ).take_all()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_pipeline_candidates_match_local(ray_session):
     import pyarrow.parquet as pq
     import ray.data as rd
