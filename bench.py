@@ -77,11 +77,25 @@ def run_bench(sf_dir: str, num_cpus: int, queries=None) -> dict:
     doc_meta = pq.read_table(f"{sf_dir}/documents.parquet", columns=["n_chars"])
     corpus_bytes = int(pc.sum(doc_meta["n_chars"]).as_py())
 
+    def settle(deadline_s: float = 10.0) -> None:
+        """Wait for the previous query's shuffle aggregator actors to
+        release their CPU reservations (teardown is asynchronous; a query
+        launched into a half-torn-down pool queues behind phantom
+        reservations — measured 3x inflation on the next shuffle-heavy
+        query).  Each query is timed from a quiet cluster, matching how
+        the driver runs them in fresh sessions."""
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < deadline_s:
+            if ray.available_resources().get("CPU", 0) >= num_cpus - 0.01:
+                return
+            time.sleep(0.2)
+
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in queries or BENCH_QUERIES:
         if name not in QUERIES:
             sys.exit(f"bench.py: unknown query {name!r}; known: {sorted(QUERIES)}")
+        settle()
         t0 = time.perf_counter()
         rows[name] = _consume(QUERIES[name](sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)

@@ -189,6 +189,16 @@ def q_substring_dups_winnowed(sf_dir: str):
     )
 
 
+def q_substring_spans_winnowed(sf_dir: str):
+    """Maximal duplicate spans via the prefiltered scale path (same oracle
+    as substring_spans)."""
+    from ..stages.winnow import substring_spans_winnowed
+
+    return substring_spans_winnowed(
+        _documents(sf_dir, ["doc_id", "text"]), num_partitions=8
+    )
+
+
 def q_ann_topk(sf_dir: str):
     ds = _embeddings(sf_dir)
     qids, qmat = load_queries_from_dataset(ds, ANN_N_QUERIES)
@@ -387,6 +397,7 @@ QUERIES = {
     "substring_dups": q_substring_dups,
     "substring_spans": q_substring_spans,
     "substring_dups_winnowed": q_substring_dups_winnowed,
+    "substring_spans_winnowed": q_substring_spans_winnowed,
     "ann_topk": q_ann_topk,
     "embed_neardup": q_embed_neardup,
     "chunks": q_chunks,
@@ -521,3 +532,4 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 # the prefiltered scale path computes the identical relation, so it shares
 # the exact tier's oracle verbatim
 ORACLE_SQL["substring_dups_winnowed"] = ORACLE_SQL["substring_dups"]
+ORACLE_SQL["substring_spans_winnowed"] = ORACLE_SQL["substring_spans"]

@@ -182,7 +182,15 @@ def winnow_candidates(docs_ds, L: int = L_DEFAULT, k: int = K_DEFAULT,
     ``self_pairs=True`` additionally emits (d, d) for documents whose
     fingerprint set contains the same fp_key at >= 2 distinct positions —
     the within-document duplication signal the prefiltered substring path
-    needs."""
+    needs.
+
+    Groups genuinely need all-pairs emission (unlike the LSH band stage,
+    where consecutive linking preserves connectivity): sharing a k-gram
+    fingerprint does not imply sharing the L-gram that selected it, so a
+    star over the group could miss a pair whose only shared content is an
+    L-gram private to that pair.  ``max_group`` therefore caps the
+    quadratic blowup on boilerplate fingerprints instead; positions in a
+    capped group are still marked whenever any surviving pair shares them."""
     fps = winnow_fingerprints(docs_ds, L, k)
     fps = fps.repartition(num_blocks=num_partitions, keys=["fp_key"])
     pairs = fps.map_batches(
@@ -433,4 +441,16 @@ def substring_dups_winnowed(docs_ds, L: int = L_DEFAULT, k: int = K_DEFAULT,
     rows = prefiltered_dup_rows(docs_ds, L, k, num_partitions)
     return rows.map_batches(
         lambda t: _doc_counts_block(t, L), batch_format="pyarrow", batch_size=None
+    )
+
+
+def substring_spans_winnowed(docs_ds, L: int = L_DEFAULT, k: int = K_DEFAULT,
+                             num_partitions: int = 8):
+    """Maximal duplicate spans via the prefiltered scale path — same output
+    (and same SQL oracle) as stages.substring.substring_spans."""
+    from .substring import _doc_spans_block
+
+    rows = prefiltered_dup_rows(docs_ds, L, k, num_partitions)
+    return rows.map_batches(
+        lambda t: _doc_spans_block(t, L), batch_format="pyarrow", batch_size=None
     )

@@ -171,6 +171,28 @@ def test_winnowed_equals_exact_tier_small_sf(ray_session):
     assert a == b and len(a) > 0
 
 
+def test_spans_winnowed_equals_exact_tier(ray_session):
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.substring import substring_spans
+    from fastcdc_rs_ray.stages.winnow import substring_spans_winnowed
+
+    sf = f"{SF_DIR}/documents.parquet"
+    a = sorted(
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in substring_spans(
+            rd.read_parquet(sf, columns=["doc_id", "text"]), 30, 8
+        ).take_all()
+    )
+    b = sorted(
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in substring_spans_winnowed(
+            rd.read_parquet(sf, columns=["doc_id", "text"]), 30
+        ).take_all()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_pipeline_candidates_match_local(ray_session):
     import pyarrow.parquet as pq
     import ray.data as rd
