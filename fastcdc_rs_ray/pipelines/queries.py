@@ -189,6 +189,14 @@ def q_substring_dups_winnowed(sf_dir: str):
     )
 
 
+def q_substring_clean(sf_dir: str):
+    """The dedup action: documents with duplicate-covered spans cut
+    (unchanged docs pass through)."""
+    from ..stages.substring import substring_clean
+
+    return substring_clean(_documents(sf_dir, ["doc_id", "text"]), num_partitions=8)
+
+
 def q_substring_spans_winnowed(sf_dir: str):
     """Maximal duplicate spans via the prefiltered scale path (same oracle
     as substring_spans)."""
@@ -398,6 +406,7 @@ QUERIES = {
     "substring_spans": q_substring_spans,
     "substring_dups_winnowed": q_substring_dups_winnowed,
     "substring_spans_winnowed": q_substring_spans_winnowed,
+    "substring_clean": q_substring_clean,
     "ann_topk": q_ann_topk,
     "embed_neardup": q_embed_neardup,
     "chunks": q_chunks,
@@ -533,3 +542,43 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 # the exact tier's oracle verbatim
 ORACLE_SQL["substring_dups_winnowed"] = ORACLE_SQL["substring_dups"]
 ORACLE_SQL["substring_spans_winnowed"] = ORACLE_SQL["substring_spans"]
+
+ORACLE_SQL["substring_clean"] = """
+WITH g AS (
+  SELECT doc_id, i AS pos FROM (
+    SELECT doc_id, i, substring(text, i, 30) AS gram
+    FROM documents, unnest(generate_series(1, length(text) - 29)) AS u(i)
+    WHERE length(text) >= 30) q
+  QUALIFY count(*) OVER (PARTITION BY gram) > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 30
+              THEN 0 ELSE 1 END AS brk
+  FROM g
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 30 AS e
+  FROM (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl)
+  GROUP BY doc_id, island
+),
+segs AS (
+  SELECT doc_id,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS seg_start,
+         s AS seg_end
+  FROM spans
+  UNION ALL
+  SELECT doc_id, max(e), NULL FROM spans GROUP BY doc_id
+),
+cleaned AS (
+  SELECT d.doc_id,
+         string_agg(substring(d.text, seg_start,
+                              coalesce(seg_end, length(d.text) + 1) - seg_start),
+                    '' ORDER BY seg_start) AS clean_text
+  FROM segs JOIN documents d USING (doc_id)
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id, coalesce(c.clean_text, d.text) AS clean_text
+FROM documents d LEFT JOIN cleaned c USING (doc_id)"""

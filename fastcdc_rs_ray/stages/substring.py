@@ -244,15 +244,21 @@ def _doc_counts_block(t: pa.Table, L: int) -> pa.Table:
     )
 
 
-def duplicated_gram_rows(docs_ds, L: int = L_DEFAULT, num_partitions: int = 16):
-    """documents Dataset -> doc-colocated (doc_id, pos) rows of duplicated
-    L-grams.  Two keyed exchanges: gram_key (wide), then doc_id (narrow —
-    proportional to duplicated content only)."""
+def _dup_rows_raw(docs_ds, L: int, num_partitions: int):
+    """documents -> un-colocated (doc_id, pos) rows of duplicated L-grams
+    (one gram_key exchange)."""
     rows = docs_ds.map_batches(
         lambda t: gram_rows(t, L), batch_format="pyarrow", batch_size=1024
     )
     rows = rows.repartition(num_blocks=num_partitions, keys=["gram_key"])
-    dup = rows.map_batches(_mark_dup_block, batch_format="pyarrow", batch_size=None)
+    return rows.map_batches(_mark_dup_block, batch_format="pyarrow", batch_size=None)
+
+
+def duplicated_gram_rows(docs_ds, L: int = L_DEFAULT, num_partitions: int = 16):
+    """documents Dataset -> doc-colocated (doc_id, pos) rows of duplicated
+    L-grams.  Two keyed exchanges: gram_key (wide), then doc_id (narrow —
+    proportional to duplicated content only)."""
+    dup = _dup_rows_raw(docs_ds, L, num_partitions)
     return dup.repartition(num_blocks=max(4, num_partitions // 2), keys=["doc_id"])
 
 
@@ -272,3 +278,99 @@ def substring_dups(docs_ds, L: int = L_DEFAULT, num_partitions: int = 16):
     return dup.map_batches(
         lambda t: _doc_counts_block(t, L), batch_format="pyarrow", batch_size=None
     )
+
+
+def substring_clean(docs_ds, L: int = L_DEFAULT, num_partitions: int = 16):
+    """The dedup *action*: every document with its duplicate-covered
+    positions removed (Lee et al. 2022's training-data cut), unchanged docs
+    passed through.  (doc_id, clean_text).
+
+    One tag-union keyed exchange co-locates each document's text row with
+    its duplicated-gram rows; the per-block cut walks merged spans per doc.
+    """
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("pos", pa.int32()),
+            ("text", pa.string()),
+            ("tag", pa.int8()),
+        ]
+    )
+
+    def dup_side(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pos": t["pos"],
+                "text": pa.nulls(n, pa.string()),
+                "tag": pa.array(np.ones(n, np.int8), pa.int8()),
+            }
+        ).cast(schema)
+
+    def text_side(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pos": pa.nulls(n, pa.int32()),
+                "text": t["text"],
+                "tag": pa.array(np.zeros(n, np.int8), pa.int8()),
+            }
+        ).cast(schema)
+
+    dup = _dup_rows_raw(docs_ds, L, num_partitions)
+    mixed = dup.map_batches(dup_side, batch_format="pyarrow").union(
+        docs_ds.map_batches(text_side, batch_format="pyarrow")
+    )
+    mixed = mixed.repartition(num_blocks=max(4, num_partitions // 2), keys=["doc_id"])
+
+    def cut_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "clean_text": pa.array([], pa.string())}
+        )
+        if len(t) == 0:
+            return empty
+        tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        did = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tsel = np.flatnonzero(tag == 0)
+        if len(tsel) == 0:
+            return empty
+        dsel = np.flatnonzero(tag == 1)
+        texts = t["text"].combine_chunks()
+        # spans per doc from its sorted dup positions
+        spans: dict[int, list[tuple[int, int]]] = {}
+        if len(dsel):
+            dd = did[dsel]
+            pp = t["pos"].combine_chunks().to_numpy(zero_copy_only=False)[dsel]
+            order = np.lexsort((pp, dd))
+            dd, pp = dd[order], pp[order]
+            brk = np.concatenate(
+                ([True], (dd[1:] != dd[:-1]) | ((pp[1:] - pp[:-1]) > L))
+            )
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:], len(dd)) - 1
+            for s, e in zip(starts, ends):
+                spans.setdefault(int(dd[s]), []).append((int(pp[s]), int(pp[e]) + L))
+        out_ids, out_txt = [], []
+        for j in tsel:
+            d = int(did[j])
+            s = texts[j].as_py()
+            sp = spans.get(d)
+            if sp:
+                parts, prev = [], 0
+                for a, b in sp:
+                    parts.append(s[prev:a])
+                    prev = b
+                parts.append(s[prev:])
+                s = "".join(parts)
+            out_ids.append(d)
+            out_txt.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "clean_text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    return mixed.map_batches(cut_block, batch_format="pyarrow", batch_size=None)

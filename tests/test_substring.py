@@ -178,6 +178,36 @@ def test_byte_budget_slicing_is_transparent(monkeypatch):
     assert ss.gram_rows(t, 7).equals(whole)
 
 
+def brute_clean(ids, texts, L, dup):
+    covered = defaultdict(set)
+    for d, i in dup:
+        covered[d].update(range(i, i + L))
+    out = {}
+    for d, s in zip(ids, texts):
+        cov = covered.get(d, set())
+        out[d] = "".join(ch for p, ch in enumerate(s) if p not in cov)
+    return out
+
+
+def test_substring_clean_matches_brute_force(ray_session):
+    """The cut action: covered positions removed, unchanged docs passed
+    through; exercised end-to-end through the tag-union exchange."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.substring import substring_clean
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    ids, texts = t["doc_id"].to_pylist(), t["text"].to_pylist()
+    L = L_DEFAULT
+    want = brute_clean(ids, texts, L, brute_dup_positions(ids, texts, L))
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    got = {r["doc_id"]: r["clean_text"] for r in substring_clean(ds, L, 8).take_all()}
+    assert got == want
+    assert any(got[d] != s for d, s in zip(ids, texts))  # something was cut
+    assert any(got[d] == s for d, s in zip(ids, texts))  # something passed through
+
+
 def test_pipeline_matches_brute_force(ray_session):
     """End-to-end Dataset path (both keyed exchanges) == brute force on the
     real sf0.001 table, batch boundaries exercised via small batch_size."""
