@@ -384,6 +384,15 @@ def q_sessionize(sf_dir: str):
     return sessionize(ds, num_partitions=8)
 
 
+def q_event_windows(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.sessions import event_windows
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return event_windows(ds, num_partitions=8)
+
+
 def q_top_users(sf_dir: str):
     import ray.data as rd
 
@@ -424,6 +433,7 @@ QUERIES = {
     "winnow_candidates": q_winnow_candidates,
     "sessionize": q_sessionize,
     "top_users": q_top_users,
+    "event_windows": q_event_windows,
 }
 
 
@@ -435,11 +445,12 @@ _TOKENS_SQL = (
     f"len(regexp_extract_all(text, '{TOKEN_RE}'))"
 )
 
-from ..stages.sessions import SESSIONIZE_SQL, TOP_USERS_SQL
+from ..stages.sessions import EVENT_WINDOWS_SQL, SESSIONIZE_SQL, TOP_USERS_SQL
 
 ORACLE_SQL = {
     "sessionize": SESSIONIZE_SQL,
     "top_users": TOP_USERS_SQL,
+    "event_windows": EVENT_WINDOWS_SQL,
     "transcripts": f"SELECT * FROM ({DOCUMENTS_TRANSCRIPT_SQL})",
     "turn_equality": f"{_TRANSCRIPT_CTE} SELECT conv_id, turn_idx, text FROM transcripts",
     "conv_stats": f"""{_TRANSCRIPT_CTE}

@@ -146,3 +146,79 @@ GROUP BY user_id
 ORDER BY n_events DESC, user_id
 LIMIT 10
 """
+
+WINDOW_US = 3_600 * 1_000_000  # 1 h tumbling windows
+
+
+def event_windows(events_ds, width_us: int = WINDOW_US, num_partitions: int = 8):
+    """Tumbling-window aggregate: (user_id, w_start[us epoch], n_events,
+    total_value) — the partial-combine + keyed-exchange shape: per-block
+    pre-aggregation shrinks the exchange to one row per (block, user,
+    window); the final combine is distributed (the (user, window) key
+    space grows with the corpus, so no driver merge)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"].combine_chunks(), pa.int64()).to_numpy()
+        val = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = (ts // width_us) * width_us
+        order = np.lexsort((w, uid))
+        uid, w, val = uid[order], w[order], val[order]
+        brk = np.concatenate(([True], (uid[1:] != uid[:-1]) | (w[1:] != w[:-1])))
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.append(starts, len(uid)))
+        sums = np.add.reduceat(val, starts) if len(uid) else np.empty(0)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "w_start": pa.array(w[starts], pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+                "total_value": pa.array(sums, pa.float64()),
+            }
+        )
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow")
+    partials = partials.repartition(
+        num_blocks=num_partitions, keys=["user_id", "w_start"]
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "w_start": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "total_value": pa.array([], pa.float64()),
+                }
+            )
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = t["w_start"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = t["n_events"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = t["total_value"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, uid))
+        uid, w, cnt, val = uid[order], w[order], cnt[order], val[order]
+        brk = np.concatenate(([True], (uid[1:] != uid[:-1]) | (w[1:] != w[:-1])))
+        starts = np.flatnonzero(brk)
+        counts = np.add.reduceat(cnt, starts)
+        sums = np.add.reduceat(val, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "w_start": pa.array(w[starts], pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+                "total_value": pa.array(np.round(sums, 6), pa.float64()),
+            }
+        )
+
+    return partials.map_batches(combine, batch_format="pyarrow", batch_size=None)
+
+
+EVENT_WINDOWS_SQL = f"""
+SELECT user_id,
+       (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS w_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM events
+GROUP BY user_id, (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US}
+"""
