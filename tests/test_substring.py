@@ -164,6 +164,66 @@ def test_adjacent_and_overlapping_spans_merge():
     assert got_spans == brute_spans(want, L)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+
+if HAVE_HYP:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="abcd", min_size=0, max_size=60),
+            min_size=1,
+            max_size=12,
+        ),
+        st.integers(min_value=2, max_value=8),
+    )
+    def test_property_dup_marking_matches_brute_force(texts, L):
+        """Random low-alphabet corpora (dense accidental repeats) — the
+        rolling-hash mark must equal the brute-force gram-count relation,
+        including heavy within- and cross-doc overlap."""
+        ids = list(range(len(texts)))
+        t = _docs_table(ids, texts)
+        dup = _mark_dup_block(gram_rows(t, L))
+        got = set(zip(dup["doc_id"].to_pylist(), dup["pos"].to_pylist()))
+        assert got == brute_dup_positions(ids, texts, L)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="abc", min_size=0, max_size=50),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_property_spans_and_counts_consistent(texts):
+        L = 5
+        ids = list(range(len(texts)))
+        dup = _mark_dup_block(gram_rows(_docs_table(ids, texts), L))
+        want = brute_dup_positions(ids, texts, L)
+        cnts = _doc_counts_block(dup, L)
+        got_cnt = {
+            r["doc_id"]: (r["dup_grams"], r["dup_chars"]) for r in cnts.to_pylist()
+        }
+        assert got_cnt == brute_counts(want, L)
+        spans = _doc_spans_block(dup, L)
+        got_spans = set(
+            (r["doc_id"], r["span_start"], r["span_len"]) for r in spans.to_pylist()
+        )
+        assert got_spans == (brute_spans(want, L) if want else set())
+        # spans and counts agree: per-doc sum of span lengths == dup_chars
+        agg: dict[int, int] = {}
+        for d, _s, ln in got_spans:
+            agg[d] = agg.get(d, 0) + ln
+        assert agg == {d: c for d, (_g, c) in got_cnt.items()}
+
+
 def test_byte_budget_slicing_is_transparent(monkeypatch):
     import fastcdc_rs_ray.stages.substring as ss
 
