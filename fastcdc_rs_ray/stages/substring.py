@@ -46,7 +46,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..util import U64, mix64, string_buffers
+from ..util import mix64, string_buffers
 
 L_DEFAULT = 30
 # odd multiplier => invertible mod 2^64 (golden-ratio constant)
@@ -69,6 +69,67 @@ def _empty_gram_table() -> pa.Table:
 _BYTE_BUDGET = 8 << 20
 
 
+def segment_wide_rows(t: pa.Table, window: int,
+                      budget: int = _BYTE_BUDGET) -> tuple[pa.Table, np.ndarray]:
+    """Split rows whose text exceeds ``budget`` bytes into overlapping
+    segments so any window-of-``window``-bytes kernel stays memory-bounded.
+
+    Segment i covers window starts [i*budget, (i+1)*budget) of the original
+    row, so its text is the byte range [i*budget, (i+1)*budget + window - 1)
+    — exact for any kernel whose output at start p depends only on bytes
+    [p, p + window).  Returns the (possibly expanded) table plus a per-row
+    int64 position offset to add to kernel outputs.  The common case (no
+    oversized rows) returns ``t`` unchanged with zero offsets.
+    """
+    offsets, _ = string_buffers(t["text"])
+    lens = np.diff(offsets)
+    wide = np.flatnonzero(lens > budget + window - 1)
+    if len(wide) == 0:
+        return t, np.zeros(len(t), dtype=np.int64)
+    texts = t["text"].combine_chunks()
+    docs = t["doc_id"].combine_chunks()
+    out_ids, out_txt, out_off = [], [], []
+    wide_set = set(wide.tolist())
+    for i in range(len(t)):
+        if i not in wide_set:
+            out_ids.append(docs[i].as_py())
+            out_txt.append(texts[i].as_py())
+            out_off.append(0)
+            continue
+        s = texts[i].as_py()
+        d = docs[i].as_py()
+        for a in range(0, max(len(s) - window + 1, 1), budget):
+            out_ids.append(d)
+            out_txt.append(s[a : a + budget + window - 1])
+            out_off.append(a)
+    t2 = pa.table(
+        {
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "text": pa.array(out_txt, pa.string()),
+        }
+    )
+    return t2, np.asarray(out_off, dtype=np.int64)
+
+
+def iter_row_slices(t: pa.Table, budget: int = _BYTE_BUDGET):
+    """Yield row-contiguous table slices each holding <= ``budget`` text
+    bytes (single rows may exceed it; pre-split those with
+    :func:`segment_wide_rows`)."""
+    offsets, _ = string_buffers(t["text"])
+    total_bytes = int(offsets[-1] - offsets[0])
+    if total_bytes <= budget or len(t) <= 1:
+        yield t, 0
+        return
+    bounds = np.searchsorted(
+        offsets - offsets[0], np.arange(budget, total_bytes, budget)
+    )
+    prev = 0
+    for b in list(np.unique(np.clip(bounds, 1, len(t)))) + [len(t)]:
+        if b > prev:
+            yield t.slice(prev, b - prev), prev
+            prev = b
+
+
 def gram_rows(t: pa.Table, L: int = L_DEFAULT) -> pa.Table:
     """One row per L-char window: (gram_key, doc_id, pos[0-based]).
 
@@ -76,25 +137,34 @@ def gram_rows(t: pa.Table, L: int = L_DEFAULT) -> pa.Table:
     prefix sums ``pre[i] = sum_{j<i} data[j] * B^j (mod 2^64)``, the
     window hash is ``(pre[i+L] - pre[i]) * B^-i`` — exact uint64
     wraparound, no per-row Python loop, independent of neighboring rows.
-    Batches wider than the byte budget are processed in row slices so the
-    uint64 temporaries stay bounded regardless of document size.
+    Oversized rows are segmented (overlap L-1) and batches processed in
+    row slices, so the uint64 temporaries stay bounded regardless of
+    document size.
     """
     if len(t) == 0:
         return _empty_gram_table()
-    offsets, _ = string_buffers(t["text"])
-    total_bytes = int(offsets[-1] - offsets[0])
-    if total_bytes > _BYTE_BUDGET and len(t) > 1:
-        bounds = np.searchsorted(
-            offsets - offsets[0],
-            np.arange(_BYTE_BUDGET, total_bytes, _BYTE_BUDGET),
+    t, seg_off = segment_wide_rows(t, L, _BYTE_BUDGET)
+    parts = []
+    for sl, row0 in iter_row_slices(t, _BYTE_BUDGET):
+        keys, row_idx, pos = window_hashes(sl, L)
+        if len(keys) == 0:
+            continue
+        docs = sl["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        off = seg_off[row0 : row0 + len(sl)]
+        if off.any():  # re-base positions of segmented rows
+            pos = pos + off[row_idx]
+        parts.append(
+            pa.table(
+                {
+                    "gram_key": pa.array(keys, pa.uint64()),
+                    "doc_id": pa.array(docs[row_idx], pa.int64()),
+                    "pos": pa.array(pos.astype(np.int32), pa.int32()),
+                }
+            )
         )
-        parts, prev = [], 0
-        for b in list(np.unique(np.clip(bounds, 1, len(t)))) + [len(t)]:
-            if b > prev:
-                parts.append(_gram_rows_slice(t.slice(prev, b - prev), L))
-                prev = b
-        return pa.concat_tables(parts)
-    return _gram_rows_slice(t, L)
+    if not parts:
+        return _empty_gram_table()
+    return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
 
 def window_hashes(t: pa.Table, L: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -136,18 +206,6 @@ def window_hashes(t: pa.Table, L: int) -> tuple[np.ndarray, np.ndarray, np.ndarr
     return mix64(h), row_idx, pos
 
 
-def _gram_rows_slice(t: pa.Table, L: int) -> pa.Table:
-    keys, row_idx, pos = window_hashes(t, L)
-    if len(keys) == 0:
-        return _empty_gram_table()
-    docs = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
-    return pa.table(
-        {
-            "gram_key": pa.array(keys, pa.uint64()),
-            "doc_id": pa.array(docs[row_idx], pa.int64()),
-            "pos": pa.array(pos.astype(np.int32), pa.int32()),
-        }
-    )
 
 
 def _mark_dup_block(t: pa.Table) -> pa.Table:
@@ -352,25 +410,38 @@ def substring_clean(docs_ds, L: int = L_DEFAULT, num_partitions: int = 16):
             ends = np.append(starts[1:], len(dd)) - 1
             for s, e in zip(starts, ends):
                 spans.setdefault(int(dd[s]), []).append((int(pp[s]), int(pp[e]) + L))
+        # untouched docs (the common case) pass through zero-copy; only
+        # docs that actually have spans go through Python string surgery
+        has_span = np.array([int(did[j]) in spans for j in tsel])
+        clean_sel = tsel[~has_span]
+        out = [
+            pa.table(
+                {
+                    "doc_id": pa.array(did[clean_sel], pa.int64()),
+                    "clean_text": texts.take(pa.array(clean_sel, pa.int64())),
+                }
+            )
+        ]
         out_ids, out_txt = [], []
-        for j in tsel:
+        for j in tsel[has_span]:
             d = int(did[j])
             s = texts[j].as_py()
-            sp = spans.get(d)
-            if sp:
-                parts, prev = [], 0
-                for a, b in sp:
-                    parts.append(s[prev:a])
-                    prev = b
-                parts.append(s[prev:])
-                s = "".join(parts)
+            parts, prev = [], 0
+            for a, b in spans[d]:
+                parts.append(s[prev:a])
+                prev = b
+            parts.append(s[prev:])
             out_ids.append(d)
-            out_txt.append(s)
-        return pa.table(
-            {
-                "doc_id": pa.array(out_ids, pa.int64()),
-                "clean_text": pa.array(out_txt, pa.string()),
-            }
-        )
+            out_txt.append("".join(parts))
+        if out_ids:
+            out.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(out_ids, pa.int64()),
+                        "clean_text": pa.array(out_txt, pa.string()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
 
     return mixed.map_batches(cut_block, batch_format="pyarrow", batch_size=None)

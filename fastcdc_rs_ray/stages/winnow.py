@@ -35,12 +35,13 @@ from .substring import _BYTE_BUDGET, L_DEFAULT, window_hashes
 K_DEFAULT = 20
 
 
-def _fingerprints_slice(t: pa.Table, k: int, w: int) -> pa.Table:
+def _fingerprints_slice(t: pa.Table, k: int, w: int,
+                        pos_off: np.ndarray | None = None) -> pa.Table:
     """One row per selected fingerprint: (fp_key, doc_id, pos[0-based]).
 
     Rows shorter than k + w - 1 chars have no full window and are skipped
     (they cannot contain a match of length >= t, so the guarantee is
-    unaffected)."""
+    unaffected).  ``pos_off`` re-bases positions of segmented wide rows."""
     empty = pa.table(
         {
             "fp_key": pa.array([], pa.uint64()),
@@ -73,39 +74,48 @@ def _fingerprints_slice(t: pa.Table, k: int, w: int) -> pa.Table:
     # unique (row, position) already, so dedupe on sel alone
     sel_u = np.unique(sel)
     docs = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    out_pos = pos[sel_u]
+    if pos_off is not None:
+        out_pos = out_pos + pos_off[row_idx[sel_u]]
     return pa.table(
         {
             "fp_key": pa.array(keys[sel_u], pa.uint64()),
             "doc_id": pa.array(docs[row_idx[sel_u]], pa.int64()),
-            "pos": pa.array(pos[sel_u].astype(np.int32), pa.int32()),
+            "pos": pa.array(out_pos.astype(np.int32), pa.int32()),
         }
     )
 
 
 def fingerprint_rows(t: pa.Table, L: int = L_DEFAULT, k: int = K_DEFAULT) -> pa.Table:
     """Batch kernel: winnowing fingerprints at guarantee length L (window
-    w = L - k + 1), byte-budget sliced like the exact gram kernel."""
+    w = L - k + 1), byte-budget sliced and wide-row segmented like the
+    exact gram kernel (a fingerprint window spans L bytes, so segment
+    overlap L-1 is exact; the same gram selected from windows in two
+    adjacent segments can emit a duplicate row, deduped below — harmless
+    for the guarantee either way)."""
     w = L - k + 1
     if w < 1:
         raise ValueError(f"k={k} must be <= L={L}")
-    from ..util import string_buffers
-
     if len(t) == 0:
         return _fingerprints_slice(t, k, w)
-    offsets, _ = string_buffers(t["text"])
-    total_bytes = int(offsets[-1] - offsets[0])
-    if total_bytes > _BYTE_BUDGET and len(t) > 1:
-        bounds = np.searchsorted(
-            offsets - offsets[0],
-            np.arange(_BYTE_BUDGET, total_bytes, _BYTE_BUDGET),
+    from . import substring as _ss
+
+    t2, seg_off = _ss.segment_wide_rows(t, L, _ss._BYTE_BUDGET)
+    segmented = seg_off.any()
+    parts = []
+    for sl, row0 in _ss.iter_row_slices(t2, _ss._BYTE_BUDGET):
+        off = seg_off[row0 : row0 + len(sl)]
+        parts.append(_fingerprints_slice(sl, k, w, off if off.any() else None))
+    out = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+    if segmented and out.num_rows:
+        d = out["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        p = out["pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d))
+        keep = np.concatenate(
+            ([True], (d[order][1:] != d[order][:-1]) | (p[order][1:] != p[order][:-1]))
         )
-        parts, prev = [], 0
-        for b in list(np.unique(np.clip(bounds, 1, len(t)))) + [len(t)]:
-            if b > prev:
-                parts.append(_fingerprints_slice(t.slice(prev, b - prev), k, w))
-                prev = b
-        return pa.concat_tables(parts)
-    return _fingerprints_slice(t, k, w)
+        out = out.take(pa.array(order[keep], pa.int64()))
+    return out
 
 
 def _emit_group_pairs(t: pa.Table, max_group: int, self_pairs: bool = False) -> pa.Table:
@@ -121,13 +131,17 @@ def _emit_group_pairs(t: pa.Table, max_group: int, self_pairs: bool = False) -> 
     order = np.lexsort((ids, fp))
     fp, ids = fp[order], ids[order]
     starts = np.concatenate([[0], np.flatnonzero(fp[1:] != fp[:-1]) + 1, [n]])
+    # singleton groups dominate on real corpora: skip them vectorized, the
+    # Python loop below only ever sees groups with >= 2 rows
+    glens = np.diff(starts)
+    multi = np.flatnonzero(glens >= 2)
     src_l, dst_l = [], []
-    for s, e in zip(starts[:-1], starts[1:]):
+    for s, e in zip(starts[multi], starts[multi + 1]):
         gids = ids[s:e]
         gi = np.unique(gids)
         g = len(gi)
         if g > max_group:
-            continue
+            continue  # documented recall knob for boilerplate fingerprints
         if self_pairs and len(gids) > g:
             # a doc holding this fp at >=2 positions (rows are distinct
             # (doc, pos) by construction)
@@ -377,7 +391,7 @@ def _unique_doc_pos_block(t: pa.Table) -> pa.Table:
 
 
 def prefiltered_dup_rows(docs_ds, L: int = L_DEFAULT, k: int = K_DEFAULT,
-                         num_partitions: int = 8, max_group: int = 1 << 62):
+                         num_partitions: int = 8, max_group: int = 4096):
     """The scale path of the exact substring tier: winnow candidates ->
     broadcast-filter endpoint texts -> tag-union attach -> per-pair exact
     gram intersection -> distinct doc-colocated (doc_id, pos) rows.
@@ -386,7 +400,11 @@ def prefiltered_dup_rows(docs_ds, L: int = L_DEFAULT, k: int = K_DEFAULT,
     (every position of a globally duplicated L-gram) while exchanging
     fingerprints (~2/(w+1) of grams) plus candidate-endpoint texts instead
     of every gram: the winnowing guarantee makes the candidate set a
-    superset, and the per-pair intersection restores exactness."""
+    superset, and the per-pair intersection restores exactness — exact up
+    to ``max_group``: a fingerprint shared by more documents than the cap
+    stops generating pairs (quadratic blowup guard; the exact tier handles
+    such boilerplate linearly and is the right path for corpora dominated
+    by it)."""
     import ray
     import ray.data as rd
 

@@ -238,6 +238,39 @@ def test_byte_budget_slicing_is_transparent(monkeypatch):
     assert ss.gram_rows(t, 7).equals(whole)
 
 
+def test_wide_row_segmentation_is_transparent(monkeypatch):
+    """A single document far larger than the byte budget is segmented with
+    window-1 overlap; gram and fingerprint output must equal the unsegmented
+    run (positions re-based, cross-segment duplicates deduped)."""
+    import fastcdc_rs_ray.stages.substring as ss
+    import fastcdc_rs_ray.stages.winnow as wn
+
+    rng = np.random.default_rng(5)
+    big = "".join(chr(c) for c in rng.integers(97, 123, size=3000))
+    big = big[:500] + big[100:160] + big[500:]  # plant a within-doc repeat
+    t = _docs_table([7, 8], [big, big[200:290]])
+    L = 30
+    whole_g = gram_rows(t, L)
+    whole_f = wn.fingerprint_rows(t, L, 20)
+    monkeypatch.setattr(ss, "_BYTE_BUDGET", 256)
+    seg_t, off = ss.segment_wide_rows(t, L, 256)
+    assert len(seg_t) > len(t) and off.max() > 0  # actually segmented
+    got_g = ss.gram_rows(t, L)
+    # order may differ across segment boundaries: compare as sets
+    def key(tb):
+        return sorted(
+            zip(
+                tb["gram_key"].to_pylist() if "gram_key" in tb.column_names else tb["fp_key"].to_pylist(),
+                tb["doc_id"].to_pylist(),
+                tb["pos"].to_pylist(),
+            )
+        )
+
+    assert key(got_g) == key(whole_g)
+    got_f = wn.fingerprint_rows(t, L, 20)
+    assert key(got_f) == key(whole_f)
+
+
 def brute_clean(ids, texts, L, dup):
     covered = defaultdict(set)
     for d, i in dup:
