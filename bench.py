@@ -268,6 +268,23 @@ def main() -> None:
         print(json.dumps(run_bench(SF_DIR, NUM_CPUS, names)))
         ray.shutdown()
         return
+    if "--stats" in sys.argv:
+        # per-stage Ray Data stats for one query: the tuning feedback loop
+        name = sys.argv[sys.argv.index("--stats") + 1]
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=NUM_CPUS,
+                     include_dashboard=False, logging_level="ERROR")
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from fastcdc_rs_ray.pipelines.queries import QUERIES
+
+        res = QUERIES[name](SF_DIR)
+        if hasattr(res, "materialize"):
+            res = res.materialize()
+            print(res.stats())
+        else:
+            print(f"{name}: driver-side result ({len(res)} rows); no Dataset stats")
+        ray.shutdown()
+        return
     print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))
     ray.shutdown()
 
