@@ -393,6 +393,27 @@ def q_event_windows(sf_dir: str):
     return event_windows(ds, num_partitions=8)
 
 
+def q_event_session_asof(sf_dir: str):
+    """As-of join: each event picks up the session_id of the latest
+    session starting at-or-before it (DuckDB native ASOF JOIN oracle)."""
+    import ray.data as rd
+
+    from ..stages.joins import asof_join
+    from ..stages.sessions import sessionize
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    sessions = sessionize(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]),
+        num_partitions=8,
+    ).materialize()
+    return asof_join(
+        events, sessions, key="user_id", left_ts="ts", right_ts="start_ts",
+        right_cols=["session_id"], num_partitions=8,
+    )
+
+
 def q_top_users(sf_dir: str):
     import ray.data as rd
 
@@ -434,6 +455,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "top_users": q_top_users,
     "event_windows": q_event_windows,
+    "event_session_asof": q_event_session_asof,
 }
 
 
@@ -451,6 +473,11 @@ ORACLE_SQL = {
     "sessionize": SESSIONIZE_SQL,
     "top_users": TOP_USERS_SQL,
     "event_windows": EVENT_WINDOWS_SQL,
+    "event_session_asof": f"""
+WITH sessions AS ({SESSIONIZE_SQL})
+SELECT e.event_id, e.user_id, e.ts, CAST(s.session_id AS BIGINT) AS session_id
+FROM events e ASOF JOIN sessions s
+  ON e.user_id = s.user_id AND e.ts >= s.start_ts""",
     "transcripts": f"SELECT * FROM ({DOCUMENTS_TRANSCRIPT_SQL})",
     "turn_equality": f"{_TRANSCRIPT_CTE} SELECT conv_id, turn_idx, text FROM transcripts",
     "conv_stats": f"""{_TRANSCRIPT_CTE}
