@@ -393,6 +393,34 @@ def q_event_windows(sf_dir: str):
     return event_windows(ds, num_partitions=8)
 
 
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style wide aggregation with per-block partial combine."""
+    import ray.data as rd
+
+    from ..stages.aggregate import pricing_summary
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        ],
+    )
+    return pricing_summary(ds, num_partitions=4)
+
+
+def q_quantity_bands(sf_dir: str):
+    """Broadcast range join (small side via ray.put) + partial counts."""
+    import ray.data as rd
+
+    from ..stages.aggregate import quantity_band_counts
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    )
+    return quantity_band_counts(ds)
+
+
 def q_event_session_asof(sf_dir: str):
     """As-of join: each event picks up the session_id of the latest
     session starting at-or-before it (DuckDB native ASOF JOIN oracle)."""
@@ -456,6 +484,8 @@ QUERIES = {
     "top_users": q_top_users,
     "event_windows": q_event_windows,
     "event_session_asof": q_event_session_asof,
+    "pricing_summary": q_pricing_summary,
+    "quantity_bands": q_quantity_bands,
 }
 
 
@@ -467,12 +497,15 @@ _TOKENS_SQL = (
     f"len(regexp_extract_all(text, '{TOKEN_RE}'))"
 )
 
+from ..stages.aggregate import PRICING_SUMMARY_SQL, QUANTITY_BANDS_SQL
 from ..stages.sessions import EVENT_WINDOWS_SQL, SESSIONIZE_SQL, TOP_USERS_SQL
 
 ORACLE_SQL = {
     "sessionize": SESSIONIZE_SQL,
     "top_users": TOP_USERS_SQL,
     "event_windows": EVENT_WINDOWS_SQL,
+    "pricing_summary": PRICING_SUMMARY_SQL,
+    "quantity_bands": QUANTITY_BANDS_SQL,
     "event_session_asof": f"""
 WITH sessions AS ({SESSIONIZE_SQL})
 SELECT e.event_id, e.user_id, e.ts, CAST(s.session_id AS BIGINT) AS session_id

@@ -1,0 +1,200 @@
+"""Wide aggregation patterns on the TPC-H-ish tables.
+
+Two canonical shapes the dedup tiers don't exercise:
+
+- ``pricing_summary`` — TPC-H-Q1-style multi-measure groupby on the
+  biggest table: per-block PARTIAL aggregation shrinks the exchange to
+  (groups x blocks) rows before a tiny final combine — the
+  combiner-before-shuffle discipline that keeps a 100 TB groupby from
+  being an all-to-all of raw rows.
+- ``quantity_band_counts`` — broadcast range join: the small side (static
+  value bands) ships once via ``ray.put`` and every task resolves bands
+  with a searchsorted against the broadcast copy — the broadcast-small-
+  side pattern that replaces a shuffle join whenever one side is tiny.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# static quantity bands for the range join (end-exclusive)
+QUANTITY_BANDS: list[tuple[float, float, str]] = [
+    (0.0, 10.0, "low"),
+    (10.0, 25.0, "mid"),
+    (25.0, 40.0, "high"),
+    (40.0, 1e18, "bulk"),
+]
+
+
+def pricing_summary(lineitem_ds, num_partitions: int = 4):
+    """Q1 shape: group by (l_returnflag, l_linestatus) with count + sum
+    measures — ALL measures in exact int64 sub-units (all inputs are
+    2-decimal, so cents / 1e-4 / 1e-6 units are exact integers), making
+    the result bit-identical regardless of block splits or summation
+    order (no float accumulation anywhere; doubles would drift in the 6th
+    decimal at ~1e9 sums).  Unit scheme: *_c = 1e-2, *_u4 = 1e-4,
+    *_u6 = 1e-6 dollars."""
+
+    def _units(t: pa.Table):
+        qty = t["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        tax = t["l_tax"].combine_chunks().to_numpy(zero_copy_only=False)
+        qty_c = np.round(qty * 100).astype(np.int64)
+        price_c = np.round(price * 100).astype(np.int64)
+        disc_c = np.round(disc * 100).astype(np.int64)
+        tax_c = np.round(tax * 100).astype(np.int64)
+        disc_price_u4 = price_c * (100 - disc_c)
+        charge_u6 = disc_price_u4 * (100 + tax_c)
+        return qty_c, price_c, disc_c, disc_price_u4, charge_u6
+
+    MEASURES = ("sum_qty_c", "sum_price_c", "sum_disc_c", "sum_disc_price_u4",
+                "sum_charge_u6")
+
+    def partial(t: pa.Table) -> pa.Table:
+        rf = t["l_returnflag"].combine_chunks()
+        ls = t["l_linestatus"].combine_chunks()
+        combo = pc.binary_join_element_wise(rf, ls, "|")
+        enc = combo.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = _units(t)
+        order = np.argsort(codes, kind="stable")
+        starts = np.concatenate(
+            [[0], np.flatnonzero(codes[order][1:] != codes[order][:-1]) + 1]
+        )
+        grp_codes = codes[order][starts]
+        n = np.diff(np.append(starts, len(codes)))
+        cols = {
+            "grp": enc.dictionary.take(pa.array(grp_codes, pa.int64())),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        }
+        for name, v in zip(MEASURES, vals):
+            cols[name] = pa.array(np.add.reduceat(v[order], starts), pa.int64())
+        return pa.table(cols)
+
+    partials = lineitem_ds.map_batches(partial, batch_format="pyarrow")
+    partials = partials.repartition(num_blocks=num_partitions, keys=["grp"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+             ("count_order", pa.int64())]
+            + [(m, pa.int64()) for m in MEASURES]
+        )
+        if len(t) == 0:
+            return schema.empty_table()
+        grp = t["grp"].combine_chunks()
+        enc = grp.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        starts = np.concatenate(
+            [[0], np.flatnonzero(codes[order][1:] != codes[order][:-1]) + 1]
+        )
+        labels = enc.dictionary.take(
+            pa.array(codes[order][starts], pa.int64())
+        ).to_pylist()
+        cols = {
+            "l_returnflag": pa.array([s.split("|")[0] for s in labels], pa.string()),
+            "l_linestatus": pa.array([s.split("|")[1] for s in labels], pa.string()),
+            "count_order": pa.array(
+                np.add.reduceat(
+                    t["n"].combine_chunks().to_numpy()[order], starts
+                ).astype(np.int64),
+                pa.int64(),
+            ),
+        }
+        for m in MEASURES:
+            cols[m] = pa.array(
+                np.add.reduceat(t[m].combine_chunks().to_numpy()[order], starts),
+                pa.int64(),
+            )
+        return pa.table(cols).cast(schema)
+
+    return partials.map_batches(combine, batch_format="pyarrow", batch_size=None)
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       COUNT(*) AS count_order,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+       CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_u4,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+           * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_u6
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def quantity_band_counts(lineitem_ds):
+    """Broadcast range join: resolve each lineitem's quantity band against
+    the (tiny) band table shipped once via ``ray.put``, then partial-count
+    per band with a driver-sized final merge."""
+    import ray
+
+    lo = np.array([b[0] for b in QUANTITY_BANDS])
+    labels = [b[2] for b in QUANTITY_BANDS]
+    ref = ray.put({"lo": lo, "labels": labels})
+
+    def per_block(t: pa.Table) -> pa.Table:
+        bands = ray.get(ref)
+        qty = t["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        price_c = np.round(price * 100).astype(np.int64)  # exact int cents
+        idx = np.searchsorted(bands["lo"], qty, side="right") - 1
+        nb = len(bands["labels"])
+        n = np.bincount(idx, minlength=nb).astype(np.int64)
+        s = np.zeros(nb, dtype=np.int64)
+        np.add.at(s, idx, price_c)
+        return pa.table(
+            {
+                "band": pa.array(bands["labels"], pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "sum_price_c": pa.array(s, pa.int64()),
+            }
+        )
+
+    partials = lineitem_ds.map_batches(per_block, batch_format="pyarrow")
+    # final merge: 4 bands x blocks rows — driver-sized by construction
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs)
+    band = t["band"].combine_chunks()
+    enc = band.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    g = len(enc.dictionary)
+    n = np.zeros(g, dtype=np.int64)
+    s = np.zeros(g, dtype=np.int64)
+    np.add.at(n, codes, t["n"].combine_chunks().to_numpy())
+    np.add.at(s, codes, t["sum_price_c"].combine_chunks().to_numpy())
+    keep = n > 0  # bands with no rows are absent from the SQL result
+    return pa.table(
+        {
+            "band": pa.array(np.asarray(enc.dictionary.to_pylist())[keep], pa.string()),
+            "n": pa.array(n[keep], pa.int64()),
+            "sum_price_c": pa.array(s[keep], pa.int64()),
+        }
+    )
+
+
+_BAND_VALUES = ", ".join(
+    f"({lo}, {hi}, '{label}')" for lo, hi, label in QUANTITY_BANDS
+)
+
+QUANTITY_BANDS_SQL = f"""
+WITH bands(lo, hi, band) AS (VALUES {_BAND_VALUES})
+SELECT b.band,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+FROM lineitem l JOIN bands b
+  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+GROUP BY b.band
+"""
