@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "lang_id",
     "doc_fingerprint",
     "ann_topk_ivf",
+    "pricing_summary",
+    "event_session_asof",
 ]
 
 
