@@ -375,6 +375,15 @@ def q_winnow_candidates(sf_dir: str):
     )
 
 
+def q_embed_neardup_lsh(sf_dir: str):
+    """Hyperplane-LSH cosine near-dup (the bucketed scale path of
+    embed_neardup; recall probabilistic so rows-only — pytest asserts
+    recall >= 0.9 on planted twins, precision exact by verification)."""
+    from ..stages.embed_lsh import embed_neardup_lsh
+
+    return embed_neardup_lsh(_embeddings(sf_dir), tau=0.9, num_partitions=8)
+
+
 def q_sessionize(sf_dir: str):
     import ray.data as rd
 
@@ -480,6 +489,7 @@ QUERIES = {
     "simhash": q_simhash,
     "ann_topk_ivf": q_ann_topk_ivf,
     "winnow_candidates": q_winnow_candidates,
+    "embed_neardup_lsh": q_embed_neardup_lsh,
     "sessionize": q_sessionize,
     "top_users": q_top_users,
     "event_windows": q_event_windows,
