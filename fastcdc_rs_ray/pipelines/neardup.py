@@ -383,7 +383,7 @@ def neardup_clusters_from_signatures(
     n_bands: int = N_BANDS,
     num_partitions: int = 64,
     verify_threshold: float | None = 0.5,
-    cc: str = "driver",
+    cc: str = "auto",
 ):
     """Resume-friendly tail of the flagship pipeline: clusters from a
     (possibly checkpoint-restored) signatures Dataset."""
@@ -404,6 +404,18 @@ def neardup_clusters_from_signatures(
                             num_partitions=num_partitions).materialize()
     edges = verify_edges(edges, sigs, verify_threshold,
                          num_partitions=max(8, num_partitions // 2))
+    return _run_cc(cc, edges, sigs, num_partitions)
+
+
+# driver union-find is O(edges) driver memory; beyond this the iterative
+# label-propagation rounds (O(log n) keyed exchanges) take over
+CC_DRIVER_EDGE_LIMIT = 50_000_000
+
+
+def _run_cc(cc: str, edges, sigs, num_partitions: int):
+    if cc == "auto":
+        edges = edges.materialize()
+        cc = "driver" if edges.count() <= CC_DRIVER_EDGE_LIMIT else "distributed"
     if cc == "driver":
         return connected_components_driver(edges, sigs)
     return connected_components_distributed(edges, sigs, num_partitions=num_partitions)
@@ -419,10 +431,15 @@ def neardup_clusters(
     seed: int = 7,
     num_partitions: int = 64,
     verify_threshold: float | None = 0.5,
-    cc: str = "driver",
+    cc: str = "auto",
     pre_partitioned: bool = False,
 ):
-    """transcripts Dataset -> clusters Dataset (conv_id, cluster_id)."""
+    """transcripts Dataset -> clusters Dataset (conv_id, cluster_id).
+
+    ``cc="auto"`` picks driver union-find while the verified edge set is
+    driver-sized (CC_DRIVER_EDGE_LIMIT) and the distributed label-
+    propagation rounds beyond — same self-selection discipline as
+    verify_edges' driver_limit."""
     sigs = signatures_pipeline(
         transcripts_ds, cfg, n_perms, shingle_k, seed, num_partitions,
         pre_partitioned=pre_partitioned,
@@ -433,6 +450,4 @@ def neardup_clusters(
     # threshold=None it is a pure dedupe+translate
     edges = verify_edges(edges, sigs, verify_threshold,
                          num_partitions=max(8, num_partitions // 2))
-    if cc == "driver":
-        return connected_components_driver(edges, sigs)
-    return connected_components_distributed(edges, sigs, num_partitions=num_partitions)
+    return _run_cc(cc, edges, sigs, num_partitions)
