@@ -112,7 +112,23 @@ def run_bench(sf_dir: str, num_cpus: int, queries=None) -> dict:
         "num_cpus": num_cpus,
         "corpus_bytes": corpus_bytes,
         "physical_cpus": os.cpu_count(),
+        # sandbox-host health at run time: seconds to allocate+first-touch
+        # 200 MB.  ~0.1 s on a quiet host; the host intermittently degrades
+        # page supply to ~5-10 MB/s (30 s+), inflating every allocation-
+        # heavy phase 3-10x — this field dates the measurement (BASELINE.md
+        # "Per-query suite" caveat).
+        "host_first_touch_200mb_s": _first_touch_probe(),
     }
+
+
+def _first_touch_probe() -> float:
+    import numpy as np
+
+    t0 = time.perf_counter()
+    buf = np.ones(200_000_000, dtype=np.uint8)
+    d = round(time.perf_counter() - t0, 3)
+    del buf
+    return d
 
 
 SCALE_CONVS = int(os.environ.get("GRAFT_SCALE_CONVS", "250000"))
