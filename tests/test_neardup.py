@@ -100,3 +100,21 @@ def test_distributed_cc_equals_driver(ray_session):
     da = dict(zip(a.conv_id, a.cluster_id))
     db = dict(zip(b.conv_id, b.cluster_id))
     assert da == db
+
+
+def test_cc_auto_selects_distributed_above_limit(ray_session, monkeypatch):
+    """cc='auto' switches to label propagation when the verified edge set
+    exceeds the driver limit; output identical either way."""
+    import ray.data as rd
+
+    import fastcdc_rs_ray.pipelines.neardup as nd
+
+    transcripts, _ = synth_transcripts(n_convs=60, seed=17, dup_frac=0.4)
+    ds = rd.from_arrow(transcripts).repartition(4)
+    a = neardup_clusters(ds, cfg=CFG, num_partitions=6, verify_threshold=0.4,
+                         cc="driver").to_pandas()
+    monkeypatch.setattr(nd, "CC_DRIVER_EDGE_LIMIT", 0)  # force distributed
+    ds2 = rd.from_arrow(transcripts).repartition(4)
+    b = neardup_clusters(ds2, cfg=CFG, num_partitions=6, verify_threshold=0.4,
+                         cc="auto").to_pandas()
+    assert dict(zip(a.conv_id, a.cluster_id)) == dict(zip(b.conv_id, b.cluster_id))
