@@ -193,6 +193,18 @@ def test_spans_winnowed_equals_exact_tier(ray_session):
     assert a == b and len(a) > 0
 
 
+def test_max_group_cap_drops_hot_groups_gracefully(ray_session):
+    """Capping is a recall knob, not a crash: max_group=1 yields no pairs."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    rows = winnow_candidates(ds, 30, K_DEFAULT, num_partitions=4,
+                             max_group=1).take_all()
+    assert rows == []
+
+
 def test_pipeline_candidates_match_local(ray_session):
     import pyarrow.parquet as pq
     import ray.data as rd
