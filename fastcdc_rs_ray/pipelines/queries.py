@@ -624,6 +624,29 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 ORACLE_SQL["substring_dups_winnowed"] = ORACLE_SQL["substring_dups"]
 ORACLE_SQL["substring_spans_winnowed"] = ORACLE_SQL["substring_spans"]
 
+# lang_id: argmax of per-language stopword token counts (the shared 1/n_words
+# factor in lang_id_batch cancels under argmax), ties broken by language code
+# ascending (Python iterates sorted(STOPWORDS) and np.argmax keeps the first
+# max), 'und' when no profile matches.  The VALUES rows are generated from the
+# same STOPWORDS dict the Ray kernel reads, so the lists cannot drift.
+_LANGS_VALUES_SQL = ",\n  ".join(
+    "('{}', [{}])".format(lang, ", ".join("'" + w + "'" for w in STOPWORDS[lang]))
+    for lang in sorted(STOPWORDS)
+)
+
+ORACLE_SQL["lang_id"] = f"""
+WITH langs(lang, words) AS (VALUES
+  {_LANGS_VALUES_SQL}),
+scored AS (
+  SELECT d.doc_id, l.lang,
+         len(list_filter(regexp_extract_all(d.text, '{TOKEN_RE}'),
+                         x -> list_contains(l.words, x))) AS c
+  FROM documents d CROSS JOIN langs l
+)
+SELECT doc_id, CASE WHEN c = 0 THEN 'und' ELSE lang END AS lang_pred
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, lang ASC) = 1"""
+
 ORACLE_SQL["substring_clean"] = """
 WITH g AS (
   SELECT doc_id, i AS pos FROM (
