@@ -451,6 +451,27 @@ def q_event_session_asof(sf_dir: str):
     )
 
 
+def q_order_revenue_topk(sf_dir: str):
+    """TPC-H-Q3-style three-table join: broadcast semi-join on customer,
+    tag-union keyed exchange for orders x lineitem, distributed top-k."""
+    import ray.data as rd
+
+    from ..stages.joins import order_revenue_topk
+
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    return order_revenue_topk(customer, orders, lineitem, num_partitions=8)
+
+
 def q_top_users(sf_dir: str):
     import ray.data as rd
 
@@ -495,6 +516,7 @@ QUERIES = {
     "event_windows": q_event_windows,
     "event_session_asof": q_event_session_asof,
     "pricing_summary": q_pricing_summary,
+    "order_revenue_topk": q_order_revenue_topk,
     "quantity_bands": q_quantity_bands,
 }
 
@@ -508,6 +530,7 @@ _TOKENS_SQL = (
 )
 
 from ..stages.aggregate import PRICING_SUMMARY_SQL, QUANTITY_BANDS_SQL
+from ..stages.joins import ORDER_REVENUE_TOPK_SQL
 from ..stages.sessions import EVENT_WINDOWS_SQL, SESSIONIZE_SQL, TOP_USERS_SQL
 
 ORACLE_SQL = {
@@ -516,6 +539,7 @@ ORACLE_SQL = {
     "event_windows": EVENT_WINDOWS_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
     "quantity_bands": QUANTITY_BANDS_SQL,
+    "order_revenue_topk": ORDER_REVENUE_TOPK_SQL,
     "event_session_asof": f"""
 WITH sessions AS ({SESSIONIZE_SQL})
 SELECT e.event_id, e.user_id, e.ts, CAST(s.session_id AS BIGINT) AS session_id

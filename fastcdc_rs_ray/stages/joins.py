@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def asof_join(left_ds, right_ds, key: str, left_ts: str, right_ts: str,
@@ -115,3 +116,192 @@ def asof_join(left_ds, right_ds, key: str, left_ts: str, right_ts: str,
         return pa.table({f.name: cols[f.name] for f in out_schema}).cast(out_schema)
 
     return mixed.map_batches(merge_block, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# Q3-shape three-table join: customer (semi, broadcast) x orders x lineitem
+# --------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"
+Q3_K = 10
+
+
+def order_revenue_topk(customer_ds, orders_ds, lineitem_ds, *,
+                       segment: str = Q3_SEGMENT, cutoff: str = Q3_CUTOFF,
+                       k: int = Q3_K, num_partitions: int = 8):
+    """TPC-H-Q3 shape: top-k orders by lineitem revenue for one market
+    segment — the canonical small x big x biggest join, composed from the
+    engine's three join idioms in one pipeline:
+
+    - customer side = BROADCAST SEMI-JOIN: the segment-filtered custkey
+      set ships once via ``ray.put`` (8 B/key sorted u64; membership is a
+      ``searchsorted``) — never a shuffle.  Scale note: at 100 TB this
+      side is |customers in segment| keys, ~0.8 GB per 100 M matching
+      customers — still broadcastable; beyond that it becomes the
+      tag-union exchange below with orders.
+    - orders x lineitem = TAG-UNION + ONE KEYED EXCHANGE on orderkey
+      (big x big; same shape as :func:`asof_join`), with lineitem revenue
+      PARTIAL-AGGREGATED per block before the exchange so the shuffle
+      moves (orderkey, partial_sum) rows, not raw lineitems.
+    - top-k = per-block local top-k, then a final sort+limit over the
+      k x blocks survivors (driver-sized by construction).
+
+    Revenue is exact int64 1e-4-dollar units (2-decimal inputs), so the
+    sum is bit-identical under any block split / summation order.
+    Ordering ties at the k boundary break by ascending orderkey on both
+    the Ray and SQL sides.
+    """
+    import ray
+
+    cutoff_us = np.int64(np.datetime64(cutoff, "us").astype(np.int64))
+
+    # ---- build side: sorted custkeys of the segment, broadcast once ----
+    ck_parts = [
+        b["c_custkey"].to_numpy(zero_copy_only=False)
+        for b in customer_ds.map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], segment)).select(
+                ["c_custkey"]
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+        if len(b)
+    ]
+    ck = np.sort(np.concatenate(ck_parts)) if ck_parts else np.empty(0, np.int64)
+    ck_ref = ray.put(ck)
+
+    schema = pa.schema(
+        [("jkey", pa.int64()), ("tag", pa.int8()), ("rev_u4", pa.int64()),
+         ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string())]
+    )
+
+    def lineitem_partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sel = np.flatnonzero(ship > cutoff_us)
+        if len(sel) == 0:
+            return schema.empty_table()
+        take = pa.array(sel, pa.int64())
+        okey = t["l_orderkey"].combine_chunks().take(take).to_numpy(
+            zero_copy_only=False
+        )
+        price = t["l_extendedprice"].combine_chunks().take(take).to_numpy(
+            zero_copy_only=False
+        )
+        disc = t["l_discount"].combine_chunks().take(take).to_numpy(
+            zero_copy_only=False
+        )
+        rev = np.round(price * 100).astype(np.int64) * (
+            100 - np.round(disc * 100).astype(np.int64)
+        )
+        order = np.argsort(okey, kind="stable")
+        okey_s, rev_s = okey[order], rev[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(okey_s[1:] != okey_s[:-1]) + 1]
+        )
+        n = len(starts)
+        return pa.table(
+            {
+                "jkey": pa.array(okey_s[starts], pa.int64()),
+                "tag": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "rev_u4": pa.array(np.add.reduceat(rev_s, starts), pa.int64()),
+                "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+                "o_orderpriority": pa.nulls(n, pa.string()),
+            }
+        ).cast(schema)
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        odate = t["o_orderdate"].combine_chunks()
+        odate_us = odate.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cust = t["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        keys = ray.get(ck_ref)
+        if len(keys) == 0:
+            return schema.empty_table()
+        pos = np.searchsorted(keys, cust)
+        member = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == cust)
+        sel = np.flatnonzero(member & (odate_us < cutoff_us))
+        if len(sel) == 0:
+            return schema.empty_table()
+        take = pa.array(sel, pa.int64())
+        n = len(sel)
+        return pa.table(
+            {
+                "jkey": t["o_orderkey"].combine_chunks().take(take),
+                "tag": pa.array(np.ones(n, np.int8), pa.int8()),
+                "rev_u4": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "o_orderdate": odate.take(take),
+                "o_orderpriority": t["o_orderpriority"].combine_chunks().take(take),
+            }
+        ).cast(schema)
+
+    mixed = lineitem_ds.map_batches(
+        lineitem_partial, batch_format="pyarrow"
+    ).union(orders_ds.map_batches(orders_side, batch_format="pyarrow"))
+    mixed = mixed.repartition(num_blocks=num_partitions, keys=["jkey"])
+
+    out_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+         ("o_orderpriority", pa.string()), ("revenue_u4", pa.int64())]
+    )
+
+    def combine_topk(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        jkey = t["jkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = t["rev_u4"].combine_chunks().to_numpy(zero_copy_only=False)
+        # tag asc within key: lineitem partials first, the (unique) order
+        # row last — so a group is an inner match iff first is tag 0 and
+        # last is tag 1
+        order = np.lexsort((tag, jkey))
+        jk, tg, rv = jkey[order], tag[order], rev[order]
+        starts = np.concatenate([[0], np.flatnonzero(jk[1:] != jk[:-1]) + 1])
+        ends = np.append(starts[1:], len(jk)) - 1
+        match = (tg[starts] == 0) & (tg[ends] == 1)
+        if not match.any():
+            return out_schema.empty_table()
+        rev_sum = np.add.reduceat(rv, starts)[match]  # order rows carry rev 0
+        topk = np.lexsort((jk[starts][match], -rev_sum))[:k]
+        sel = pa.array(np.asarray(order)[ends[match]][topk], pa.int64())
+        return pa.table(
+            {
+                "l_orderkey": pa.array(jk[starts][match][topk], pa.int64()),
+                "o_orderdate": t["o_orderdate"].combine_chunks().take(sel),
+                "o_orderpriority": t["o_orderpriority"].combine_chunks().take(sel),
+                "revenue_u4": pa.array(rev_sum[topk], pa.int64()),
+            }
+        ).cast(out_schema)
+
+    out = mixed.map_batches(combine_topk, batch_format="pyarrow", batch_size=None)
+    # final top-k over the k x blocks survivors: driver-sized by
+    # construction (<= k * num_partitions rows), so a Dataset.sort
+    # exchange here would cost a full extra shuffle round for nothing
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in out.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables([t for t in tabs if len(t)] or [out_schema.empty_table()])
+    rev = t["revenue_u4"].combine_chunks().to_numpy(zero_copy_only=False)
+    okey = t["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    sel = pa.array(np.lexsort((okey, -rev))[:k], pa.int64())
+    return t.take(sel).cast(out_schema)
+
+
+ORDER_REVENUE_TOPK_SQL = f"""
+SELECT l.l_orderkey,
+       o.o_orderdate,
+       o.o_orderpriority,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_u4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY 1, 2, 3
+ORDER BY revenue_u4 DESC, l.l_orderkey ASC
+LIMIT {Q3_K}
+"""
