@@ -451,6 +451,38 @@ def q_event_session_asof(sf_dir: str):
     )
 
 
+def q_top_events_per_user(sf_dir: str):
+    """Group-wise top-k (windowed ranking): each user's 3 highest-value
+    events via one keyed repartition + vectorized per-block lexsort."""
+    import ray.data as rd
+
+    from ..stages.sessions import top_events_per_user
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+    return top_events_per_user(ds, k=3, num_partitions=8)
+
+
+def q_value_percentiles(sf_dir: str):
+    """Exact distributed nearest-rank percentiles via value-histogram
+    partials (discrete 2-decimal domain -> exact, shuffle-free)."""
+    import ray.data as rd
+
+    from ..stages.sessions import value_percentiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return value_percentiles(ds)
+
+
+def q_sample_docs(sf_dir: str):
+    """Deterministic multiplicative-hash 10% sample of documents —
+    reproducible across runs and block retries, no shuffle."""
+    from ..stages.sample import sample_docs
+
+    return sample_docs(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_order_revenue_topk(sf_dir: str):
     """TPC-H-Q3-style three-table join: broadcast semi-join on customer,
     tag-union keyed exchange for orders x lineitem, distributed top-k."""
@@ -517,6 +549,9 @@ QUERIES = {
     "event_session_asof": q_event_session_asof,
     "pricing_summary": q_pricing_summary,
     "order_revenue_topk": q_order_revenue_topk,
+    "top_events_per_user": q_top_events_per_user,
+    "value_percentiles": q_value_percentiles,
+    "sample_docs": q_sample_docs,
     "quantity_bands": q_quantity_bands,
 }
 
@@ -531,6 +566,8 @@ _TOKENS_SQL = (
 
 from ..stages.aggregate import PRICING_SUMMARY_SQL, QUANTITY_BANDS_SQL
 from ..stages.joins import ORDER_REVENUE_TOPK_SQL
+from ..stages.sample import SAMPLE_DOCS_SQL
+from ..stages.sessions import TOP_EVENTS_PER_USER_SQL, VALUE_PERCENTILES_SQL
 from ..stages.sessions import EVENT_WINDOWS_SQL, SESSIONIZE_SQL, TOP_USERS_SQL
 
 ORACLE_SQL = {
@@ -540,6 +577,9 @@ ORACLE_SQL = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "quantity_bands": QUANTITY_BANDS_SQL,
     "order_revenue_topk": ORDER_REVENUE_TOPK_SQL,
+    "top_events_per_user": TOP_EVENTS_PER_USER_SQL,
+    "value_percentiles": VALUE_PERCENTILES_SQL,
+    "sample_docs": SAMPLE_DOCS_SQL,
     "event_session_asof": f"""
 WITH sessions AS ({SESSIONIZE_SQL})
 SELECT e.event_id, e.user_id, e.ts, CAST(s.session_id AS BIGINT) AS session_id

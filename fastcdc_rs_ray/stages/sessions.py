@@ -222,3 +222,134 @@ SELECT user_id,
 FROM events
 GROUP BY user_id, (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US}
 """
+
+
+def top_events_per_user(events_ds, k: int = 3, num_partitions: int = 16):
+    """Group-wise top-k: each user's k highest-value events — the
+    windowed-ranking shape (``ROW_NUMBER() OVER (PARTITION BY ...)``
+    with ``QUALIFY``) Ray Data has no native operator for.
+
+    ONE keyed repartition on user_id co-locates each user's events, then
+    ranking is a single vectorized lexsort per block (value cents desc,
+    event_id asc — deterministic ties).  Unlike :func:`top_users` the
+    result is proportional to the user universe (k rows per user), so no
+    stage ever sees more than its own partition — scale-safe for any
+    number of users, assuming one user's events fit in a block (same
+    assumption as every keyed stage here).
+
+    Output: (user_id, event_id, value_c, rk) with 1-based rank; value in
+    exact int64 cents (2-decimal inputs).
+    """
+    ds = events_ds.repartition(num_blocks=num_partitions, keys=["user_id"])
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("event_id", pa.int64()),
+         ("value_c", pa.int64()), ("rk", pa.int64())]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        eid = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        vc = np.round(val * 100).astype(np.int64)
+        order = np.lexsort((eid, -vc, uid))
+        uid_s = uid[order]
+        starts = np.concatenate([[0], np.flatnonzero(uid_s[1:] != uid_s[:-1]) + 1])
+        rk = np.arange(len(uid_s), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(uid_s)))
+        ) + 1
+        keep = rk <= k
+        sel = pa.array(order[keep], pa.int64())
+        return pa.table(
+            {
+                "user_id": pa.array(uid_s[keep], pa.int64()),
+                "event_id": t["event_id"].combine_chunks().take(sel),
+                "value_c": pa.array(vc[order][keep], pa.int64()),
+                "rk": pa.array(rk[keep], pa.int64()),
+            }
+        ).cast(out_schema)
+
+    return ds.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+TOP_EVENTS_PER_USER_SQL = """
+SELECT user_id, event_id,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY user_id
+         ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC, event_id ASC
+       ) AS BIGINT) AS rk
+FROM events
+QUALIFY rk <= 3
+"""
+
+PERCENTILE_QS = (0.5, 0.9, 0.99)
+
+
+def value_percentiles(events_ds, qs: tuple[float, ...] = PERCENTILE_QS):
+    """Exact distributed nearest-rank percentiles of event value via a
+    VALUE-HISTOGRAM aggregate: values are 2-decimal, so the distinct
+    universe of int64 cents is small-bounded regardless of row count —
+    each block emits (value_c, count) partials, the driver merges a
+    histogram and reads quantiles off the cumulative sum.  The shuffle
+    moves O(distinct values x blocks) rows, never the data; this is the
+    sketch-shaped aggregate pattern (an exact one, because the domain is
+    discrete) for percentile/median at 100 TB.
+
+    Answer for q = smallest v with cdf(v) >= ceil(q * N) (nearest-rank),
+    mirrored exactly by the SQL oracle's ROW_NUMBER formulation.
+    """
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        val = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        vc = np.round(val * 100).astype(np.int64)
+        u, c = np.unique(vc, return_counts=True)
+        return pa.table(
+            {"value_c": pa.array(u, pa.int64()),
+             "n": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow")
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs)
+    v = t["value_c"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(v, kind="stable")
+    v, n = v[order], n[order]
+    starts = np.concatenate([[0], np.flatnonzero(v[1:] != v[:-1]) + 1])
+    vals = v[starts]
+    cum = np.cumsum(np.add.reduceat(n, starts))
+    total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if total == 0:
+            continue
+        rank = math.ceil(q * total)  # same IEEE double expr as SQL CEIL(q*n)
+        out_q.append(q)
+        out_v.append(vals[np.searchsorted(cum, rank, side="left")])
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()),
+         "value_c": pa.array(np.asarray(out_v, np.int64), pa.int64())}
+    )
+
+
+_QS_VALUES = ", ".join(f"({q})" for q in PERCENTILE_QS)
+
+VALUE_PERCENTILES_SQL = f"""
+WITH qs(q) AS (VALUES {_QS_VALUES}),
+s AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (ORDER BY CAST(ROUND(value * 100) AS BIGINT)) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events
+)
+SELECT q, CAST(MIN(v) AS BIGINT) AS value_c
+FROM s JOIN qs ON s.rn >= CEIL(qs.q * s.n)
+GROUP BY q
+"""
