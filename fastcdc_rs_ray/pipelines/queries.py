@@ -483,6 +483,35 @@ def q_sample_docs(sf_dir: str):
     return sample_docs(_documents(sf_dir, columns=["doc_id", "text"]))
 
 
+def q_region_customer_stats(sf_dir: str):
+    """Star-schema broadcast dimension join: customer x nation x region
+    rollup; dims fold to dense arrays driver-side, facts never shuffle."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.aggregate import region_customer_stats
+
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    return region_customer_stats(customer, nation, region)
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """Distributed COUNT(DISTINCT user_id) per event_type: per-block
+    distinct -> keyed exchange -> per-block distinct count -> merge."""
+    import ray.data as rd
+
+    from ..stages.sessions import distinct_users_per_type
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return distinct_users_per_type(ds, num_partitions=8)
+
+
 def q_order_revenue_topk(sf_dir: str):
     """TPC-H-Q3-style three-table join: broadcast semi-join on customer,
     tag-union keyed exchange for orders x lineitem, distributed top-k."""
@@ -552,6 +581,8 @@ QUERIES = {
     "top_events_per_user": q_top_events_per_user,
     "value_percentiles": q_value_percentiles,
     "sample_docs": q_sample_docs,
+    "region_customer_stats": q_region_customer_stats,
+    "distinct_users_per_type": q_distinct_users_per_type,
     "quantity_bands": q_quantity_bands,
 }
 
@@ -564,10 +595,18 @@ _TOKENS_SQL = (
     f"len(regexp_extract_all(text, '{TOKEN_RE}'))"
 )
 
-from ..stages.aggregate import PRICING_SUMMARY_SQL, QUANTITY_BANDS_SQL
+from ..stages.aggregate import (
+    PRICING_SUMMARY_SQL,
+    QUANTITY_BANDS_SQL,
+    REGION_CUSTOMER_STATS_SQL,
+)
 from ..stages.joins import ORDER_REVENUE_TOPK_SQL
 from ..stages.sample import SAMPLE_DOCS_SQL
-from ..stages.sessions import TOP_EVENTS_PER_USER_SQL, VALUE_PERCENTILES_SQL
+from ..stages.sessions import (
+    DISTINCT_USERS_PER_TYPE_SQL,
+    TOP_EVENTS_PER_USER_SQL,
+    VALUE_PERCENTILES_SQL,
+)
 from ..stages.sessions import EVENT_WINDOWS_SQL, SESSIONIZE_SQL, TOP_USERS_SQL
 
 ORACLE_SQL = {
@@ -580,6 +619,8 @@ ORACLE_SQL = {
     "top_events_per_user": TOP_EVENTS_PER_USER_SQL,
     "value_percentiles": VALUE_PERCENTILES_SQL,
     "sample_docs": SAMPLE_DOCS_SQL,
+    "region_customer_stats": REGION_CUSTOMER_STATS_SQL,
+    "distinct_users_per_type": DISTINCT_USERS_PER_TYPE_SQL,
     "event_session_asof": f"""
 WITH sessions AS ({SESSIONIZE_SQL})
 SELECT e.event_id, e.user_id, e.ts, CAST(s.session_id AS BIGINT) AS session_id

@@ -198,3 +198,78 @@ FROM lineitem l JOIN bands b
   ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
 GROUP BY b.band
 """
+
+
+def region_customer_stats(customer_ds, nation_tbl: pa.Table, region_tbl: pa.Table):
+    """Broadcast DIMENSION hash-join: customer x nation x region rollup.
+
+    The dimension chain (nation -> region, dozens of rows) is folded
+    driver-side into one dense ``nationkey -> regionkey`` int array and a
+    region-name list; each customer block partial-aggregates per NATION
+    with a plain ``bincount`` (dense surrogate keys — no hash table at
+    all), so the exchange carries |nations| rows per block and region
+    mapping happens once at the driver-sized finalize.  This is the
+    star-schema enrich shape: fact tables never shuffle, dimensions never
+    leave the driver.
+    """
+    nk = nation_tbl["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nrk = nation_tbl["n_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_nations = int(nk.max()) + 1 if len(nk) else 0
+    nation_region = np.full(n_nations, -1, dtype=np.int64)
+    nation_region[nk] = nrk
+    rk = region_tbl["r_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rnames = np.empty(int(rk.max()) + 1 if len(rk) else 0, dtype=object)
+    rnames[rk] = np.asarray(region_tbl["r_name"].to_pylist(), dtype=object)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cnk = t["c_nationkey"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        bal = t["c_acctbal"].combine_chunks().to_numpy(zero_copy_only=False)
+        bal_c = np.round(bal * 100).astype(np.int64)
+        n = np.bincount(cnk, minlength=n_nations).astype(np.int64)
+        s = np.zeros(n_nations, dtype=np.int64)
+        np.add.at(s, cnk, bal_c)
+        keep = np.flatnonzero(n)
+        return pa.table(
+            {
+                "nationkey": pa.array(keep, pa.int64()),
+                "n": pa.array(n[keep], pa.int64()),
+                "sum_acctbal_c": pa.array(s[keep], pa.int64()),
+            }
+        )
+
+    partials = customer_ds.map_batches(partial, batch_format="pyarrow")
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs)
+    nkey = t["nationkey"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    s = t["sum_acctbal_c"].to_numpy(zero_copy_only=False)
+    reg = nation_region[nkey]
+    n_regions = len(rnames)
+    rn = np.zeros(n_regions, dtype=np.int64)
+    rs = np.zeros(n_regions, dtype=np.int64)
+    np.add.at(rn, reg, n)
+    np.add.at(rs, reg, s)
+    keep = np.flatnonzero(rn)
+    return pa.table(
+        {
+            "r_name": pa.array(rnames[keep].tolist(), pa.string()),
+            "n_customers": pa.array(rn[keep], pa.int64()),
+            "sum_acctbal_c": pa.array(rs[keep], pa.int64()),
+        }
+    )
+
+
+REGION_CUSTOMER_STATS_SQL = """
+SELECT r_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_c
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""

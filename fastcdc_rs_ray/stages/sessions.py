@@ -353,3 +353,71 @@ SELECT q, CAST(MIN(v) AS BIGINT) AS value_c
 FROM s JOIN qs ON s.rn >= CEIL(qs.q * s.n)
 GROUP BY q
 """
+
+
+def distinct_users_per_type(events_ds, num_partitions: int = 8):
+    """Distributed COUNT(DISTINCT): users per event_type.
+
+    Per-block distinct shrinks each block to its unique (type, user)
+    pairs, ONE keyed exchange on user_id co-locates every occurrence of a
+    user (so a pair seen in many blocks lands in exactly one partition),
+    a second per-block distinct + count yields per-type partials, and the
+    driver merges |types| x partitions rows.  The exchange never carries
+    more than the distinct-pair universe — the standard two-level
+    distinct-aggregate plan for high-cardinality COUNT DISTINCT at scale.
+    """
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        et = t["event_type"].combine_chunks()
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([uid, codes], axis=1), axis=0)
+        return pa.table(
+            {
+                "user_id": pa.array(pairs[:, 0], pa.int64()),
+                "event_type": enc.dictionary.take(pa.array(pairs[:, 1], pa.int64())),
+            }
+        )
+
+    ds = events_ds.map_batches(distinct_pairs, batch_format="pyarrow")
+    ds = ds.repartition(num_blocks=num_partitions, keys=["user_id"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()),
+                 "n_users": pa.array([], pa.int64())}
+            )
+        et = t["event_type"].combine_chunks()
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([uid, codes], axis=1), axis=0)
+        cnt = np.bincount(pairs[:, 1], minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table(
+            {"event_type": enc.dictionary,
+             "n_users": pa.array(cnt, pa.int64())}
+        )
+
+    partials = ds.map_batches(count_partial, batch_format="pyarrow", batch_size=None)
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs)
+    et = t["event_type"].combine_chunks()
+    enc = et.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = np.zeros(len(enc.dictionary), dtype=np.int64)
+    np.add.at(n, codes, t["n_users"].combine_chunks().to_numpy(zero_copy_only=False))
+    return pa.table(
+        {"event_type": enc.dictionary, "n_users": pa.array(n, pa.int64())}
+    )
+
+
+DISTINCT_USERS_PER_TYPE_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
