@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "ann_topk_ivf",
     "pricing_summary",
     "event_session_asof",
+    "order_revenue_topk",
+    "top_events_per_user",
+    "distinct_users_per_type",
 ]
 
 
