@@ -512,6 +512,43 @@ def q_distinct_users_per_type(sf_dir: str):
     return distinct_users_per_type(ds, num_partitions=8)
 
 
+def q_promo_revenue(sf_dir: str):
+    """Q14-shape broadcast fact-dimension join: monthly promo/total
+    revenue as exact integer numerator/denominator."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.aggregate import promo_revenue_by_month
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    return promo_revenue_by_month(lineitem, part)
+
+
+def q_supplier_nation_revenue(sf_dir: str):
+    """Star-schema rollup to the supplier's nation (lineitem never
+    shuffles; both dims fold to one dense array driver-side)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.aggregate import supplier_nation_revenue
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    return supplier_nation_revenue(lineitem, supplier, nation)
+
+
 def q_order_revenue_topk(sf_dir: str):
     """TPC-H-Q3-style three-table join: broadcast semi-join on customer,
     tag-union keyed exchange for orders x lineitem, distributed top-k."""
@@ -583,6 +620,8 @@ QUERIES = {
     "sample_docs": q_sample_docs,
     "region_customer_stats": q_region_customer_stats,
     "distinct_users_per_type": q_distinct_users_per_type,
+    "promo_revenue": q_promo_revenue,
+    "supplier_nation_revenue": q_supplier_nation_revenue,
     "quantity_bands": q_quantity_bands,
 }
 
@@ -597,8 +636,10 @@ _TOKENS_SQL = (
 
 from ..stages.aggregate import (
     PRICING_SUMMARY_SQL,
+    PROMO_REVENUE_SQL,
     QUANTITY_BANDS_SQL,
     REGION_CUSTOMER_STATS_SQL,
+    SUPPLIER_NATION_REVENUE_SQL,
 )
 from ..stages.joins import ORDER_REVENUE_TOPK_SQL
 from ..stages.sample import SAMPLE_DOCS_SQL
@@ -621,6 +662,8 @@ ORACLE_SQL = {
     "sample_docs": SAMPLE_DOCS_SQL,
     "region_customer_stats": REGION_CUSTOMER_STATS_SQL,
     "distinct_users_per_type": DISTINCT_USERS_PER_TYPE_SQL,
+    "promo_revenue": PROMO_REVENUE_SQL,
+    "supplier_nation_revenue": SUPPLIER_NATION_REVENUE_SQL,
     "event_session_asof": f"""
 WITH sessions AS ({SESSIONIZE_SQL})
 SELECT e.event_id, e.user_id, e.ts, CAST(s.session_id AS BIGINT) AS session_id

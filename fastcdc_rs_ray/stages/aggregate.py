@@ -273,3 +273,177 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
+
+
+def promo_revenue_by_month(lineitem_ds, part_tbl: pa.Table):
+    """Q14 shape: monthly revenue split promo/total via a broadcast fact-
+    to-dimension join.  The part dimension folds to a dense partkey ->
+    is_promo bool array shipped once via ``ray.put`` (1 byte/part); each
+    lineitem block computes exact int64 revenue units, truncates shipdate
+    to month with integer datetime64 math, and partial-aggregates per
+    month — the exchange carries (months x blocks) rows.  The promo share
+    is returned as exact integer numerator/denominator (a float ratio
+    would be hash-hostile in the oracle gate; callers divide)."""
+    import ray
+
+    pk = part_tbl["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ptype = np.asarray(part_tbl["p_type"].to_pylist(), dtype=object)
+    is_promo = np.zeros(int(pk.max()) + 1 if len(pk) else 0, dtype=bool)
+    is_promo[pk] = ptype == "PROMO"
+    ref = ray.put(is_promo)
+
+    out_schema = pa.schema(
+        [("month", pa.timestamp("us")), ("promo_rev_u4", pa.int64()),
+         ("total_rev_u4", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        promo = ray.get(ref)
+        lpk = t["l_partkey"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        price = t["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.round(price * 100).astype(np.int64) * (
+            100 - np.round(disc * 100).astype(np.int64)
+        )
+        ship = t["l_shipdate"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        month = (
+            ship.view("datetime64[us]").astype("datetime64[M]")
+            .astype("datetime64[us]").view(np.int64)
+        )
+        p_rev = np.where(promo[lpk], rev, 0)
+        order = np.argsort(month, kind="stable")
+        m_s = month[order]
+        starts = np.concatenate([[0], np.flatnonzero(m_s[1:] != m_s[:-1]) + 1])
+        return pa.table(
+            {
+                "month": pa.array(m_s[starts]).cast(pa.timestamp("us")),
+                "promo_rev_u4": pa.array(
+                    np.add.reduceat(p_rev[order], starts), pa.int64()
+                ),
+                "total_rev_u4": pa.array(
+                    np.add.reduceat(rev[order], starts), pa.int64()
+                ),
+            }
+        ).cast(out_schema)
+
+    partials = lineitem_ds.map_batches(partial, batch_format="pyarrow")
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables([x for x in tabs if len(x)] or [out_schema.empty_table()])
+    m = t["month"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.argsort(m, kind="stable")
+    m_s = m[order]
+    starts = np.concatenate(
+        [[0], np.flatnonzero(m_s[1:] != m_s[:-1]) + 1]
+    ) if len(m_s) else np.empty(0, np.int64)
+    pr = t["promo_rev_u4"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+    tr = t["total_rev_u4"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+    return pa.table(
+        {
+            "month": pa.array(m_s[starts] if len(m_s) else m_s).cast(
+                pa.timestamp("us")
+            ),
+            "promo_rev_u4": pa.array(
+                np.add.reduceat(pr, starts) if len(m_s) else pr, pa.int64()
+            ),
+            "total_rev_u4": pa.array(
+                np.add.reduceat(tr, starts) if len(m_s) else tr, pa.int64()
+            ),
+        }
+    ).cast(out_schema)
+
+
+PROMO_REVENUE_SQL = """
+SELECT date_trunc('month', l_shipdate) AS month,
+       CAST(SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                ELSE 0 END) AS BIGINT) AS promo_rev_u4,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS total_rev_u4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def supplier_nation_revenue(lineitem_ds, supplier_tbl: pa.Table,
+                            nation_tbl: pa.Table):
+    """Revenue rolled up to the supplier's nation: lineitem x supplier x
+    nation with both dimensions folded to one dense suppkey -> nationkey
+    array driver-side — same star-schema broadcast shape as
+    :func:`region_customer_stats`, fact side never shuffles."""
+    sk = supplier_tbl["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    snk = supplier_tbl["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    supp_nation = np.full(int(sk.max()) + 1 if len(sk) else 0, -1, dtype=np.int64)
+    supp_nation[sk] = snk
+    nk = nation_tbl["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nnames = np.empty(int(nk.max()) + 1 if len(nk) else 0, dtype=object)
+    nnames[nk] = np.asarray(nation_tbl["n_name"].to_pylist(), dtype=object)
+    n_nations = len(nnames)
+
+    import ray
+
+    ref = ray.put(supp_nation)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sn = ray.get(ref)
+        lsk = t["l_suppkey"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        price = t["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.round(price * 100).astype(np.int64) * (
+            100 - np.round(disc * 100).astype(np.int64)
+        )
+        nat = sn[lsk]
+        s = np.zeros(n_nations, dtype=np.int64)
+        cnt = np.bincount(nat, minlength=n_nations).astype(np.int64)
+        np.add.at(s, nat, rev)
+        keep = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "nationkey": pa.array(keep, pa.int64()),
+                "n_items": pa.array(cnt[keep], pa.int64()),
+                "revenue_u4": pa.array(s[keep], pa.int64()),
+            }
+        )
+
+    partials = lineitem_ds.map_batches(partial, batch_format="pyarrow")
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs)
+    nkey = t["nationkey"].to_numpy(zero_copy_only=False)
+    cnt = np.zeros(n_nations, dtype=np.int64)
+    s = np.zeros(n_nations, dtype=np.int64)
+    np.add.at(cnt, nkey, t["n_items"].to_numpy(zero_copy_only=False))
+    np.add.at(s, nkey, t["revenue_u4"].to_numpy(zero_copy_only=False))
+    keep = np.flatnonzero(cnt)
+    return pa.table(
+        {
+            "n_name": pa.array(nnames[keep].tolist(), pa.string()),
+            "n_items": pa.array(cnt[keep], pa.int64()),
+            "revenue_u4": pa.array(s[keep], pa.int64()),
+        }
+    )
+
+
+SUPPLIER_NATION_REVENUE_SQL = """
+SELECT n_name,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_u4
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from fastcdc_rs_ray.stages.aggregate import (
@@ -79,3 +80,70 @@ def test_quantity_bands_matches_pandas(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_promo_revenue_crafted(ray_session):
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.aggregate import promo_revenue_by_month
+
+    part = pa.table(
+        {
+            "p_partkey": pa.array([0, 1, 2], pa.int64()),
+            "p_type": pa.array(["PROMO", "SMALL", "PROMO"], pa.string()),
+        }
+    )
+    ts = pa.timestamp("us")
+    li = pa.table(
+        {
+            "l_partkey": pa.array([0, 1, 2, 1], pa.int64()),
+            "l_extendedprice": pa.array([10.00, 20.00, 5.00, 1.00]),
+            "l_discount": pa.array([0.10, 0.0, 0.0, 0.0]),
+            "l_shipdate": pa.array(
+                np.array(
+                    ["1998-01-15", "1998-01-31", "1998-02-01", "1998-02-28"],
+                    dtype="datetime64[us]",
+                ),
+                ts,
+            ),
+        }
+    )
+    t = promo_revenue_by_month(rd.from_arrow(li), part)
+    months = [str(m)[:7] for m in t["month"].to_pylist()]
+    assert months == ["1998-01", "1998-02"]
+    # jan: promo = 1000*90 = 90000, total = 90000 + 2000*100 = 290000
+    # feb: promo = 500*100 = 50000, total = 50000 + 100*100 = 60000
+    assert t["promo_rev_u4"].to_pylist() == [90_000, 50_000]
+    assert t["total_rev_u4"].to_pylist() == [290_000, 60_000]
+
+
+def test_supplier_nation_revenue_crafted(ray_session):
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.aggregate import supplier_nation_revenue
+
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array([0, 1, 2], pa.int64()),
+            "s_nationkey": pa.array([7, 7, 3], pa.int32()),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array([3, 7], pa.int32()),
+            "n_name": pa.array(["N3", "N7"], pa.string()),
+        }
+    )
+    li = pa.table(
+        {
+            "l_suppkey": pa.array([0, 1, 2, 0], pa.int64()),
+            "l_extendedprice": pa.array([1.00, 2.00, 3.00, 4.00]),
+            "l_discount": pa.array([0.0, 0.0, 0.50, 0.0]),
+        }
+    )
+    t = supplier_nation_revenue(rd.from_arrow(li), supplier, nation)
+    got = dict(zip(t["n_name"].to_pylist(),
+                   zip(t["n_items"].to_pylist(), t["revenue_u4"].to_pylist())))
+    # N7: supp 0,1 -> items 3, rev = 100*100 + 200*100 + 400*100 = 70000
+    # N3: supp 2 -> rev = 300*50 = 15000
+    assert got == {"N7": (3, 70_000), "N3": (1, 15_000)}
