@@ -549,6 +549,18 @@ def q_supplier_nation_revenue(sf_dir: str):
     return supplier_nation_revenue(lineitem, supplier, nation)
 
 
+def q_ndv_users_hll(sf_dir: str):
+    """HLL distinct-user estimate over events — mergeable fixed-size
+    register partials (rows-only gate: an estimate can't hash-match SQL;
+    pytest pins accuracy within 5% of exact)."""
+    import ray.data as rd
+
+    from ..stages.sketch import ndv_sketch
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return ndv_sketch(ds, key="user_id")
+
+
 def q_order_revenue_topk(sf_dir: str):
     """TPC-H-Q3-style three-table join: broadcast semi-join on customer,
     tag-union keyed exchange for orders x lineitem, distributed top-k."""
@@ -622,6 +634,7 @@ QUERIES = {
     "distinct_users_per_type": q_distinct_users_per_type,
     "promo_revenue": q_promo_revenue,
     "supplier_nation_revenue": q_supplier_nation_revenue,
+    "ndv_users_hll": q_ndv_users_hll,
     "quantity_bands": q_quantity_bands,
 }
 
