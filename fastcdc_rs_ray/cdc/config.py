@@ -44,6 +44,17 @@ def logarithm2(value: int) -> int:
     return int(math.floor(math.log2(value) + 0.5))
 
 
+def logarithm2_floored(value: int) -> int:
+    """Floored base-2 log — the reference's *async* chunker uses
+    ``avg_size.ilog2()`` (src/v2020/async_stream_cdc.rs:124), a known
+    divergence from the rounded sync paths for non-power-of-two ``avg_size``
+    (CHANGELOG.md [4.0.1] fixed only the sync chunkers).  Exposed as
+    ``mask_select="floored"`` so the async variant's masks can be reproduced
+    exactly; identical to :func:`logarithm2` whenever ``avg_size`` is a
+    power of two."""
+    return value.bit_length() - 1
+
+
 def ronomon_mask(bits: int) -> int:
     """(1 << bits) - 1 (src/ronomon/mod.rs:228-232)."""
     if not (1 <= bits <= 31):
@@ -73,6 +84,17 @@ class ChunkerConfig:
     algo: Algo = "v2020"
     norm_level: int = 1  # Normalization level 0-3 (src/v2020/mod.rs:433-461)
     seed: int = 0  # gear-table XOR seed (src/v2020/mod.rs:543-576)
+    # Caller-supplied gear table (256 u64 values), the config-level face of
+    # the reference's public table-parametric ``cut_gear``
+    # (src/v2020/mod.rs:310-329).  The left-shifted twin is derived as
+    # ``gear << 1`` per the GEAR/GEAR_LS construction (src/v2020/mod.rs:179,
+    # examples/table64ls.rs); seeding composes by XOR *before* the shift,
+    # so combining seed != 0 with an override is rejected — XOR the seed
+    # into the table yourself (get_gear_with_seed shows the convention).
+    gear_override: tuple | None = None
+    # "rounded" = sync chunkers (logarithm2); "floored" = the async
+    # chunker's ilog2 (src/v2020/async_stream_cdc.rs:124).
+    mask_select: Literal["rounded", "floored"] = "rounded"
 
     # derived (filled in __post_init__)
     mask_s: int = field(init=False, default=0)
@@ -94,7 +116,23 @@ class ChunkerConfig:
             raise ValueError(f"avg_size out of bounds: {self.avg_size}")
         if not (MAXIMUM_MIN <= self.max_size <= max_max):
             raise ValueError(f"max_size out of bounds: {self.max_size}")
-        bits = logarithm2(self.avg_size)
+        if self.mask_select not in ("rounded", "floored"):
+            raise ValueError(f"unknown mask_select: {self.mask_select}")
+        if self.gear_override is not None:
+            if self.algo == "ronomon":
+                raise ValueError("gear_override applies to v2016/v2020 only "
+                                 "(ronomon's TABLE is fixed, src/ronomon/mod.rs:241-288)")
+            if self.seed != 0:
+                raise ValueError("gear_override and seed are mutually exclusive; "
+                                 "XOR the seed into the override table")
+            ov = tuple(int(v) for v in self.gear_override)
+            if len(ov) != 256 or any(not (0 <= v <= _U64) for v in ov):
+                raise ValueError("gear_override must be 256 u64 values")
+            object.__setattr__(self, "gear_override", ov)
+        if self.mask_select == "floored":
+            bits = logarithm2_floored(self.avg_size)
+        else:
+            bits = logarithm2(self.avg_size)
         if self.algo == "ronomon":
             # ronomon ignores norm_level and seed; always 1 bit of
             # normalization (src/ronomon/mod.rs:115-117).
@@ -112,7 +150,12 @@ class ChunkerConfig:
             object.__setattr__(self, "mask_l_ls", (mask_l << 1) & _U64)
 
     def gear_tables(self) -> tuple[np.ndarray, np.ndarray]:
-        """(gear, gear_ls) numpy uint64 tables, seeded if seed != 0."""
+        """(gear, gear_ls) numpy uint64 tables: the override if supplied
+        (cut_gear parity), else the static/seeded tables."""
+        if self.gear_override is not None:
+            gear = np.array(self.gear_override, dtype=np.uint64)
+            gear_ls = (gear << np.uint64(1))  # wraps in uint64, as GEAR_LS
+            return gear, gear_ls
         return get_gear_with_seed(self.seed)
 
     def ronomon_table(self) -> np.ndarray:
