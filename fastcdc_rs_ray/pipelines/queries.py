@@ -549,6 +549,42 @@ def q_supplier_nation_revenue(sf_dir: str):
     return supplier_nation_revenue(lineitem, supplier, nation)
 
 
+def q_running_totals(sf_dir: str):
+    """SQL-window-function shape: per-user running sum + LAG delta via
+    one keyed repartition + vectorized segment cumsum (exact cents)."""
+    import ray.data as rd
+
+    from ..stages.sessions import running_totals
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return running_totals(ds, num_partitions=8)
+
+
+def q_inactive_customers(sf_dir: str):
+    """Anti-join (Q22 shape): customers with no 1-URGENT order, via a
+    row-filter pushed into the read + right-side per-block key dedup +
+    one tag-union keyed exchange."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.joins import anti_join
+
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    )
+    return anti_join(
+        customer, orders, left_key="c_custkey", right_key="o_custkey",
+        keep_cols=["c_custkey", "c_name", "c_acctbal"], num_partitions=8,
+    )
+
+
 def q_ndv_users_hll(sf_dir: str):
     """HLL distinct-user estimate over events — mergeable fixed-size
     register partials (rows-only gate: an estimate can't hash-match SQL;
@@ -636,6 +672,8 @@ QUERIES = {
     "supplier_nation_revenue": q_supplier_nation_revenue,
     "ndv_users_hll": q_ndv_users_hll,
     "quantity_bands": q_quantity_bands,
+    "running_totals": q_running_totals,
+    "inactive_customers": q_inactive_customers,
 }
 
 
@@ -654,10 +692,11 @@ from ..stages.aggregate import (
     REGION_CUSTOMER_STATS_SQL,
     SUPPLIER_NATION_REVENUE_SQL,
 )
-from ..stages.joins import ORDER_REVENUE_TOPK_SQL
+from ..stages.joins import INACTIVE_CUSTOMERS_SQL, ORDER_REVENUE_TOPK_SQL
 from ..stages.sample import SAMPLE_DOCS_SQL
 from ..stages.sessions import (
     DISTINCT_USERS_PER_TYPE_SQL,
+    RUNNING_TOTALS_SQL,
     TOP_EVENTS_PER_USER_SQL,
     VALUE_PERCENTILES_SQL,
 )
@@ -677,6 +716,8 @@ ORACLE_SQL = {
     "distinct_users_per_type": DISTINCT_USERS_PER_TYPE_SQL,
     "promo_revenue": PROMO_REVENUE_SQL,
     "supplier_nation_revenue": SUPPLIER_NATION_REVENUE_SQL,
+    "running_totals": RUNNING_TOTALS_SQL,
+    "inactive_customers": INACTIVE_CUSTOMERS_SQL,
     "event_session_asof": f"""
 WITH sessions AS ({SESSIONIZE_SQL})
 SELECT e.event_id, e.user_id, e.ts, CAST(s.session_id AS BIGINT) AS session_id

@@ -305,3 +305,79 @@ GROUP BY 1, 2, 3
 ORDER BY revenue_u4 DESC, l.l_orderkey ASC
 LIMIT {Q3_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Anti-join: left rows whose key never appears on the right
+# --------------------------------------------------------------------------
+
+
+def anti_join(left_ds, right_ds, left_key: str, right_key: str,
+              keep_cols: list[str], num_partitions: int = 8):
+    """Distributed anti-join (``WHERE key NOT IN (SELECT ... )``): emit
+    the ``keep_cols`` of every left row whose key has NO match on the
+    right — the existence-check join class (Q22 shape) the engine lacked.
+
+    Shape: the right side is pre-reduced to DISTINCT keys per block
+    *before* the exchange (the partial-aggregation rule — the probe side
+    may be arbitrarily larger than its key universe), then one tag-union
+    keyed repartition co-locates each key's left rows with its right
+    evidence, and a vectorized per-block ``searchsorted`` membership test
+    emits the survivors.  No broadcast (both sides may be huge), no
+    ``Dataset.join``.
+    """
+    ltypes = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    fields = [("jkey", pa.int64()), ("tag", pa.int8())]
+    fields += [(f"l_{c}", ltypes[c]) for c in keep_cols]
+    schema = pa.schema(fields)
+
+    def left_side(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {
+            "jkey": pc.cast(t[left_key], pa.int64()),
+            "tag": pa.array(np.zeros(n, np.int8), pa.int8()),
+            **{f"l_{c}": t[c] for c in keep_cols},
+        }
+        return pa.table({f.name: cols[f.name] for f in schema}).cast(schema)
+
+    def right_side(t: pa.Table) -> pa.Table:
+        keys = pc.unique(pc.cast(t[right_key], pa.int64()))
+        n = len(keys)
+        cols = {
+            "jkey": keys,
+            "tag": pa.array(np.ones(n, np.int8), pa.int8()),
+            **{f"l_{c}": pa.nulls(n, ltypes[c]) for c in keep_cols},
+        }
+        return pa.table({f.name: cols[f.name] for f in schema}).cast(schema)
+
+    mixed = left_ds.map_batches(left_side, batch_format="pyarrow").union(
+        right_ds.map_batches(right_side, batch_format="pyarrow")
+    )
+    mixed = mixed.repartition(num_blocks=num_partitions, keys=["jkey"])
+
+    out_schema = pa.schema([(c, ltypes[c]) for c in keep_cols])
+
+    def survivors(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["jkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        lsel = np.flatnonzero(tag == 0)
+        if len(lsel) == 0:
+            return out_schema.empty_table()
+        present = np.unique(k[tag == 1])
+        sel = pa.array(lsel[~np.isin(k[lsel], present)], pa.int64())
+        return pa.table(
+            {c: t[f"l_{c}"].combine_chunks().take(sel) for c in keep_cols}
+        ).cast(out_schema)
+
+    return mixed.map_batches(survivors, batch_format="pyarrow", batch_size=None)
+
+
+INACTIVE_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""

@@ -421,3 +421,79 @@ SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events
 GROUP BY event_type
 """
+
+
+def running_totals(events_ds, num_partitions: int = 16):
+    """Per-user cumulative window functions: running sum + lag delta.
+
+    The SQL-window-function shape (``SUM(...) OVER (PARTITION BY user
+    ORDER BY ts)`` / ``LAG``) Ray Data has no native operator for, built
+    on the engine's standard discipline: ONE keyed repartition on user_id
+    co-locates each user's history, then one vectorized per-block pass —
+    lexsort (ts, event_id tie-break), segment-offset cumulative sum, and
+    a shifted-difference lag.  Output rows == input rows, so every stage
+    is partition-local and the operator scales with the user universe
+    (same one-user-fits-a-block assumption as sessionize, documented per
+    SURVEY §2.10).
+
+    Monetary values in exact int64 cents (2-decimal inputs) so the
+    cumulative sums are bit-identical under any partitioning — the float
+    drift rule every aggregate here follows.
+
+    Output: (event_id, user_id, value_c, run_c, delta_c); delta_c is
+    NULL on each user's first event (LAG semantics).
+    """
+    ds = events_ds.repartition(num_blocks=num_partitions, keys=["user_id"])
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("value_c", pa.int64()), ("run_c", pa.int64()),
+         ("delta_c", pa.int64())]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        eid = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vc = np.round(
+            t["value"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, vc_s = uid[order], vc[order]
+        n = len(uid_s)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = uid_s[1:] != uid_s[:-1]
+        starts = np.flatnonzero(first)
+        cum = np.cumsum(vc_s)
+        seg_off = np.zeros(len(starts), dtype=np.int64)
+        seg_off[1:] = cum[starts[1:] - 1]
+        run = cum - np.repeat(seg_off, np.diff(np.append(starts, n)))
+        prev = np.empty(n, dtype=np.int64)
+        prev[1:] = vc_s[:-1]
+        prev[0] = 0
+        delta = pa.array(vc_s - prev, pa.int64(), mask=first)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": pa.array(uid_s, pa.int64()),
+                "value_c": pa.array(vc_s, pa.int64()),
+                "run_c": pa.array(run, pa.int64()),
+                "delta_c": delta,
+            }
+        ).cast(out_schema)
+
+    return ds.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+RUNNING_TOTALS_SQL = """
+SELECT event_id, user_id,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS run_c,
+       CAST(CAST(ROUND(value * 100) AS BIGINT)
+            - LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS delta_c
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
