@@ -549,6 +549,17 @@ def q_supplier_nation_revenue(sf_dir: str):
     return supplier_nation_revenue(lineitem, supplier, nation)
 
 
+def q_hopping_windows(sf_dir: str):
+    """Hopping-window aggregate (1 h windows every 15 min): constant-k
+    per-block explode + partial combine + keyed exchange, exact cents."""
+    import ray.data as rd
+
+    from ..stages.sessions import hopping_windows
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return hopping_windows(ds, num_partitions=8)
+
+
 def q_running_totals(sf_dir: str):
     """SQL-window-function shape: per-user running sum + LAG delta via
     one keyed repartition + vectorized segment cumsum (exact cents)."""
@@ -674,6 +685,7 @@ QUERIES = {
     "quantity_bands": q_quantity_bands,
     "running_totals": q_running_totals,
     "inactive_customers": q_inactive_customers,
+    "hopping_windows": q_hopping_windows,
 }
 
 
@@ -696,6 +708,7 @@ from ..stages.joins import INACTIVE_CUSTOMERS_SQL, ORDER_REVENUE_TOPK_SQL
 from ..stages.sample import SAMPLE_DOCS_SQL
 from ..stages.sessions import (
     DISTINCT_USERS_PER_TYPE_SQL,
+    HOPPING_WINDOWS_SQL,
     RUNNING_TOTALS_SQL,
     TOP_EVENTS_PER_USER_SQL,
     VALUE_PERCENTILES_SQL,
@@ -718,6 +731,7 @@ ORACLE_SQL = {
     "supplier_nation_revenue": SUPPLIER_NATION_REVENUE_SQL,
     "running_totals": RUNNING_TOTALS_SQL,
     "inactive_customers": INACTIVE_CUSTOMERS_SQL,
+    "hopping_windows": HOPPING_WINDOWS_SQL,
     "event_session_asof": f"""
 WITH sessions AS ({SESSIONIZE_SQL})
 SELECT e.event_id, e.user_id, e.ts, CAST(s.session_id AS BIGINT) AS session_id

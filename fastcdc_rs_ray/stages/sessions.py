@@ -497,3 +497,101 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+HOP_US = 900 * 1_000_000  # 15 min hop; with WINDOW_US=1h each event hits 4 windows
+
+
+def hopping_windows(events_ds, width_us: int = WINDOW_US, hop_us: int = HOP_US,
+                    num_partitions: int = 8):
+    """Hopping (sliding) window aggregate: every window of ``width_us``
+    whose start lies on the ``hop_us`` grid and covers the event — each
+    event lands in exactly ``width/hop`` overlapping windows (width must
+    be a multiple of hop).
+
+    The overlap is materialized as a constant-factor per-block EXPLODE
+    (vectorized broadcast, k = width//hop copies) *before* the partial
+    aggregation, so the exchange still moves one row per (block, user,
+    window) — the explode never crosses the wire unaggregated.  Sums in
+    exact int64 cents, so combines are order-independent.
+
+    Output: (user_id, w_start[us epoch], n_events, total_c).
+    """
+    if width_us % hop_us:
+        raise ValueError("width_us must be a multiple of hop_us")
+    k = width_us // hop_us
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("w_start", pa.int64()),
+         ("n_events", pa.int64()), ("total_c", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"].combine_chunks(), pa.int64()).to_numpy()
+        vc = np.round(
+            t["value"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        base = (ts // hop_us) * hop_us
+        w = (base[:, None] - hop_us * np.arange(k, dtype=np.int64)[None, :]).ravel()
+        uid = np.repeat(uid, k)
+        vc = np.repeat(vc, k)
+        order = np.lexsort((w, uid))
+        uid, w, vc = uid[order], w[order], vc[order]
+        brk = np.concatenate(([True], (uid[1:] != uid[:-1]) | (w[1:] != w[:-1])))
+        starts = np.flatnonzero(brk)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "w_start": pa.array(w[starts], pa.int64()),
+                "n_events": pa.array(
+                    np.diff(np.append(starts, len(uid))), pa.int64()
+                ),
+                "total_c": pa.array(np.add.reduceat(vc, starts), pa.int64()),
+            }
+        ).cast(out_schema)
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow")
+    partials = partials.repartition(
+        num_blocks=num_partitions, keys=["user_id", "w_start"]
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = t["w_start"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = t["n_events"].combine_chunks().to_numpy(zero_copy_only=False)
+        vc = t["total_c"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, uid))
+        uid, w, cnt, vc = uid[order], w[order], cnt[order], vc[order]
+        brk = np.concatenate(([True], (uid[1:] != uid[:-1]) | (w[1:] != w[:-1])))
+        starts = np.flatnonzero(brk)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "w_start": pa.array(w[starts], pa.int64()),
+                "n_events": pa.array(np.add.reduceat(cnt, starts), pa.int64()),
+                "total_c": pa.array(np.add.reduceat(vc, starts), pa.int64()),
+            }
+        ).cast(out_schema)
+
+    return partials.map_batches(combine, batch_format="pyarrow", batch_size=None)
+
+
+HOPPING_WINDOWS_SQL = f"""
+SELECT user_id, w_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_c
+FROM (
+  SELECT user_id, value,
+         unnest(generate_series(
+           (epoch_us(ts) // {HOP_US}) * {HOP_US} - {WINDOW_US - HOP_US},
+           (epoch_us(ts) // {HOP_US}) * {HOP_US},
+           {HOP_US})) AS w_start
+  FROM events
+)
+GROUP BY user_id, w_start
+"""
