@@ -156,7 +156,10 @@ def run_corpus_flagship(corpus_dir: str, num_cpus: int) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import pyarrow.parquet as pq
 
-    from fastcdc_rs_ray.pipelines.neardup import neardup_clusters
+    from fastcdc_rs_ray.pipelines.neardup import (
+        neardup_clusters,
+        neardup_clusters_distributed,
+    )
     from fastcdc_rs_ray.sources.transcripts import read_transcripts
 
     nbytes = 0
@@ -171,7 +174,15 @@ def run_corpus_flagship(corpus_dir: str, num_cpus: int) -> dict:
     # FIXED partition count at every cluster size (a real scaling run
     # executes the identical job plan on N and 4N nodes); aggregator actors
     # are cheap (0.1 CPU each, see fastcdc_rs_ray.ensure_data_context)
-    clusters = neardup_clusters(
+    # GRAFT_SCALE_MODE=distributed forces the shuffle verify + label-
+    # propagation CC (no driver-resident data-proportional stage) — the
+    # multi-node configuration the weak-scaling criterion describes
+    flagship = (
+        neardup_clusters_distributed
+        if os.environ.get("GRAFT_SCALE_MODE") == "distributed"
+        else neardup_clusters
+    )
+    clusters = flagship(
         ds, num_partitions=32, verify_threshold=0.4, pre_partitioned=True
     )
     n_out = 0

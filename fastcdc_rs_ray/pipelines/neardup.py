@@ -339,8 +339,7 @@ def verify_edges(edges_ds, sig_ds, threshold: float | None,
     Driver numpy path while the candidate set is driver-sized (the common
     case: candidates are a thin slice of the corpus — ~200 MB of signatures
     per million endpoints); tag-union shuffle path beyond."""
-    n_edges = edges_ds.count()
-    if n_edges <= driver_limit:
+    if driver_limit > 0 and edges_ds.count() <= driver_limit:
         import ray.data as rd
 
         return rd.from_arrow(verify_edges_driver(edges_ds, sig_ds, threshold))
@@ -407,6 +406,21 @@ def neardup_clusters_from_signatures(
     return _run_cc(cc, edges, sigs, num_partitions)
 
 
+def neardup_clusters_distributed(transcripts_ds, **kw):
+    """The flagship with every data-proportional stage forced DISTRIBUTED
+    (verify via the tag-union shuffle path, connected components via
+    label-propagation rounds) — the configuration a multi-node cluster
+    runs, where no stage's cost may grow with the corpus while staying on
+    the driver.  `neardup_clusters`'s auto paths deliberately keep
+    candidate-sized work driver-local because that is faster up to
+    millions of edges on one box; this entry point is the weak-scaling /
+    100 TB shape (and the scaling bench's subject).
+    """
+    kw.setdefault("verify_driver_limit", 0)
+    kw.setdefault("cc", "distributed")
+    return neardup_clusters(transcripts_ds, **kw)
+
+
 # driver union-find is O(edges) driver memory; beyond this the iterative
 # label-propagation rounds (O(log n) keyed exchanges) take over
 CC_DRIVER_EDGE_LIMIT = 50_000_000
@@ -433,6 +447,7 @@ def neardup_clusters(
     verify_threshold: float | None = 0.5,
     cc: str = "auto",
     pre_partitioned: bool = False,
+    verify_driver_limit: int = 5_000_000,
 ):
     """transcripts Dataset -> clusters Dataset (conv_id, cluster_id).
 
@@ -449,5 +464,6 @@ def neardup_clusters(
     # verify also dedupes and re-attaches conv_id strings; with
     # threshold=None it is a pure dedupe+translate
     edges = verify_edges(edges, sigs, verify_threshold,
-                         num_partitions=max(8, num_partitions // 2))
+                         num_partitions=max(8, num_partitions // 2),
+                         driver_limit=verify_driver_limit)
     return _run_cc(cc, edges, sigs, num_partitions)

@@ -118,3 +118,30 @@ def test_cc_auto_selects_distributed_above_limit(ray_session, monkeypatch):
     b = neardup_clusters(ds2, cfg=CFG, num_partitions=6, verify_threshold=0.4,
                          cc="auto").to_pandas()
     assert dict(zip(a.conv_id, a.cluster_id)) == dict(zip(b.conv_id, b.cluster_id))
+
+
+def test_fully_distributed_flagship_equals_auto(ray_session):
+    """neardup_clusters_distributed (shuffle verify + label-propagation CC,
+    no driver-resident data-proportional stage — the multi-node/weak-scaling
+    configuration) produces the same cluster partition as the auto paths."""
+    import ray.data as rd
+
+    from fastcdc_rs_ray.pipelines.neardup import neardup_clusters_distributed
+
+    transcripts, _ = synth_transcripts(n_convs=80, seed=13, dup_frac=0.4)
+    a = neardup_clusters(
+        rd.from_arrow(transcripts).repartition(4),
+        cfg=CFG, num_partitions=6, verify_threshold=0.4,
+    ).to_pandas()
+    b = neardup_clusters_distributed(
+        rd.from_arrow(transcripts).repartition(4),
+        cfg=CFG, num_partitions=6, verify_threshold=0.4,
+    ).to_pandas()
+
+    def canon(df):
+        groups = {}
+        for conv, cl in zip(df.conv_id, df.cluster_id):
+            groups.setdefault(cl, set()).add(conv)
+        return sorted(frozenset(g) for g in groups.values())
+
+    assert canon(a) == canon(b)
