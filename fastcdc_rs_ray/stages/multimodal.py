@@ -172,3 +172,67 @@ def sample_frames(ds, every_k: int = 4, batch_size: int = 16, concurrency=(2, 8)
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class MediaResizer:
+    """Actor-pool stage: decode, nearest-neighbor resize to (out_w, out_h),
+    re-encode with the synth header convention, and emit updated metadata.
+
+    The resize itself is real vectorized numpy (integer index gather); only
+    the codec boundary is pluggable, like the other media stages.  Output
+    keeps the media schema, so resize composes with featurize/frame-sample
+    (resize -> featurize is the standard thumbnail-embedding pipeline).
+    """
+
+    def __init__(self, out_w: int = 16, out_h: int = 16,
+                 decoder: Callable | None = None):
+        self.out_w = out_w
+        self.out_h = out_h
+        self.decoder = decoder or fake_decoder
+        # index grids built once per actor (state, not per batch)
+        self._xi = None
+        self._cache_shape = None
+
+    def _resize(self, frame: np.ndarray) -> np.ndarray:
+        h, w = frame.shape
+        ys = (np.arange(self.out_h) * h) // self.out_h
+        xs = (np.arange(self.out_w) * w) // self.out_w
+        return frame[np.ix_(ys, xs)]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
+        pay = t["payload"].combine_chunks() if isinstance(t["payload"], pa.ChunkedArray) else t["payload"]
+        mt = t["media_type"].to_pylist()
+        meta = t["meta"].combine_chunks() if isinstance(t["meta"], pa.ChunkedArray) else t["meta"]
+        out_pay, out_meta = [], []
+        header = np.array([self.out_w, self.out_h, 0], dtype=np.int32)
+        for i in range(n):  # per-payload decode is inherently per-row work
+            small = self._resize(self.decoder(pay[i].as_py(), mt[i]))
+            m = meta[i].as_py()
+            header[2] = m["n_frames"]
+            out_pay.append(header.view(np.uint8).tobytes() + small.tobytes())
+            out_meta.append(
+                {"width": self.out_w, "height": self.out_h,
+                 "n_frames": m["n_frames"]}
+            )
+        return pa.table(
+            {
+                "id": t["id"],
+                "payload": pa.array(out_pay, pa.large_binary()),
+                "media_type": t["media_type"],
+                "meta": pa.array(out_meta, MEDIA_META_TYPE),
+            }
+        )
+
+
+def resize_media(ds, out_w: int = 16, out_h: int = 16,
+                 batch_size: int = 16, concurrency=(2, 8)):
+    """media Dataset -> media Dataset at (out_w, out_h); schema-preserving,
+    so downstream media stages compose unchanged."""
+    return ds.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

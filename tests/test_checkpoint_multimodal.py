@@ -129,3 +129,37 @@ def test_fake_decoder_roundtrip():
     m = t["meta"][0].as_py()
     frame = fake_decoder(t["payload"][0].as_py(), "image")
     assert frame.shape == (m["height"], m["width"])
+
+
+def test_media_resize_composes_with_featurize(ray_session):
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.multimodal import (
+        fake_decoder,
+        featurize_media,
+        resize_media,
+        synth_media_table,
+    )
+
+    media = synth_media_table(n=24, seed=5)
+    ds = rd.from_arrow(media)
+    small = resize_media(ds, out_w=12, out_h=10, batch_size=8).materialize()
+    rows = small.take_all()
+    assert len(rows) == 24
+    for r in rows:
+        assert r["meta"]["width"] == 12 and r["meta"]["height"] == 10
+        frame = fake_decoder(r["payload"], r["media_type"])
+        assert frame.shape == (10, 12)
+    # schema-preserving: featurize runs unchanged on the resized output
+    feats = featurize_media(small, batch_size=8).take_all()
+    assert len(feats) == 24 and len(feats[0]["feature"]) == 32
+    # resize is a real downsample: resized payload decodes to a gather of
+    # the original pixels
+    import numpy as np
+    orig = fake_decoder(media["payload"][0].as_py(), "image")
+    got = fake_decoder(rows[0]["payload"], rows[0]["media_type"]) if rows[0]["id"] == 0 else None
+    if got is not None:
+        h, w = orig.shape
+        ys = (np.arange(10) * h) // 10
+        xs = (np.arange(12) * w) // 12
+        assert (got == orig[np.ix_(ys, xs)]).all()
