@@ -549,6 +549,17 @@ def q_supplier_nation_revenue(sf_dir: str):
     return supplier_nation_revenue(lineitem, supplier, nation)
 
 
+def q_heavy_users(sf_dir: str):
+    """Exact top-5 users by event count through the bounded-memory path:
+    Misra-Gries mergeable summaries -> candidate recount -> true top-k."""
+    import ray.data as rd
+
+    from ..stages.sketch import heavy_hitters_exact
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return heavy_hitters_exact(ds, key="user_id", k=5)
+
+
 def q_hopping_windows(sf_dir: str):
     """Hopping-window aggregate (1 h windows every 15 min): constant-k
     per-block explode + partial combine + keyed exchange, exact cents."""
@@ -686,6 +697,7 @@ QUERIES = {
     "running_totals": q_running_totals,
     "inactive_customers": q_inactive_customers,
     "hopping_windows": q_hopping_windows,
+    "heavy_users": q_heavy_users,
 }
 
 
@@ -706,6 +718,7 @@ from ..stages.aggregate import (
 )
 from ..stages.joins import INACTIVE_CUSTOMERS_SQL, ORDER_REVENUE_TOPK_SQL
 from ..stages.sample import SAMPLE_DOCS_SQL
+from ..stages.sketch import HEAVY_USERS_SQL
 from ..stages.sessions import (
     DISTINCT_USERS_PER_TYPE_SQL,
     HOPPING_WINDOWS_SQL,
@@ -732,6 +745,7 @@ ORACLE_SQL = {
     "running_totals": RUNNING_TOTALS_SQL,
     "inactive_customers": INACTIVE_CUSTOMERS_SQL,
     "hopping_windows": HOPPING_WINDOWS_SQL,
+    "heavy_users": HEAVY_USERS_SQL,
     "event_session_asof": f"""
 WITH sessions AS ({SESSIONIZE_SQL})
 SELECT e.event_id, e.user_id, e.ts, CAST(s.session_id AS BIGINT) AS session_id

@@ -82,3 +82,104 @@ def ndv_sketch(ds, key: str = "user_id", p: int = HLL_P):
         for buf in t["regs"].to_pylist():
             merged = hll_merge(merged, np.frombuffer(buf, dtype=np.uint8))
     return pa.table({"ndv_estimate": pa.array([hll_estimate(merged, p)], pa.float64())})
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable summaries) + exact second pass
+# --------------------------------------------------------------------------
+
+MG_CAPACITY = 2048
+
+
+def mg_compress(keys: np.ndarray, counts: np.ndarray, m: int):
+    """Compress an exact (key, count) frequency table to at most ``m``
+    entries with the Misra-Gries decrement rule: subtract the (m+1)-th
+    largest count from every entry and drop the non-positive remainder
+    (Agarwal et al., "Mergeable Summaries" — the merge of two summaries is
+    concat + group-sum + this compress).  Every surviving count
+    underestimates the true count by at most the cumulative subtracted
+    amount, which over any merge tree is <= n_total / (m + 1)."""
+    if len(keys) <= m:
+        return keys, counts
+    kth = np.partition(counts, len(counts) - m - 1)[len(counts) - m - 1]
+    kept = counts > kth
+    return keys[kept], counts[kept] - kth
+
+
+def mg_merge(a_keys, a_counts, b_keys, b_counts, m: int):
+    """Merge two MG summaries: group-sum shared keys, then compress."""
+    keys = np.concatenate([a_keys, b_keys])
+    counts = np.concatenate([a_counts, b_counts])
+    uk, inv = np.unique(keys, return_inverse=True)
+    summed = np.bincount(inv, weights=counts).astype(np.int64)
+    return mg_compress(uk, summed, m)
+
+
+def heavy_hitters_exact(ds, key: str = "user_id", k: int = 5,
+                        m: int = MG_CAPACITY):
+    """Exact top-k frequent keys with BOUNDED memory everywhere: pass 1
+    builds an m-entry Misra-Gries summary (per-block np.unique partials,
+    m-capped; driver merge is m-bounded regardless of key universe — the
+    scale story vs ``top_users``' full per-block count tables); pass 2
+    recounts only the m candidates exactly (broadcast membership filter +
+    partial counts) and takes the true top-k.
+
+    Correctness condition (asserted by the sketch guarantee): every key
+    with true count > n/(m+1) survives pass 1, so the exact top-k is in
+    the candidate set whenever the k-th most frequent key clears that
+    bar — the heavy-hitter regime the operator is for.  Output:
+    (user_id, n_events), count-desc / key-asc deterministic order.
+    """
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        kv = t[key].combine_chunks().to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(kv, return_counts=True)
+        uk, cnt = mg_compress(uk, cnt.astype(np.int64), m)
+        return pa.table({"k": pa.array(uk, pa.int64()),
+                         "c": pa.array(cnt, pa.int64())})
+
+    # driver-side merge of m-bounded summaries (sequential fold is the
+    # same associative merge a tree reduce would run)
+    mk = np.empty(0, np.int64)
+    mc = np.empty(0, np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if len(t) == 0:
+            continue
+        mk, mc = mg_merge(mk, mc, t["k"].to_numpy(), t["c"].to_numpy(), m)
+
+    cand = np.sort(mk)
+    cand_ref = ray.put(cand)
+
+    def recount(t: pa.Table) -> pa.Table:
+        c = ray.get(cand_ref)
+        kv = t[key].combine_chunks().to_numpy(zero_copy_only=False)
+        kv = kv[np.isin(kv, c)]
+        uk, cnt = np.unique(kv, return_counts=True)
+        return pa.table({"k": pa.array(uk, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    totals = {}
+    for b in ds.map_batches(recount, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for kk, cc in zip(t["k"].to_numpy(), t["c"].to_numpy()):
+            totals[int(kk)] = totals.get(int(kk), 0) + int(cc)
+    order = sorted(totals.items(), key=lambda kv_: (-kv_[1], kv_[0]))[:k]
+    return pa.table({
+        "user_id": pa.array([o[0] for o in order], pa.int64()),
+        "n_events": pa.array([o[1] for o in order], pa.int64()),
+    })
+
+
+HEAVY_USERS_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC
+LIMIT 5
+"""

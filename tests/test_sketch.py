@@ -51,3 +51,61 @@ def test_ndv_sketch_on_events(ray_session):
     ds = rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id"])
     est = ndv_sketch(ds, key="user_id")["ndv_estimate"].to_pylist()[0]
     assert abs(est - exact) / exact < 0.05, (exact, est)
+
+
+def test_mg_guarantee_zipf_universe_much_larger_than_capacity():
+    """Misra-Gries bound on a skewed stream: every key with true count
+    > n/(m+1) survives compression, and estimates undercount by at most
+    n/(m+1) — with a key universe 100x the summary capacity."""
+    from fastcdc_rs_ray.stages.sketch import mg_compress, mg_merge
+
+    rng = np.random.default_rng(3)
+    m = 64
+    # zipf-ish: a few planted heavy keys over a big uniform universe
+    heavy = np.repeat(np.arange(10, dtype=np.int64), 2000)          # 10 x 2000
+    tail = rng.integers(100, 6500, size=30_000).astype(np.int64)    # ~6400 keys
+    stream = np.concatenate([heavy, tail])
+    rng.shuffle(stream)
+    n = len(stream)
+
+    # simulate distributed blocks: 16 partial summaries merged pairwise
+    mk = np.empty(0, np.int64)
+    mc = np.empty(0, np.int64)
+    for blk in np.array_split(stream, 16):
+        uk, cnt = np.unique(blk, return_counts=True)
+        uk, cnt = mg_compress(uk, cnt.astype(np.int64), m)
+        mk, mc = mg_merge(mk, mc, uk, cnt, m)
+    assert len(mk) <= m
+    bound = n / (m + 1)
+    true_k, true_c = np.unique(stream, return_counts=True)
+    must_survive = true_k[true_c > bound]
+    assert set(must_survive).issubset(set(mk.tolist()))
+    # all 10 planted heavies clear the bound and survive
+    assert set(range(10)).issubset(set(mk.tolist()))
+    # estimate error bound
+    est = dict(zip(mk.tolist(), mc.tolist()))
+    true = dict(zip(true_k.tolist(), true_c.tolist()))
+    for kk, ee in est.items():
+        assert 0 < ee <= true[kk]
+        assert true[kk] - ee <= bound
+
+
+def test_heavy_hitters_exact_matches_full_count(ray_session):
+    """Second-pass recount makes the output exact whenever the k-th key
+    clears the MG bar — compare against a brute-force count, with summary
+    capacity far below the distinct universe."""
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.sketch import heavy_hitters_exact
+
+    rng = np.random.default_rng(11)
+    heavy = np.repeat(np.arange(5, dtype=np.int64) + 1000, 500)
+    tail = rng.integers(0, 900, size=8000).astype(np.int64)
+    stream = np.concatenate([heavy, tail])
+    rng.shuffle(stream)
+    ds = rd.from_arrow(pa.table({"user_id": pa.array(stream, pa.int64())})).repartition(8)
+    got = heavy_hitters_exact(ds, key="user_id", k=5, m=64).to_pandas()
+    uk, cnt = np.unique(stream, return_counts=True)
+    order = np.lexsort((uk, -cnt))[:5]
+    assert list(got["user_id"]) == list(uk[order])
+    assert list(got["n_events"]) == list(cnt[order])
