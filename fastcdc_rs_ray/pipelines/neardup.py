@@ -467,3 +467,49 @@ def neardup_clusters(
                          num_partitions=max(8, num_partitions // 2),
                          driver_limit=verify_driver_limit)
     return _run_cc(cc, edges, sigs, num_partitions)
+
+
+def representatives(clusters_ds, num_partitions: int = 16):
+    """clusters (conv_id, cluster_id) -> kept representatives — the dedup
+    ACTION for the near-dup tier (parallel to exact_dedup's first-wins and
+    substring_clean's span cuts): one conversation per cluster, the
+    lexicographically smallest conv_id, plus the cluster size.
+
+    One keyed repartition on cluster_id, then a vectorized per-block
+    group-min — output is one row per cluster, so every stage is
+    partition-local and the operator scales with the cluster universe.
+    Output: (conv_id, cluster_id, n_members).
+    """
+    import pyarrow.compute as pc
+
+    ds = clusters_ds.repartition(num_blocks=num_partitions, keys=["cluster_id"])
+
+    out_schema = pa.schema(
+        [("conv_id", pa.string()), ("cluster_id", pa.string()),
+         ("n_members", pa.int64())]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            t, sort_keys=[("cluster_id", "ascending"), ("conv_id", "ascending")]
+        )
+        t = t.take(order)
+        cl = t["cluster_id"].combine_chunks()
+        n = len(t)
+        neq = pc.not_equal(cl.slice(1), cl.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
+        sizes = np.diff(np.append(starts, n))
+        sel = pa.array(starts, pa.int64())
+        return pa.table(
+            {
+                "conv_id": t["conv_id"].combine_chunks().take(sel),
+                "cluster_id": cl.take(sel),
+                "n_members": pa.array(sizes, pa.int64()),
+            }
+        ).cast(out_schema)
+
+    return ds.map_batches(per_block, batch_format="pyarrow", batch_size=None)

@@ -549,6 +549,19 @@ def q_supplier_nation_revenue(sf_dir: str):
     return supplier_nation_revenue(lineitem, supplier, nation)
 
 
+def q_neardup_keep(sf_dir: str):
+    """The near-dup tier's dedup action: one representative conversation
+    per cluster (min conv_id) with cluster size — flagship clusters
+    reduced by one keyed exchange on cluster_id."""
+    from .neardup import representatives
+
+    clusters = neardup_clusters(
+        transcripts_from_documents(sf_dir), num_partitions=16,
+        verify_threshold=0.4,
+    )
+    return representatives(clusters, num_partitions=8)
+
+
 def q_heavy_users(sf_dir: str):
     """Exact top-5 users by event count through the bounded-memory path:
     Misra-Gries mergeable summaries -> candidate recount -> true top-k."""
@@ -698,6 +711,7 @@ QUERIES = {
     "inactive_customers": q_inactive_customers,
     "hopping_windows": q_hopping_windows,
     "heavy_users": q_heavy_users,
+    "neardup_keep": q_neardup_keep,
 }
 
 

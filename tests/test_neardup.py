@@ -145,3 +145,28 @@ def test_fully_distributed_flagship_equals_auto(ray_session):
         return sorted(frozenset(g) for g in groups.values())
 
     assert canon(a) == canon(b)
+
+
+def test_representatives_action(ray_session):
+    """One representative (min conv_id) per cluster; exact-copy twins
+    collapse onto their base conversation; sizes sum to the corpus."""
+    import ray.data as rd
+
+    from fastcdc_rs_ray.pipelines.neardup import representatives
+
+    transcripts, truth = synth_transcripts(n_convs=60, seed=21, dup_frac=0.5)
+    ds = rd.from_arrow(transcripts).repartition(4)
+    clusters = neardup_clusters(ds, cfg=CFG, num_partitions=6,
+                                verify_threshold=0.4)
+    total = clusters.count()
+    reps = representatives(clusters, num_partitions=4).to_pandas()
+    # one row per cluster, sizes account for every conversation
+    assert reps.cluster_id.is_unique
+    assert int(reps.n_members.sum()) == total
+    # representative is the minimum member: re-derive from the full map
+    full = neardup_clusters(rd.from_arrow(transcripts).repartition(4),
+                            cfg=CFG, num_partitions=6,
+                            verify_threshold=0.4).to_pandas()
+    want = full.groupby("cluster_id")["conv_id"].min()
+    got = reps.set_index("cluster_id")["conv_id"]
+    assert got.sort_index().equals(want.sort_index())
