@@ -562,6 +562,20 @@ def q_neardup_keep(sf_dir: str):
     return representatives(clusters, num_partitions=8)
 
 
+def q_pricing_rollup(sf_dir: str):
+    """GROUP BY ROLLUP shape: one-pass multi-level partials + keyed
+    exchange; NULL group keys on subtotal rows per SQL convention."""
+    import ray.data as rd
+
+    from ..stages.aggregate import pricing_rollup
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return pricing_rollup(ds, num_partitions=4)
+
+
 def q_heavy_users(sf_dir: str):
     """Exact top-5 users by event count through the bounded-memory path:
     Misra-Gries mergeable summaries -> candidate recount -> true top-k."""
@@ -712,6 +726,7 @@ QUERIES = {
     "hopping_windows": q_hopping_windows,
     "heavy_users": q_heavy_users,
     "neardup_keep": q_neardup_keep,
+    "pricing_rollup": q_pricing_rollup,
 }
 
 
@@ -724,6 +739,7 @@ _TOKENS_SQL = (
 )
 
 from ..stages.aggregate import (
+    PRICING_ROLLUP_SQL,
     PRICING_SUMMARY_SQL,
     PROMO_REVENUE_SQL,
     QUANTITY_BANDS_SQL,
@@ -760,6 +776,7 @@ ORACLE_SQL = {
     "inactive_customers": INACTIVE_CUSTOMERS_SQL,
     "hopping_windows": HOPPING_WINDOWS_SQL,
     "heavy_users": HEAVY_USERS_SQL,
+    "pricing_rollup": PRICING_ROLLUP_SQL,
     "event_session_asof": f"""
 WITH sessions AS ({SESSIONIZE_SQL})
 SELECT e.event_id, e.user_id, e.ts, CAST(s.session_id AS BIGINT) AS session_id

@@ -447,3 +447,95 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 """
+
+
+def pricing_rollup(lineitem_ds, num_partitions: int = 4):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) — the grouping-sets /
+    hierarchy-subtotal shape, computed in ONE pass: each block's exact
+    (flag, status) partials are emitted at all three levels (leaf, per-flag
+    subtotal, grand total) with a level tag and a sentinel for rolled-up
+    keys, so the keyed exchange still moves a few rows per block and the
+    distributed combine is level-agnostic.  Sentinels become SQL NULLs at
+    the end (ROLLUP's convention).
+
+    Output: (l_returnflag, l_linestatus, count_order, sum_qty_c) with
+    NULL group keys on subtotal rows; measures in exact int64 cents.
+    """
+    SENT = "\x00ALL"
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flag = t["l_returnflag"].combine_chunks()
+        stat = t["l_linestatus"].combine_chunks()
+        qty = np.round(
+            t["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        key = pc.binary_join_element_wise(flag, stat, "\x01")
+        uk, inv = np.unique(np.asarray(key.to_pylist(), dtype=object),
+                            return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.bincount(inv, weights=qty).astype(np.int64)
+        f = np.array([k.split("\x01")[0] for k in uk], dtype=object)
+        st = np.array([k.split("\x01")[1] for k in uk], dtype=object)
+        # leaf level + per-flag subtotal + grand total from the same partials
+        uf, finv = np.unique(f, return_inverse=True)
+        nf = np.bincount(finv, weights=n).astype(np.int64)
+        sf = np.bincount(finv, weights=s).astype(np.int64)
+        rows_f = np.concatenate([f, uf, [SENT]])
+        rows_s = np.concatenate([st, np.full(len(uf), SENT, object), [SENT]])
+        rows_n = np.concatenate([n, nf, [n.sum()]])
+        rows_q = np.concatenate([s, sf, [s.sum()]])
+        return pa.table(
+            {
+                "gf": pa.array(rows_f.tolist(), pa.string()),
+                "gs": pa.array(rows_s.tolist(), pa.string()),
+                "n": pa.array(rows_n, pa.int64()),
+                "q": pa.array(rows_q, pa.int64()),
+            }
+        )
+
+    partials = lineitem_ds.map_batches(partial, batch_format="pyarrow")
+    partials = partials.repartition(num_blocks=num_partitions, keys=["gf", "gs"])
+
+    out_schema = pa.schema(
+        [("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+         ("count_order", pa.int64()), ("sum_qty_c", pa.int64())]
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        gf = np.asarray(t["gf"].to_pylist(), dtype=object)
+        gs = np.asarray(t["gs"].to_pylist(), dtype=object)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        q = t["q"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = np.array([a + "\x01" + b for a, b in zip(gf, gs)], dtype=object)
+        uk, inv = np.unique(key, return_inverse=True)
+        cn = np.bincount(inv, weights=n).astype(np.int64)
+        cq = np.bincount(inv, weights=q).astype(np.int64)
+        outf = [k.split("\x01")[0] for k in uk]
+        outs = [k.split("\x01")[1] for k in uk]
+        return pa.table(
+            {
+                "l_returnflag": pa.array(
+                    [None if v == SENT else v for v in outf], pa.string()
+                ),
+                "l_linestatus": pa.array(
+                    [None if v == SENT else v for v in outs], pa.string()
+                ),
+                "count_order": pa.array(cn, pa.int64()),
+                "sum_qty_c": pa.array(cq, pa.int64()),
+            }
+        ).cast(out_schema)
+
+    return partials.map_batches(combine, batch_format="pyarrow", batch_size=None)
+
+
+PRICING_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS count_order,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""

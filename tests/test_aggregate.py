@@ -147,3 +147,28 @@ def test_supplier_nation_revenue_crafted(ray_session):
     # N7: supp 0,1 -> items 3, rev = 100*100 + 200*100 + 400*100 = 70000
     # N3: supp 2 -> rev = 300*50 = 15000
     assert got == {"N7": (3, 70_000), "N3": (1, 15_000)}
+
+
+def test_pricing_rollup_levels(ray_session):
+    """All three ROLLUP levels present and internally consistent: leaf
+    rows sum to their flag subtotal, subtotals sum to the grand total."""
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.aggregate import pricing_rollup
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    df = pricing_rollup(ds, num_partitions=4).to_pandas()
+    leaf = df[df.l_linestatus.notna()]
+    sub = df[df.l_returnflag.notna() & df.l_linestatus.isna()]
+    total = df[df.l_returnflag.isna()]
+    assert len(total) == 1 and total.l_linestatus.isna().all()
+    assert len(sub) == leaf.l_returnflag.nunique()
+    for flag, g in leaf.groupby("l_returnflag"):
+        row = sub[sub.l_returnflag == flag]
+        assert int(g.count_order.sum()) == int(row.count_order.iloc[0])
+        assert int(g.sum_qty_c.sum()) == int(row.sum_qty_c.iloc[0])
+    assert int(sub.count_order.sum()) == int(total.count_order.iloc[0])
+    assert int(sub.sum_qty_c.sum()) == int(total.sum_qty_c.iloc[0])
