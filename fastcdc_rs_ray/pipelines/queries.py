@@ -676,6 +676,73 @@ def q_top_users(sf_dir: str):
     return top_users(ds, k=10)
 
 
+def q_large_orders(sf_dir: str):
+    """TPC-H-Q18-shape groupby-HAVING join: orders totalling > 100 units,
+    via fact-side partial aggregation + one tag-union keyed exchange."""
+    import ray.data as rd
+
+    from ..stages.joins import large_orders
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    return large_orders(orders, lineitem, min_qty=100, num_partitions=8)
+
+
+def q_moving_sums(sf_dir: str):
+    """Sliding window-frame aggregate (ROWS BETWEEN 6 PRECEDING AND
+    CURRENT ROW): per-user moving sum in exact cents, one keyed exchange
+    + vectorized clamped-cumsum per block."""
+    import ray.data as rd
+
+    from ..stages.sessions import moving_sums
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return moving_sums(ds, num_partitions=8)
+
+
+def q_events_pivot(sf_dir: str):
+    """Pivot/crosstab (COUNT FILTER shape): per-user per-event-type counts
+    + purchase revenue as fixed columns; the exchange carries only the
+    already-pivoted one-row-per-(block,user) partials."""
+    import ray.data as rd
+
+    from ..stages.sessions import events_pivot
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+    return events_pivot(ds, num_partitions=8)
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: n smallest-hash events per
+    event_type via per-block combiner top-n + one tiny keyed exchange
+    (never shuffling the raw stream over a few-strata key)."""
+    import ray.data as rd
+
+    from ..stages.sample import stratified_sample_events
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "user_id"]
+    )
+    return stratified_sample_events(ds, num_partitions=4)
+
+
+def q_top_tokens(sf_dir: str):
+    """Word-count (explode + two-level count + top-k): global token
+    frequencies with per-block value_counts partials before the exchange."""
+    from ..stages.wordcount import top_tokens
+
+    return top_tokens(_documents(sf_dir, ["doc_id", "text"]), num_partitions=8)
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -727,6 +794,11 @@ QUERIES = {
     "heavy_users": q_heavy_users,
     "neardup_keep": q_neardup_keep,
     "pricing_rollup": q_pricing_rollup,
+    "large_orders": q_large_orders,
+    "moving_sums": q_moving_sums,
+    "events_pivot": q_events_pivot,
+    "stratified_sample": q_stratified_sample,
+    "top_tokens": q_top_tokens,
 }
 
 
@@ -746,11 +818,18 @@ from ..stages.aggregate import (
     REGION_CUSTOMER_STATS_SQL,
     SUPPLIER_NATION_REVENUE_SQL,
 )
-from ..stages.joins import INACTIVE_CUSTOMERS_SQL, ORDER_REVENUE_TOPK_SQL
-from ..stages.sample import SAMPLE_DOCS_SQL
+from ..stages.joins import (
+    INACTIVE_CUSTOMERS_SQL,
+    LARGE_ORDERS_SQL,
+    ORDER_REVENUE_TOPK_SQL,
+)
+from ..stages.sample import SAMPLE_DOCS_SQL, STRATIFIED_SAMPLE_SQL
+from ..stages.wordcount import TOP_TOKENS_SQL
 from ..stages.sketch import HEAVY_USERS_SQL
 from ..stages.sessions import (
     DISTINCT_USERS_PER_TYPE_SQL,
+    EVENTS_PIVOT_SQL,
+    MOVING_SUMS_SQL,
     HOPPING_WINDOWS_SQL,
     RUNNING_TOTALS_SQL,
     TOP_EVENTS_PER_USER_SQL,
@@ -777,6 +856,11 @@ ORACLE_SQL = {
     "hopping_windows": HOPPING_WINDOWS_SQL,
     "heavy_users": HEAVY_USERS_SQL,
     "pricing_rollup": PRICING_ROLLUP_SQL,
+    "large_orders": LARGE_ORDERS_SQL,
+    "moving_sums": MOVING_SUMS_SQL,
+    "events_pivot": EVENTS_PIVOT_SQL,
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "top_tokens": TOP_TOKENS_SQL,
     "event_session_asof": f"""
 WITH sessions AS ({SESSIONIZE_SQL})
 SELECT e.event_id, e.user_id, e.ts, CAST(s.session_id AS BIGINT) AS session_id

@@ -381,3 +381,106 @@ WHERE c_custkey NOT IN (
   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 )
 """
+
+def large_orders(orders_ds, lineitem_ds, min_qty: int = 100,
+                 num_partitions: int = 8):
+    """TPC-H-Q18-shape groupby-HAVING join: orders whose lineitems sum to
+    more than ``min_qty`` units, with the total attached.
+
+    Shape: the fact side pre-aggregates per block (one row per (block,
+    orderkey) — the partial-aggregation rule), then ONE tag-union keyed
+    exchange on orderkey co-locates each order's partial sums with its
+    orders row, and a vectorized per-block combine applies the HAVING
+    filter and attaches order attributes.  No broadcast (the HAVING
+    survivor set's size is data-dependent, so neither side is assumed
+    driver-small), no ``Dataset.join``.  Quantities accumulate in exact
+    integer centi-units so the result is bit-identical under any
+    partitioning (reference has no joins/aggregates — SURVEY.md §2.4/2.5).
+    """
+    schema = pa.schema([
+        ("jkey", pa.int64()), ("tag", pa.int8()), ("qty_c", pa.int64()),
+        ("o_custkey", pa.int64()), ("o_totalprice", pa.float64()),
+    ])
+
+    def lineitem_partial(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["l_orderkey"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        q = t["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        qc = np.round(q * 100).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        k, qc = k[order], qc[order]
+        starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1]) if len(k) else np.empty(0, np.int64)
+        sums = np.add.reduceat(qc, starts) if len(k) else np.empty(0, np.int64)
+        n = len(starts)
+        return pa.table({
+            "jkey": pa.array(k[starts] if len(k) else [], pa.int64()),
+            "tag": pa.array(np.ones(n, np.int8), pa.int8()),
+            "qty_c": pa.array(sums, pa.int64()),
+            "o_custkey": pa.nulls(n, pa.int64()),
+            "o_totalprice": pa.nulls(n, pa.float64()),
+        }).cast(schema)
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "jkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "tag": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "qty_c": pa.nulls(n, pa.int64()),
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "o_totalprice": pc.cast(t["o_totalprice"], pa.float64()),
+        }).cast(schema)
+
+    mixed = lineitem_ds.map_batches(lineitem_partial, batch_format="pyarrow").union(
+        orders_ds.map_batches(orders_side, batch_format="pyarrow")
+    )
+    mixed = mixed.repartition(num_blocks=num_partitions, keys=["jkey"])
+
+    out_schema = pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("o_totalprice", pa.float64()), ("sum_qty", pa.float64()),
+    ])
+    thresh_c = min_qty * 100
+
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["jkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        lin = tag == 1
+        lk = k[lin]
+        if len(lk) == 0:
+            return out_schema.empty_table()
+        lc = t["qty_c"].combine_chunks().to_numpy(zero_copy_only=False)[lin]
+        order = np.argsort(lk, kind="stable")
+        lk, lc = lk[order], lc[order]
+        starts = np.concatenate([[0], np.flatnonzero(lk[1:] != lk[:-1]) + 1])
+        sums = np.add.reduceat(lc, starts)
+        keys = lk[starts]
+        keep = sums > thresh_c
+        keys, sums = keys[keep], sums[keep]
+        osel = np.flatnonzero(tag == 0)
+        if len(keys) == 0 or len(osel) == 0:
+            return out_schema.empty_table()
+        ok = k[osel]
+        pos = np.searchsorted(keys, ok)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        hit = keys[pos_c] == ok
+        osel, pos_c = osel[hit], pos_c[hit]
+        sel = pa.array(osel, pa.int64())
+        return pa.table({
+            "o_orderkey": pa.array(ok[hit], pa.int64()),
+            "o_custkey": t["o_custkey"].combine_chunks().take(sel),
+            "o_totalprice": t["o_totalprice"].combine_chunks().take(sel),
+            "sum_qty": pa.array(sums[pos_c] / 100.0, pa.float64()),
+        }).cast(out_schema)
+
+    return mixed.map_batches(combine, batch_format="pyarrow", batch_size=None)
+
+
+LARGE_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_qty
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_custkey, o_totalprice
+HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 100 * 100
+"""

@@ -60,3 +60,55 @@ FROM documents
 WHERE (CAST(doc_id AS HUGEINT) * {SAMPLE_MULT})
       % 18446744073709551616 % 100 < {SAMPLE_PCT}
 """
+
+STRATA_N = 25  # deterministic per-stratum sample size
+
+
+def stratified_sample_events(events_ds, n: int = STRATA_N,
+                             num_partitions: int = 4):
+    """Stratified deterministic sample: for every event_type, the ``n``
+    events whose (bijective multiplicative) event_id hash is smallest —
+    reproducible across runs and block retries, like :func:`hash_sample`.
+
+    Combiner shape: each block keeps only its local n-per-stratum
+    candidates (the full data never shuffles — the few-strata key space
+    would make a raw keyed exchange maximally skewed), then one tiny
+    keyed exchange on event_type merges candidate sets and re-applies the
+    same selection.  The hash is a bijection on u64, so ranks are
+    collision-free and the selection is unique."""
+
+    def topn_per_type(t: pa.Table) -> pa.Table:
+        n_rows = len(t)
+        if n_rows == 0:
+            return t.select(["event_type", "event_id", "user_id"])
+        eid = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        hv = eid.astype(np.uint64) * np.uint64(SAMPLE_MULT)
+        enc = t["event_type"].combine_chunks().dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((hv, code))
+        starts = np.concatenate(
+            [[0], np.flatnonzero(code[order][1:] != code[order][:-1]) + 1]
+        )
+        rank = np.arange(n_rows) - np.repeat(
+            starts, np.diff(np.append(starts, n_rows))
+        )
+        sel = pa.array(order[rank < n], pa.int64())
+        return t.select(["event_type", "event_id", "user_id"]).take(sel)
+
+    cands = events_ds.map_batches(
+        lambda t: topn_per_type(t), batch_format="pyarrow"
+    )
+    cands = cands.repartition(num_blocks=num_partitions, keys=["event_type"])
+    return cands.map_batches(topn_per_type, batch_format="pyarrow",
+                             batch_size=None)
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT event_type, event_id, user_id FROM (
+  SELECT event_type, event_id, user_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY (CAST(event_id AS HUGEINT) * {SAMPLE_MULT})
+                    % 18446744073709551616) AS rk
+  FROM events) WHERE rk <= {STRATA_N}
+"""

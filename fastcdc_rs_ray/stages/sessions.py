@@ -595,3 +595,147 @@ FROM (
 )
 GROUP BY user_id, w_start
 """
+
+MOVING_FRAME = 7  # current row + 6 preceding
+
+
+def moving_sums(events_ds, frame: int = MOVING_FRAME, num_partitions: int = 16):
+    """Sliding window-frame aggregate (``ROWS BETWEEN 6 PRECEDING AND
+    CURRENT ROW``): per-user moving sum of value over the last ``frame``
+    events ordered by (ts, event_id).
+
+    One keyed repartition co-locates each user's events, then one
+    vectorized per-block pass: global cumulative sum in exact integer
+    cents, window = ``cum[i] - cum[max(i-frame+1, segment_start)-1]``
+    with the lower bound clamped to the user's first row — no per-row
+    loop, no materialized sliding windows.  Exact cents make the result
+    partitioning-invariant (float accumulation would drift)."""
+    ds = events_ds.repartition(num_blocks=num_partitions, keys=["user_id"])
+
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("mov_sum", pa.float64()),
+    ])
+
+    def per_block(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]
+        )
+        t = t.take(order)
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        cents = np.round(
+            t["value"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        idx = np.arange(n, dtype=np.int64)
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        seg_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        lo = np.maximum(idx - (frame - 1), seg_start)
+        csh = np.concatenate([[0], np.cumsum(cents)])  # csh[i] = sum of rows < i
+        wsum = csh[idx + 1] - csh[lo]
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "mov_sum": pa.array(wsum / 100.0, pa.float64()),
+        }).cast(out_schema)
+
+    return ds.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+MOVING_SUMS_SQL = f"""
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN {MOVING_FRAME - 1} PRECEDING AND CURRENT ROW)
+            AS BIGINT) / 100.0 AS mov_sum
+FROM events
+"""
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(events_ds, num_partitions: int = 8):
+    """Pivot / crosstab: one row per user with per-event-type counts and
+    the purchase-value total as columns (``COUNT(*) FILTER`` shape).
+
+    Per-block partial pivot (one row per (block, user) — the exchange
+    carries the already-pivoted fixed-width row, never the raw events),
+    then a keyed exchange on user_id and a vectorized reduceat combine.
+    Types outside ``PIVOT_TYPES`` land in none of the columns (SQL FILTER
+    semantics); value accumulates in exact cents."""
+    count_cols = [f"n_{ty}" for ty in PIVOT_TYPES]
+    fields = [("user_id", pa.int64())]
+    fields += [(c, pa.int64()) for c in count_cols]
+    fields += [("purchase_c", pa.int64())]
+    mid_schema = pa.schema(fields)
+    type_set = pa.array(PIVOT_TYPES, pa.string())
+    pi = PIVOT_TYPES.index("purchase")
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return mid_schema.empty_table()
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        code = pc.index_in(t["event_type"].combine_chunks(), value_set=type_set)
+        code = code.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            t["value"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        order = np.argsort(uid, kind="stable")
+        uid, code, cents = uid[order], code[order], cents[order]
+        starts = np.concatenate([[0], np.flatnonzero(uid[1:] != uid[:-1]) + 1])
+        cols = {"user_id": pa.array(uid[starts], pa.int64())}
+        for ti, c in enumerate(count_cols):
+            cols[c] = pa.array(
+                np.add.reduceat((code == ti).astype(np.int64), starts), pa.int64()
+            )
+        cols["purchase_c"] = pa.array(
+            np.add.reduceat(np.where(code == pi, cents, 0), starts), pa.int64()
+        )
+        return pa.table(cols).cast(mid_schema)
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow")
+    partials = partials.repartition(num_blocks=num_partitions, keys=["user_id"])
+
+    out_fields = [("user_id", pa.int64())]
+    out_fields += [(c, pa.int64()) for c in count_cols]
+    out_fields += [("purchase_value", pa.float64())]
+    out_schema = pa.schema(out_fields)
+
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        uid = uid[order]
+        starts = np.concatenate([[0], np.flatnonzero(uid[1:] != uid[:-1]) + 1])
+        cols = {"user_id": pa.array(uid[starts], pa.int64())}
+        for c in count_cols:
+            v = t[c].combine_chunks().to_numpy(zero_copy_only=False)[order]
+            cols[c] = pa.array(np.add.reduceat(v, starts), pa.int64())
+        pv = t["purchase_c"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        cols["purchase_value"] = pa.array(
+            np.add.reduceat(pv, starts) / 100.0, pa.float64()
+        )
+        return pa.table(cols).cast(out_schema)
+
+    return partials.map_batches(combine, batch_format="pyarrow", batch_size=None)
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (event_type = 'view')     AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) / 100.0 AS purchase_value
+FROM events
+GROUP BY user_id
+"""
