@@ -303,6 +303,17 @@ def q_chunks_nc3(sf_dir: str):
     return _chunks_with(sf_dir, ChunkerConfig(64, 256, 1024, norm_level=3))
 
 
+def q_chunks_files(sf_dir: str):
+    """File-source chunking (SURVEY §2.1 S5, the reference's mmap-a-file
+    entry point): documents staged once as one file each under /tmp, read
+    back via ray.data.read_binary_files, chunked by the same kernel.
+    Rows-only gate (CDC boundaries aren't SQL-expressible); pytest pins
+    bit-parity against table-sourced chunking of the same bytes."""
+    from ..sources.files import chunks_from_document_files
+
+    return chunks_from_document_files(sf_dir, DEFAULT_CONFIG)
+
+
 def q_minhash_signatures(sf_dir: str):
     sigs = signatures_pipeline(
         transcripts_from_documents(sf_dir), num_partitions=16
@@ -760,6 +771,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "embed_neardup": q_embed_neardup,
     "chunks": q_chunks,
+    "chunks_files": q_chunks_files,
     "chunks_v2016": q_chunks_v2016,
     "chunks_ronomon": q_chunks_ronomon,
     "chunks_seeded": q_chunks_seeded,

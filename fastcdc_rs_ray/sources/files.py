@@ -1,0 +1,88 @@
+"""Binary-file source: chunk raw files straight from storage.
+
+The reference's primary real-world entry point is a FILE (mmap slice source,
+``examples/v2020.rs:29-32`` — SURVEY.md §2.1 S5); this maps it to
+``ray.data.read_binary_files(include_paths=True)`` feeding the same
+stateless ChunkStage kernel the transcript pipeline uses.  Chunk output is
+invariant to how the bytes arrived (the reference's stream-vs-slice parity
+contract, src/v2020/mod.rs:1277-1329), so file-sourced and table-sourced
+chunking share one kernel and one test oracle.
+
+At 100 TB this is the shape that matters: files stream from storage as
+blocks (no directory listing bottleneck — Ray parallelizes the read), each
+task chunks its files zero-copy from the Arrow buffer, and output is
+partitioned by input file for resumability.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..cdc import ChunkerConfig
+from ..stages.chunk import ChunkStage
+
+
+def chunk_files(paths, cfg: ChunkerConfig | None = None, impl: str = "auto",
+                parallelism: int = -1):
+    """Files (path or list/dir) -> chunks Dataset
+    (path, chunk_idx, hash, offset, length)."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(
+        paths, include_paths=True, override_num_blocks=None if parallelism < 0 else parallelism
+    )
+    stage = ChunkStage(cfg, impl)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        out = stage(pa.table({"conv_id": t["path"], "payload": t["bytes"]}))
+        return out.rename_columns(
+            ["path", "chunk_idx", "hash", "offset", "length"]
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def stage_documents_as_files(sf_dir: str, out_root: str = "/tmp/graft_file_src"):
+    """Write each documents row as one ``<doc_id>.txt`` file (idempotent:
+    skipped when the directory already has the right file count) so the
+    file-source path can be exercised against table-derived inputs."""
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(out_root, tag)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    if os.path.isdir(out_dir) and len(os.listdir(out_dir)) == len(t):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    for doc_id, text in zip(ids, texts):
+        with open(os.path.join(out_dir, f"{doc_id:08d}.txt"), "w") as f:
+            f.write(text)
+    return out_dir
+
+
+def chunks_from_document_files(sf_dir: str, cfg: ChunkerConfig | None = None):
+    """documents staged as files -> chunks keyed by doc_id (the file-source
+    twin of the table-sourced ``chunks`` query; same kernel, same config)."""
+    out_dir = stage_documents_as_files(sf_dir)
+    chunks = chunk_files(out_dir, cfg)
+
+    def attach_doc_id(t: pa.Table) -> pa.Table:
+        # filename stem "<doc_id:08d>" parsed back to int64
+        stem = pc.extract_regex(t["path"].combine_chunks(), r"(?P<id>[0-9]{8})\.txt$")
+        doc_id = pc.cast(stem.field("id"), pa.int64())
+        return pa.table(
+            {
+                "doc_id": doc_id,
+                "chunk_idx": t["chunk_idx"],
+                "hash": t["hash"],
+                "offset": t["offset"],
+                "length": t["length"],
+            }
+        )
+
+    return chunks.map_batches(attach_doc_id, batch_format="pyarrow")
