@@ -38,4 +38,20 @@ def chunk_rows(
     return chunk_rows_np(buf, row_offsets, cfg)
 
 
-__all__ = ["ChunkerConfig", "chunk_rows", "chunk_rows_np", "chunk_rows_native"]
+__all__ = [
+    "ChunkerConfig", "chunk_rows", "chunk_rows_np", "chunk_rows_native",
+    "StreamChunker", "stream_chunks", "cut_one",
+]
+
+
+def __getattr__(name):
+    # Lazy: stream imports this package (chunk_rows) at module load.
+    if name in ("StreamChunker", "stream_chunks"):
+        from . import stream
+
+        return getattr(stream, name)
+    if name == "cut_one":
+        from .kernel import cut_one
+
+        return cut_one
+    raise AttributeError(name)

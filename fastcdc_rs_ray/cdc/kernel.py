@@ -240,3 +240,37 @@ def iter_chunks(data, cfg: ChunkerConfig) -> Iterator[Chunk]:
 def chunk_bytes(data, cfg: ChunkerConfig) -> list[Chunk]:
     """Whole-buffer chunking with the scalar kernel (correctness baseline)."""
     return list(iter_chunks(data, cfg))
+
+
+def cut_one(data, cfg: ChunkerConfig, offset: int = 0,
+            remaining: int | None = None, eof: bool = True) -> tuple[int, int]:
+    """Single caller-driven cut — the reference's public ``cut()`` API
+    (src/v2020/mod.rs:591-606, K6; example usage examples/v2020_cut.rs:37-69;
+    ronomon ``with_eof`` sentinel src/ronomon/mod.rs:102-129, S4).
+
+    Returns ``(hash, count)``: the next chunk is ``data[offset:offset+count]``.
+    ``count == 0`` (ronomon with ``eof=False`` only) means "need more data" —
+    refill and call again, exactly the reference's multi-block protocol.
+    Callers manage ``offset``/``remaining`` themselves (RapidCDC/SuperCDC-style
+    cut-point prediction, src/v2020/mod.rs:25-30).
+    """
+    data = bytes(data)
+    if remaining is None:
+        remaining = len(data) - offset
+    if cfg.algo == "ronomon":
+        return cut_ronomon(
+            data, offset, remaining, cfg.min_size, cfg.avg_size, cfg.max_size,
+            cfg.mask_s, cfg.mask_l, cfg.ronomon_table().tolist(), eof=eof,
+        )
+    window = memoryview(data)[offset : offset + remaining]
+    gear_np, gear_ls_np = cfg.gear_tables()
+    if cfg.algo == "v2020":
+        return cut_v2020(
+            window, cfg.min_size, cfg.avg_size, cfg.max_size,
+            cfg.mask_s, cfg.mask_l, cfg.mask_s_ls, cfg.mask_l_ls,
+            gear_np.tolist(), gear_ls_np.tolist(),
+        )
+    return cut_v2016(
+        window, cfg.min_size, cfg.avg_size, cfg.max_size,
+        cfg.mask_s, cfg.mask_l, gear_np.tolist(),
+    )

@@ -314,6 +314,17 @@ def q_chunks_files(sf_dir: str):
     return chunks_from_document_files(sf_dir, DEFAULT_CONFIG)
 
 
+def q_chunks_stream(sf_dir: str):
+    """Streaming-source chunking (SURVEY §2.1 S2/S3, the reference's
+    StreamCDC/AsyncStreamCDC): the same staged files chunked through the
+    bounded-memory StreamChunker path (one task per file, read_size windows,
+    <max_size carry) — for files too large to hold as one Arrow row.
+    Rows-only gate; pytest pins bit-parity vs the whole-file source."""
+    from ..sources.files import chunks_from_document_files
+
+    return chunks_from_document_files(sf_dir, DEFAULT_CONFIG, streamed=True)
+
+
 def q_minhash_signatures(sf_dir: str):
     sigs = signatures_pipeline(
         transcripts_from_documents(sf_dir), num_partitions=16
@@ -772,6 +783,7 @@ QUERIES = {
     "embed_neardup": q_embed_neardup,
     "chunks": q_chunks,
     "chunks_files": q_chunks_files,
+    "chunks_stream": q_chunks_stream,
     "chunks_v2016": q_chunks_v2016,
     "chunks_ronomon": q_chunks_ronomon,
     "chunks_seeded": q_chunks_seeded,

@@ -45,6 +45,80 @@ def chunk_files(paths, cfg: ChunkerConfig | None = None, impl: str = "auto",
     return ds.map_batches(per_batch, batch_format="pyarrow")
 
 
+def chunk_files_streamed(paths, cfg: ChunkerConfig | None = None,
+                         impl: str = "auto", read_size: int = 4 << 20,
+                         emit_rows: int = 1 << 16, num_tasks: int | None = None):
+    """Bounded-memory file chunking for files too large to hold as one Arrow
+    row (the reference's StreamCDC entry point, examples/stream2020.rs —
+    SURVEY §2.1 S2/S3).  ``read_binary_files`` materializes a whole file per
+    row; this path instead streams each file through
+    :class:`~..cdc.stream.StreamChunker` in ``read_size`` windows — one task
+    per file, Ray parallelizes across files, memory per task stays at one
+    window + a < max_size carry regardless of file size.  Output batches are
+    yielded every ``emit_rows`` chunks so a terabyte file never accumulates
+    its chunk list in task heap either.
+
+    Bit-identical to :func:`chunk_files` on the same bytes (the stream-vs-
+    slice parity contract, src/v2020/mod.rs:1277-1329).
+    """
+    import ray.data as rd
+
+    from ..cdc.stream import StreamChunker
+
+    if isinstance(paths, (str, os.PathLike)):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _, names in os.walk(p):
+                files.extend(os.path.join(root, n) for n in sorted(names))
+        else:
+            files.append(os.fspath(p))
+    # One file per task up to a cap: a handful of huge files each get their
+    # own task; a million tiny files batch several per task instead of
+    # paying a million schedulings.
+    if num_tasks is None:
+        num_tasks = min(len(files), 256)
+    ds = rd.from_items(
+        [{"path": p} for p in files], override_num_blocks=max(1, num_tasks)
+    )
+    cfg = cfg or ChunkerConfig()
+
+    def chunk_one_file(t: pa.Table):
+        for path in t["path"].to_pylist():
+            pend: list[tuple[int, int, int]] = []
+            emitted = 0
+
+            def flush(pend_chunks, start_idx):
+                n = len(pend_chunks)
+                h, off, ln = zip(*pend_chunks)
+                return pa.table(
+                    {
+                        "path": pa.array([path] * n, pa.string()),
+                        "chunk_idx": pa.array(
+                            range(start_idx, start_idx + n), pa.int32()
+                        ),
+                        "hash": pa.array(h, pa.uint64()),
+                        "offset": pa.array(off, pa.int64()),
+                        "length": pa.array(ln, pa.int64()),
+                    }
+                )
+
+            sc = StreamChunker(cfg, impl)
+            with open(path, "rb") as f:
+                while True:
+                    piece = f.read(read_size)
+                    pend.extend(sc.update(piece) if piece else sc.finalize())
+                    if len(pend) >= emit_rows or (not piece and pend):
+                        yield flush(pend, emitted)
+                        emitted += len(pend)
+                        pend = []
+                    if not piece:
+                        break
+
+    return ds.map_batches(chunk_one_file, batch_format="pyarrow", batch_size=None)
+
+
 def stage_documents_as_files(sf_dir: str, out_root: str = "/tmp/graft_file_src"):
     """Write each documents row as one ``<doc_id>.txt`` file (idempotent:
     skipped when the directory already has the right file count) so the
@@ -65,11 +139,17 @@ def stage_documents_as_files(sf_dir: str, out_root: str = "/tmp/graft_file_src")
     return out_dir
 
 
-def chunks_from_document_files(sf_dir: str, cfg: ChunkerConfig | None = None):
+def chunks_from_document_files(sf_dir: str, cfg: ChunkerConfig | None = None,
+                               streamed: bool = False):
     """documents staged as files -> chunks keyed by doc_id (the file-source
-    twin of the table-sourced ``chunks`` query; same kernel, same config)."""
+    twin of the table-sourced ``chunks`` query; same kernel, same config).
+    ``streamed=True`` takes the bounded-memory StreamChunker path instead of
+    whole-file ``read_binary_files`` — same bits out either way."""
     out_dir = stage_documents_as_files(sf_dir)
-    chunks = chunk_files(out_dir, cfg)
+    if streamed:
+        chunks = chunk_files_streamed(out_dir, cfg, read_size=256 << 10)
+    else:
+        chunks = chunk_files(out_dir, cfg)
 
     def attach_doc_id(t: pa.Table) -> pa.Table:
         # filename stem "<doc_id:08d>" parsed back to int64
