@@ -325,6 +325,23 @@ def q_chunks_stream(sf_dir: str):
     return chunks_from_document_files(sf_dir, DEFAULT_CONFIG, streamed=True)
 
 
+def q_chunks_bigfile(sf_dir: str):
+    """Parallel chunking of ONE huge file (sources/bigfile.py): range scan
+    + self-synchronization seam stitch, sequential bridge fallback — the
+    shape that lets a 256-node cluster chunk a single terabyte object.
+    All documents concatenated into one file; small ranges force many
+    seams even at test scale.  Rows-only gate; pytest pins bit-parity vs
+    sequential chunking (tests/test_bigfile_parallel.py)."""
+    from ..sources.bigfile import chunk_file_parallel
+    from ..sources.files import stage_documents_as_one_file
+
+    path = stage_documents_as_one_file(sf_dir)
+    ds, _bridges = chunk_file_parallel(
+        path, DEFAULT_CONFIG, range_bytes=64 << 10, overlap=32 << 10
+    )
+    return ds.drop_columns(["path"])
+
+
 def q_minhash_signatures(sf_dir: str):
     sigs = signatures_pipeline(
         transcripts_from_documents(sf_dir), num_partitions=16
@@ -784,6 +801,7 @@ QUERIES = {
     "chunks": q_chunks,
     "chunks_files": q_chunks_files,
     "chunks_stream": q_chunks_stream,
+    "chunks_bigfile": q_chunks_bigfile,
     "chunks_v2016": q_chunks_v2016,
     "chunks_ronomon": q_chunks_ronomon,
     "chunks_seeded": q_chunks_seeded,

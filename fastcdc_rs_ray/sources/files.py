@@ -139,6 +139,28 @@ def stage_documents_as_files(sf_dir: str, out_root: str = "/tmp/graft_file_src")
     return out_dir
 
 
+def stage_documents_as_one_file(sf_dir: str,
+                                out_root: str = "/tmp/graft_file_src"):
+    """Concatenate all documents (doc_id order) into ONE file — the
+    huge-object shape :func:`~..sources.bigfile.chunk_file_parallel`
+    exists for.  Idempotent via size check."""
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_path = os.path.join(out_root, f"{tag}_concat.bin")
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    order = pc.sort_indices(t["doc_id"].combine_chunks())
+    texts = t["text"].combine_chunks().take(order)
+    total = int(pc.sum(pc.binary_length(texts)).as_py() or 0)
+    if os.path.isfile(out_path) and os.path.getsize(out_path) == total:
+        return out_path
+    os.makedirs(out_root, exist_ok=True)
+    with open(out_path, "wb") as f:
+        for s in texts:
+            f.write(s.as_py().encode())
+    return out_path
+
+
 def chunks_from_document_files(sf_dir: str, cfg: ChunkerConfig | None = None,
                                streamed: bool = False):
     """documents staged as files -> chunks keyed by doc_id (the file-source
