@@ -782,6 +782,157 @@ def q_top_tokens(sf_dir: str):
     return top_tokens(_documents(sf_dir, ["doc_id", "text"]), num_partitions=8)
 
 
+def q_purchase_error_users(sf_dir: str):
+    """INTERSECT set op: users who both purchased and hit an error."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.setops import key_set_op
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type"],
+        filter=pc.field("event_type").isin(["purchase", "error"]),
+    )
+    return key_set_op(ds, key="user_id", side_col="event_type",
+                      side_a="purchase", side_b="error", op="intersect",
+                      num_partitions=8)
+
+
+def q_signup_no_purchase_users(sf_dir: str):
+    """EXCEPT set op at user-day grain: (user, day) pairs with a signup
+    but no purchase that day.  The composite key is bit-packed into the
+    one int64 the exchange moves (fixed-width-key rule, SURVEY §8) and
+    unpacked after membership resolves."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.setops import key_set_op
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+        filter=pc.field("event_type").isin(["signup", "purchase"]),
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000  # us -> epoch days
+        return pa.table({
+            "uk": pa.array((uid << 20) | day, pa.int64()),
+            "event_type": t["event_type"],
+        })
+
+    ds = ds.map_batches(pack, batch_format="pyarrow")
+    out = key_set_op(ds, key="uk", side_col="event_type",
+                     side_a="signup", side_b="purchase", op="except",
+                     num_partitions=8)
+
+    def unpack(t: pa.Table) -> pa.Table:
+        uk = t["uk"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(uk >> 20, pa.int64()),
+            "day_no": pa.array(uk & ((1 << 20) - 1), pa.int64()),
+        })
+
+    return out.map_batches(unpack, batch_format="pyarrow")
+
+
+def q_priority_exists_counts(sf_dir: str):
+    """Q4-shape EXISTS semi-join: orders with any lineitem quantity > 45,
+    counted per priority; evidence filter pushed into the parquet read."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.joins import exists_order_counts
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey"],
+        filter=pc.field("l_quantity") > 45,
+    )
+    return exists_order_counts(orders, lineitem, num_partitions=8)
+
+
+def q_customer_order_counts(sf_dir: str):
+    """Q13-shape LEFT-JOIN count distribution: customers per order count;
+    the customer side contributes only its metadata row count."""
+    import ray.data as rd
+
+    from ..stages.joins import customer_order_counts
+
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return customer_order_counts(customer, orders, num_partitions=8)
+
+
+def q_median_value_by_type(sf_dir: str):
+    """Exact per-group median via value-histogram partials (the grouped
+    quantile_disc shape)."""
+    import ray.data as rd
+
+    from ..stages.sessions import median_value_by_type
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return median_value_by_type(ds)
+
+
+def q_media_pipeline(sf_dir: str):
+    """Multimodal pipeline end-to-end (rows-only: binary payloads have no
+    SQL equivalent): deterministic synthetic media corpus -> actor-pool
+    resize -> actor-pool featurize -> per-type feature rollup.  The codec
+    is the pluggable deterministic fake (no image/audio libs in this
+    container); every Ray-side surface — binary schema, small-batch actor
+    pools, schema-preserving composition — is the real one.  ``sf_dir``
+    scales the corpus size off the documents row count so the query runs
+    at every SF."""
+    import ray.data as rd
+
+    from ..stages.multimodal import featurize_media, resize_media, synth_media_table
+
+    n_docs = _documents(sf_dir, ["doc_id"]).count()
+    media = rd.from_arrow(synth_media_table(n=min(max(n_docs // 4, 32), 512)))
+    feats = featurize_media(resize_media(media, out_w=16, out_h=16),
+                            batch_size=16, concurrency=2)
+
+    def rollup(t: pa.Table) -> pa.Table:
+        mt = t["media_type"].combine_chunks()
+        enc = mt.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        f = np.asarray(t["feature"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False), dtype=np.float64).reshape(len(t), -1)
+        norms = np.linalg.norm(f, axis=1)
+        k = len(enc.dictionary)
+        return pa.table({
+            "media_type": enc.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=k).astype(np.int64), pa.int64()),
+            "sum_norm": pa.array(np.bincount(codes, weights=norms, minlength=k), pa.float64()),
+        })
+
+    partials = feats.map_batches(rollup, batch_format="pyarrow")
+    t = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    )
+    mt = t["media_type"].combine_chunks()
+    enc = mt.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    k = len(enc.dictionary)
+    n = np.zeros(k, np.int64)
+    s = np.zeros(k, np.float64)
+    np.add.at(n, codes, t["n"].combine_chunks().to_numpy(zero_copy_only=False))
+    np.add.at(s, codes, t["sum_norm"].combine_chunks().to_numpy(zero_copy_only=False))
+    return pa.table({
+        "media_type": enc.dictionary,
+        "n": pa.array(n, pa.int64()),
+        "mean_norm": pa.array(s / np.maximum(n, 1), pa.float64()),
+    })
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -841,6 +992,12 @@ QUERIES = {
     "events_pivot": q_events_pivot,
     "stratified_sample": q_stratified_sample,
     "top_tokens": q_top_tokens,
+    "purchase_error_users": q_purchase_error_users,
+    "signup_no_purchase_users": q_signup_no_purchase_users,
+    "priority_exists_counts": q_priority_exists_counts,
+    "customer_order_counts": q_customer_order_counts,
+    "median_value_by_type": q_median_value_by_type,
+    "media_pipeline": q_media_pipeline,
 }
 
 
@@ -861,6 +1018,8 @@ from ..stages.aggregate import (
     SUPPLIER_NATION_REVENUE_SQL,
 )
 from ..stages.joins import (
+    CUSTOMER_ORDER_COUNTS_SQL,
+    EXISTS_ORDER_COUNTS_SQL,
     INACTIVE_CUSTOMERS_SQL,
     LARGE_ORDERS_SQL,
     ORDER_REVENUE_TOPK_SQL,
@@ -870,6 +1029,7 @@ from ..stages.wordcount import TOP_TOKENS_SQL
 from ..stages.sketch import HEAVY_USERS_SQL
 from ..stages.sessions import (
     DISTINCT_USERS_PER_TYPE_SQL,
+    MEDIAN_VALUE_BY_TYPE_SQL,
     EVENTS_PIVOT_SQL,
     MOVING_SUMS_SQL,
     HOPPING_WINDOWS_SQL,
@@ -902,6 +1062,21 @@ ORACLE_SQL = {
     "moving_sums": MOVING_SUMS_SQL,
     "events_pivot": EVENTS_PIVOT_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "priority_exists_counts": EXISTS_ORDER_COUNTS_SQL,
+    "customer_order_counts": CUSTOMER_ORDER_COUNTS_SQL,
+    "median_value_by_type": MEDIAN_VALUE_BY_TYPE_SQL,
+    "purchase_error_users": """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+""",
+    "signup_no_purchase_users": """
+SELECT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_no
+FROM events WHERE event_type = 'signup'
+EXCEPT
+SELECT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+FROM events WHERE event_type = 'purchase'
+""",
     "top_tokens": TOP_TOKENS_SQL,
     "event_session_asof": f"""
 WITH sessions AS ({SESSIONIZE_SQL})

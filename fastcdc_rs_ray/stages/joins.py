@@ -484,3 +484,178 @@ FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 GROUP BY o_orderkey, o_custkey, o_totalprice
 HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 100 * 100
 """
+
+
+def exists_order_counts(orders_ds, lineitem_ds, min_qty: float = 45.0,
+                        num_partitions: int = 8):
+    """Correlated-EXISTS semi-join + group count (TPC-H Q4 shape): how
+    many orders per priority have at least one lineitem with quantity
+    above ``min_qty``.
+
+    Shape: the evidence side is filtered *at the read* (caller pushes the
+    quantity predicate into the parquet scan) and pre-reduced to DISTINCT
+    orderkeys per block, one tag-union keyed exchange co-locates each
+    order with its evidence, a per-block ``isin`` keeps orders whose key
+    has evidence (semi-join — each order counted once no matter how many
+    matching lineitems), and per-block (priority, count) partials merge on
+    the driver (|priorities| x partitions rows).  Complements
+    :func:`anti_join` (NOT EXISTS) with the EXISTS half of the existence
+    class; reference has no joins (SURVEY.md §2.4).
+    """
+    schema = pa.schema([
+        ("jkey", pa.int64()), ("tag", pa.int8()),
+        ("o_orderpriority", pa.string()),
+    ])
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "jkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "tag": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "o_orderpriority": t["o_orderpriority"],
+        }).cast(schema)
+
+    def evidence_side(t: pa.Table) -> pa.Table:
+        keys = pc.unique(pc.cast(t["l_orderkey"], pa.int64()))
+        n = len(keys)
+        return pa.table({
+            "jkey": keys,
+            "tag": pa.array(np.ones(n, np.int8), pa.int8()),
+            "o_orderpriority": pa.nulls(n, pa.string()),
+        }).cast(schema)
+
+    mixed = orders_ds.map_batches(orders_side, batch_format="pyarrow").union(
+        lineitem_ds.map_batches(evidence_side, batch_format="pyarrow")
+    )
+    mixed = mixed.repartition(num_blocks=num_partitions, keys=["jkey"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "o_orderpriority": pa.array([], pa.string()),
+            "order_count": pa.array([], pa.int64()),
+        })
+        if len(t) == 0:
+            return empty
+        tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["jkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        osel = np.flatnonzero(tag == 0)
+        present = np.unique(k[tag == 1])
+        hit = osel[np.isin(k[osel], present)]
+        if len(hit) == 0:
+            return empty
+        pri = t["o_orderpriority"].combine_chunks().take(pa.array(hit, pa.int64()))
+        enc = pri.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": enc.dictionary,
+            "order_count": pa.array(cnt, pa.int64()),
+        })
+
+    partials = mixed.map_batches(partial_counts, batch_format="pyarrow",
+                                 batch_size=None)
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs)
+    pri = t["o_orderpriority"].combine_chunks()
+    enc = pri.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = np.zeros(len(enc.dictionary), dtype=np.int64)
+    np.add.at(n, codes, t["order_count"].combine_chunks().to_numpy(zero_copy_only=False))
+    return pa.table({
+        "o_orderpriority": enc.dictionary,
+        "order_count": pa.array(n, pa.int64()),
+    })
+
+
+EXISTS_ORDER_COUNTS_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_quantity > 45
+)
+GROUP BY o_orderpriority
+"""
+
+
+def customer_order_counts(customer_ds, orders_ds, num_partitions: int = 8):
+    """Order-count distribution over customers (TPC-H Q13 shape: LEFT
+    OUTER JOIN + two-level group): for each order count ``c_count``, how
+    many customers placed exactly that many orders.
+
+    Shape: the fact side pre-counts per (block, custkey), ONE keyed
+    exchange on custkey finalizes per-customer counts, each partition
+    bincounts its counts into a (c_count, custdist) partial, and the
+    driver merges |distinct counts| x partitions rows.  The LEFT-JOIN
+    zero bucket never touches the customer table's rows: customers with
+    no orders = ``customer.count()`` (metadata-only at the parquet read)
+    minus the distinct custkeys seen in orders — the FK (every o_custkey
+    is a customer) stands in for the outer join, so the wide side of the
+    join is never shuffled at all.
+    """
+    n_customers = customer_ds.count()
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["o_custkey"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        u, c = np.unique(k, return_counts=True)
+        return pa.table({
+            "custkey": pa.array(u, pa.int64()),
+            "n": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    ds = orders_ds.map_batches(order_partial, batch_format="pyarrow")
+    ds = ds.repartition(num_blocks=num_partitions, keys=["custkey"])
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "c_count": pa.array([], pa.int64()),
+            "custdist": pa.array([], pa.int64()),
+        })
+        if len(t) == 0:
+            return empty
+        k = t["custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, n = k[order], n[order]
+        starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+        counts = np.add.reduceat(n, starts)
+        u, c = np.unique(counts, return_counts=True)
+        return pa.table({
+            "c_count": pa.array(u, pa.int64()),
+            "custdist": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    partials = ds.map_batches(dist_partial, batch_format="pyarrow",
+                              batch_size=None)
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs)
+    cc = t["c_count"].to_numpy(zero_copy_only=False)
+    cd = t["custdist"].to_numpy(zero_copy_only=False)
+    u, inv = np.unique(cc, return_inverse=True)
+    dist = np.zeros(len(u), dtype=np.int64)
+    np.add.at(dist, inv, cd)
+    zero_bucket = n_customers - int(dist.sum())
+    if zero_bucket > 0:
+        u = np.concatenate([[0], u])
+        dist = np.concatenate([[zero_bucket], dist])
+    return pa.table({
+        "c_count": pa.array(u, pa.int64()),
+        "custdist": pa.array(dist, pa.int64()),
+    })
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""

@@ -739,3 +739,68 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+def median_value_by_type(events_ds):
+    """Exact per-group median (``quantile_disc(0.5)``): the grouped twin
+    of :func:`value_percentiles`, answering "median purchase value per
+    event type" without ever shuffling rows.
+
+    Each block emits (event_type, value, count) histogram partials keyed
+    by the RAW float64 bits (no cents quantization — the answer is an
+    actual element of the column, so it hash-matches the SQL oracle
+    bit-for-bit); the driver merges O(|types| x |distinct values| x
+    blocks) partial rows and reads the lower-middle element (rank
+    floor((n-1)/2), DuckDB's quantile_disc rule) off each group's
+    cumulative histogram.  Exactness relies on the same discrete-domain
+    assumption value_percentiles documents.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].combine_chunks()
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        val = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        pair = np.stack([codes, val.view(np.int64)], axis=1)
+        u, c = np.unique(pair, axis=0, return_counts=True)
+        return pa.table({
+            "event_type": enc.dictionary.take(pa.array(u[:, 0], pa.int64())),
+            "value": pa.array(u[:, 1].view(np.float64), pa.float64()),
+            "n": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow")
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs)
+    et = t["event_type"].combine_chunks()
+    enc = et.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    val = t["value"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    out_t, out_v = [], []
+    for code in range(len(enc.dictionary)):
+        sel = codes == code
+        v, c = val[sel], n[sel]
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        starts = np.concatenate([[0], np.flatnonzero(v[1:] != v[:-1]) + 1])
+        vals = v[starts]
+        cum = np.cumsum(np.add.reduceat(c, starts))
+        total = int(cum[-1])
+        rank = (total - 1) // 2  # 0-based lower-middle = quantile_disc(0.5)
+        out_t.append(code)
+        out_v.append(vals[np.searchsorted(cum, rank, side="right")])
+    return pa.table({
+        "event_type": enc.dictionary.take(pa.array(out_t, pa.int64())),
+        "median_value": pa.array(np.asarray(out_v, np.float64), pa.float64()),
+    })
+
+
+MEDIAN_VALUE_BY_TYPE_SQL = """
+SELECT event_type, quantile_disc(value, 0.5) AS median_value
+FROM events
+GROUP BY event_type
+"""

@@ -1,0 +1,96 @@
+"""Hand-computed oracles for the set-op stage (INTERSECT / EXCEPT), the
+Q4-shape EXISTS semi-join count, the Q13-shape order-count distribution,
+and the grouped exact median — crafted frames; the DuckDB gate covers the
+sf-scale versions via tools/verify_queries.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from fastcdc_rs_ray.stages.joins import customer_order_counts, exists_order_counts
+from fastcdc_rs_ray.stages.sessions import median_value_by_type
+from fastcdc_rs_ray.stages.setops import key_set_op
+
+
+def _events(rows):
+    uid, et = zip(*rows)
+    return pa.table(
+        {
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+        }
+    )
+
+
+def test_key_set_op_intersect_and_except(ray_session):
+    import ray.data as rd
+
+    rows = [
+        (1, "a"), (1, "b"),          # both
+        (2, "a"),                     # a only
+        (3, "b"),                     # b only
+        (4, "a"), (4, "a"), (4, "b"),  # both, dup rows
+        (5, "c"),                     # neither side
+    ]
+    ds = rd.from_arrow(_events(rows)).repartition(3)
+    inter = key_set_op(ds, key="user_id", side_col="event_type",
+                       side_a="a", side_b="b", op="intersect",
+                       num_partitions=2).to_pandas()
+    assert sorted(inter["user_id"]) == [1, 4]
+    exc = key_set_op(rd.from_arrow(_events(rows)).repartition(3),
+                     key="user_id", side_col="event_type",
+                     side_a="a", side_b="b", op="except",
+                     num_partitions=2).to_pandas()
+    assert sorted(exc["user_id"]) == [2]
+
+
+def test_exists_order_counts_semantics(ray_session):
+    import ray.data as rd
+
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_orderpriority": pa.array(["HI", "HI", "LO", "LO"]),
+        }
+    )
+    # evidence (already predicate-filtered): orders 1 (twice -> counted
+    # once) and 3; order 9 has no orders row
+    lineitem = pa.table({"l_orderkey": pa.array([1, 1, 3, 9], pa.int64())})
+    out = exists_order_counts(
+        rd.from_arrow(orders).repartition(2),
+        rd.from_arrow(lineitem).repartition(2),
+        num_partitions=3,
+    ).to_pandas().sort_values("o_orderpriority")
+    assert out["o_orderpriority"].tolist() == ["HI", "LO"]
+    assert out["order_count"].tolist() == [1, 1]
+
+
+def test_customer_order_counts_distribution_with_zero_bucket(ray_session):
+    import ray.data as rd
+
+    customer = pa.table({"c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    # cust 1 -> 3 orders, cust 2 -> 1, cust 3 -> 1, cust 4/5 -> 0
+    orders = pa.table({"o_custkey": pa.array([1, 1, 1, 2, 3], pa.int64())})
+    out = customer_order_counts(
+        rd.from_arrow(customer).repartition(2),
+        rd.from_arrow(orders).repartition(2),
+        num_partitions=3,
+    ).to_pandas().sort_values("c_count")
+    assert out["c_count"].tolist() == [0, 1, 3]
+    assert out["custdist"].tolist() == [2, 2, 1]
+
+
+def test_median_value_by_type_lower_middle(ray_session):
+    import ray.data as rd
+
+    # even count -> lower middle (quantile_disc rule); odd -> exact middle
+    t = pa.table(
+        {
+            "event_type": pa.array(["x"] * 4 + ["y"] * 3),
+            "value": pa.array([4.0, 1.0, 3.0, 2.0, 9.5, 7.5, 8.5]),
+        }
+    )
+    out = median_value_by_type(rd.from_arrow(t).repartition(3)).to_pandas()
+    got = dict(zip(out["event_type"], out["median_value"]))
+    assert got == {"x": 2.0, "y": 8.5}
