@@ -881,6 +881,17 @@ def q_median_value_by_type(sf_dir: str):
     return median_value_by_type(ds)
 
 
+def q_user_spend_rank(sf_dir: str):
+    """Global RANK/PERCENT_RANK over per-user spend without a global sort
+    (keyed aggregation + broadcast cumulative histogram)."""
+    import ray.data as rd
+
+    from ..stages.sessions import user_spend_rank
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    return user_spend_rank(ds, num_partitions=8)
+
+
 def q_media_pipeline(sf_dir: str):
     """Multimodal pipeline end-to-end (rows-only: binary payloads have no
     SQL equivalent): deterministic synthetic media corpus -> actor-pool
@@ -997,6 +1008,7 @@ QUERIES = {
     "priority_exists_counts": q_priority_exists_counts,
     "customer_order_counts": q_customer_order_counts,
     "median_value_by_type": q_median_value_by_type,
+    "user_spend_rank": q_user_spend_rank,
     "media_pipeline": q_media_pipeline,
 }
 
@@ -1030,6 +1042,7 @@ from ..stages.sketch import HEAVY_USERS_SQL
 from ..stages.sessions import (
     DISTINCT_USERS_PER_TYPE_SQL,
     MEDIAN_VALUE_BY_TYPE_SQL,
+    USER_SPEND_RANK_SQL,
     EVENTS_PIVOT_SQL,
     MOVING_SUMS_SQL,
     HOPPING_WINDOWS_SQL,
@@ -1065,6 +1078,7 @@ ORACLE_SQL = {
     "priority_exists_counts": EXISTS_ORDER_COUNTS_SQL,
     "customer_order_counts": CUSTOMER_ORDER_COUNTS_SQL,
     "median_value_by_type": MEDIAN_VALUE_BY_TYPE_SQL,
+    "user_spend_rank": USER_SPEND_RANK_SQL,
     "purchase_error_users": """
 SELECT user_id FROM events WHERE event_type = 'purchase'
 INTERSECT

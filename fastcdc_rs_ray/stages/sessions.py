@@ -804,3 +804,110 @@ SELECT event_type, quantile_disc(value, 0.5) AS median_value
 FROM events
 GROUP BY event_type
 """
+
+
+def user_spend_rank(events_ds, num_partitions: int = 8):
+    """Global RANK / PERCENT_RANK over per-user spend WITHOUT a global
+    sort: ranking against a broadcast cumulative histogram.
+
+    Pass 1 is the standard partial+final total per user (one keyed
+    exchange, materialized — it is the reduced set, orders of magnitude
+    smaller than the event stream).  The driver then merges per-block
+    (total, count) histogram partials into a sorted distinct-total CDF —
+    O(|distinct totals|), the same small-side budget every broadcast stage
+    here assumes — and ships it once via ``ray.put``; a second map over
+    the materialized totals assigns ``rank = #strictly-smaller + 1``
+    (RANK ties-share semantics, deterministic under ties where NTILE is
+    not) and ``pct_rank = (rank-1)/(n-1)`` by vectorized searchsorted.
+    No all-to-all sort ever runs; the only exchange is the keyed
+    aggregation.
+    """
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        vc = np.round(val * 100).astype(np.int64)
+        u, inv = np.unique(uid, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, vc)
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "total_c": pa.array(s, pa.int64()),
+        })
+
+    ds = events_ds.map_batches(partial, batch_format="pyarrow")
+    ds = ds.repartition(num_blocks=num_partitions, keys=["user_id"])
+
+    def final(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "total_c": pa.array([], pa.int64()),
+            })
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        s0 = t["total_c"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, inv = np.unique(uid, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, s0)
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "total_c": pa.array(s, pa.int64()),
+        })
+
+    totals = ds.map_batches(final, batch_format="pyarrow", batch_size=None).materialize()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            t["total_c"].combine_chunks().to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table({
+            "v": pa.array(v, pa.int64()),
+            "n": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    parts = totals.map_batches(hist_partial, batch_format="pyarrow", batch_size=None)
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in parts.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(v, kind="stable")
+    v, n = v[order], n[order]
+    starts = np.concatenate([[0], np.flatnonzero(v[1:] != v[:-1]) + 1]) if len(v) else np.empty(0, np.int64)
+    vals = v[starts]
+    counts = np.add.reduceat(n, starts) if len(v) else np.empty(0, np.int64)
+    below = np.concatenate([[0], np.cumsum(counts)[:-1]]) if len(counts) else counts
+    total_users = int(counts.sum())
+    cdf_ref = ray.put((vals, below))
+
+    def assign(t: pa.Table) -> pa.Table:
+        vals_b, below_b = ray.get(cdf_ref)
+        tc = t["total_c"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vals_b, tc)
+        rnk = below_b[idx] + 1
+        denom = max(total_users - 1, 1)
+        return pa.table({
+            "user_id": t["user_id"],
+            "total_c": t["total_c"],
+            "rnk": pa.array(rnk.astype(np.int64), pa.int64()),
+            "pct_rank": pa.array((rnk - 1) / denom, pa.float64()),
+        })
+
+    return totals.map_batches(assign, batch_format="pyarrow")
+
+
+USER_SPEND_RANK_SQL = """
+WITH tot AS (
+  SELECT user_id,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_c
+  FROM events GROUP BY user_id
+)
+SELECT user_id, total_c,
+       RANK() OVER (ORDER BY total_c) AS rnk,
+       PERCENT_RANK() OVER (ORDER BY total_c) AS pct_rank
+FROM tot
+"""

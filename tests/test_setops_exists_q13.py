@@ -94,3 +94,25 @@ def test_median_value_by_type_lower_middle(ray_session):
     out = median_value_by_type(rd.from_arrow(t).repartition(3)).to_pandas()
     got = dict(zip(out["event_type"], out["median_value"]))
     assert got == {"x": 2.0, "y": 8.5}
+
+
+def test_user_spend_rank_ties_share_rank(ray_session):
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.sessions import user_spend_rank
+
+    # totals: u1=3.00, u2=3.00 (tie -> rank 1), u3=5.00 (rank 3), u4=9.00
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 3, 4], pa.int64()),
+            "value": pa.array([1.0, 2.0, 3.0, 5.0, 9.0]),
+        }
+    )
+    out = (
+        user_spend_rank(rd.from_arrow(t).repartition(3), num_partitions=2)
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    assert out["total_c"].tolist() == [300, 300, 500, 900]
+    assert out["rnk"].tolist() == [1, 1, 3, 4]
+    assert out["pct_rank"].tolist() == [0.0, 0.0, 2 / 3, 1.0]
