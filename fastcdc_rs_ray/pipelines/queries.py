@@ -881,6 +881,20 @@ def q_median_value_by_type(sf_dir: str):
     return median_value_by_type(ds)
 
 
+def q_pricing_cube(sf_dir: str):
+    """GROUP BY CUBE shape: all four grouping sets from one-pass block
+    partials (one extra tagged partial per block over ROLLUP)."""
+    import ray.data as rd
+
+    from ..stages.aggregate import pricing_cube
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return pricing_cube(ds, num_partitions=4)
+
+
 def q_user_spend_rank(sf_dir: str):
     """Global RANK/PERCENT_RANK over per-user spend without a global sort
     (keyed aggregation + broadcast cumulative histogram)."""
@@ -1009,6 +1023,7 @@ QUERIES = {
     "customer_order_counts": q_customer_order_counts,
     "median_value_by_type": q_median_value_by_type,
     "user_spend_rank": q_user_spend_rank,
+    "pricing_cube": q_pricing_cube,
     "media_pipeline": q_media_pipeline,
 }
 
@@ -1022,6 +1037,7 @@ _TOKENS_SQL = (
 )
 
 from ..stages.aggregate import (
+    PRICING_CUBE_SQL,
     PRICING_ROLLUP_SQL,
     PRICING_SUMMARY_SQL,
     PROMO_REVENUE_SQL,
@@ -1079,6 +1095,7 @@ ORACLE_SQL = {
     "customer_order_counts": CUSTOMER_ORDER_COUNTS_SQL,
     "median_value_by_type": MEDIAN_VALUE_BY_TYPE_SQL,
     "user_spend_rank": USER_SPEND_RANK_SQL,
+    "pricing_cube": PRICING_CUBE_SQL,
     "purchase_error_users": """
 SELECT user_id FROM events WHERE event_type = 'purchase'
 INTERSECT

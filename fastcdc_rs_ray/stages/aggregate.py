@@ -539,3 +539,93 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
+
+
+def pricing_cube(lineitem_ds, num_partitions: int = 4):
+    """GROUP BY CUBE(l_returnflag, l_linestatus) — all four grouping sets
+    (leaf, per-flag, per-status, grand total) from the SAME one-pass block
+    partials as :func:`pricing_rollup`; CUBE costs one extra tagged partial
+    per block over ROLLUP, never a second scan.  Output matches the SQL
+    convention (NULL keys on rolled-up rows), measures in exact int64
+    cents.
+    """
+    SENT = "\x00ALL"
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flag = t["l_returnflag"].combine_chunks()
+        stat = t["l_linestatus"].combine_chunks()
+        qty = np.round(
+            t["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        key = pc.binary_join_element_wise(flag, stat, "\x01")
+        uk, inv = np.unique(np.asarray(key.to_pylist(), dtype=object),
+                            return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.bincount(inv, weights=qty).astype(np.int64)
+        f = np.array([k.split("\x01")[0] for k in uk], dtype=object)
+        st = np.array([k.split("\x01")[1] for k in uk], dtype=object)
+        uf, finv = np.unique(f, return_inverse=True)
+        nf = np.bincount(finv, weights=n).astype(np.int64)
+        sf = np.bincount(finv, weights=s).astype(np.int64)
+        us, sinv = np.unique(st, return_inverse=True)
+        ns = np.bincount(sinv, weights=n).astype(np.int64)
+        ss = np.bincount(sinv, weights=s).astype(np.int64)
+        rows_f = np.concatenate([f, uf, np.full(len(us), SENT, object), [SENT]])
+        rows_s = np.concatenate([st, np.full(len(uf), SENT, object), us, [SENT]])
+        rows_n = np.concatenate([n, nf, ns, [n.sum()]])
+        rows_q = np.concatenate([s, sf, ss, [s.sum()]])
+        return pa.table(
+            {
+                "gf": pa.array(rows_f.tolist(), pa.string()),
+                "gs": pa.array(rows_s.tolist(), pa.string()),
+                "n": pa.array(rows_n, pa.int64()),
+                "q": pa.array(rows_q, pa.int64()),
+            }
+        )
+
+    partials = lineitem_ds.map_batches(partial, batch_format="pyarrow")
+    partials = partials.repartition(num_blocks=num_partitions, keys=["gf", "gs"])
+
+    out_schema = pa.schema(
+        [("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+         ("count_order", pa.int64()), ("sum_qty_c", pa.int64())]
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        gf = np.asarray(t["gf"].to_pylist(), dtype=object)
+        gs = np.asarray(t["gs"].to_pylist(), dtype=object)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        q = t["q"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = np.array([a + "\x01" + b for a, b in zip(gf, gs)], dtype=object)
+        uk, inv = np.unique(key, return_inverse=True)
+        cn = np.bincount(inv, weights=n).astype(np.int64)
+        cq = np.bincount(inv, weights=q).astype(np.int64)
+        outf = [k.split("\x01")[0] for k in uk]
+        outs = [k.split("\x01")[1] for k in uk]
+        return pa.table(
+            {
+                "l_returnflag": pa.array(
+                    [None if v == SENT else v for v in outf], pa.string()
+                ),
+                "l_linestatus": pa.array(
+                    [None if v == SENT else v for v in outs], pa.string()
+                ),
+                "count_order": pa.array(cn, pa.int64()),
+                "sum_qty_c": pa.array(cq, pa.int64()),
+            }
+        ).cast(out_schema)
+
+    return partials.map_batches(combine, batch_format="pyarrow", batch_size=None)
+
+
+PRICING_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS count_order,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""

@@ -116,3 +116,28 @@ def test_user_spend_rank_ties_share_rank(ray_session):
     assert out["total_c"].tolist() == [300, 300, 500, 900]
     assert out["rnk"].tolist() == [1, 1, 3, 4]
     assert out["pct_rank"].tolist() == [0.0, 0.0, 2 / 3, 1.0]
+
+
+def test_pricing_cube_grouping_sets(ray_session):
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.aggregate import pricing_cube
+
+    t = pa.table(
+        {
+            "l_returnflag": pa.array(["A", "A", "B"]),
+            "l_linestatus": pa.array(["F", "O", "F"]),
+            "l_quantity": pa.array([1.0, 2.0, 4.0]),
+        }
+    )
+    out = pricing_cube(rd.from_arrow(t).repartition(2), num_partitions=2).to_pandas()
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.count_order, r.sum_qty_c)
+        for r in out.itertuples()
+    }
+    assert got == {
+        ("A", "F"): (1, 100), ("A", "O"): (1, 200), ("B", "F"): (1, 400),
+        ("A", None): (2, 300), ("B", None): (1, 400),
+        (None, "F"): (2, 500), (None, "O"): (1, 200),
+        (None, None): (3, 700),
+    }
