@@ -881,6 +881,32 @@ def q_median_value_by_type(sf_dir: str):
     return median_value_by_type(ds)
 
 
+def q_below_avg_revenue(sf_dir: str):
+    """Q17-shape correlated scalar subquery: revenue from lineitems below
+    half their part's average quantity, via one tag-union keyed exchange
+    carrying both raw rows and per-part partials."""
+    import ray.data as rd
+
+    from ..stages.joins import below_avg_revenue
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    return below_avg_revenue(ds, num_partitions=8)
+
+
+def q_props_k_stats(sf_dir: str):
+    """JSON-extraction aggregate: vectorized RE2 pull of props.k + per-k
+    rollup (no exchange — bounded k domain driver-merges)."""
+    import ray.data as rd
+
+    from ..stages.aggregate import props_k_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["props", "value"])
+    return props_k_stats(ds)
+
+
 def q_pricing_cube(sf_dir: str):
     """GROUP BY CUBE shape: all four grouping sets from one-pass block
     partials (one extra tagged partial per block over ROLLUP)."""
@@ -1024,6 +1050,8 @@ QUERIES = {
     "median_value_by_type": q_median_value_by_type,
     "user_spend_rank": q_user_spend_rank,
     "pricing_cube": q_pricing_cube,
+    "below_avg_revenue": q_below_avg_revenue,
+    "props_k_stats": q_props_k_stats,
     "media_pipeline": q_media_pipeline,
 }
 
@@ -1038,6 +1066,7 @@ _TOKENS_SQL = (
 
 from ..stages.aggregate import (
     PRICING_CUBE_SQL,
+    PROPS_K_STATS_SQL,
     PRICING_ROLLUP_SQL,
     PRICING_SUMMARY_SQL,
     PROMO_REVENUE_SQL,
@@ -1046,6 +1075,7 @@ from ..stages.aggregate import (
     SUPPLIER_NATION_REVENUE_SQL,
 )
 from ..stages.joins import (
+    BELOW_AVG_REVENUE_SQL,
     CUSTOMER_ORDER_COUNTS_SQL,
     EXISTS_ORDER_COUNTS_SQL,
     INACTIVE_CUSTOMERS_SQL,
@@ -1096,6 +1126,8 @@ ORACLE_SQL = {
     "median_value_by_type": MEDIAN_VALUE_BY_TYPE_SQL,
     "user_spend_rank": USER_SPEND_RANK_SQL,
     "pricing_cube": PRICING_CUBE_SQL,
+    "below_avg_revenue": BELOW_AVG_REVENUE_SQL,
+    "props_k_stats": PROPS_K_STATS_SQL,
     "purchase_error_users": """
 SELECT user_id FROM events WHERE event_type = 'purchase'
 INTERSECT

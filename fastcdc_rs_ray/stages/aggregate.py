@@ -629,3 +629,61 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY CUBE(l_returnflag, l_linestatus)
 """
+
+
+PROPS_K_PATTERN = r'"k":\s*(?P<k>\d+)'
+
+
+def props_k_stats(events_ds):
+    """Semi-structured extraction + aggregate: pull the integer ``k`` out
+    of the JSON ``props`` column with a vectorized RE2 kernel
+    (pyarrow.compute.extract_regex — same engine and pattern string as the
+    DuckDB oracle's regexp_extract) and roll up (n_events, sum_value_c)
+    per k.  The k domain is small (bounded enum), so per-block partials
+    driver-merge without an exchange — the JSON never leaves the block it
+    was read into.
+    """
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["props"].combine_chunks(), PROPS_K_PATTERN)
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64()).to_numpy(zero_copy_only=False)
+        vc = np.round(
+            t["value"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        u, inv = np.unique(k, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, vc)
+        return pa.table({
+            "k": pa.array(u, pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+            "sum_value_c": pa.array(s, pa.int64()),
+        })
+
+    parts = events_ds.map_batches(partial, batch_format="pyarrow")
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in parts.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs)
+    k = t["k"].to_numpy(zero_copy_only=False)
+    u, inv = np.unique(k, return_inverse=True)
+    n = np.zeros(len(u), dtype=np.int64)
+    s = np.zeros(len(u), dtype=np.int64)
+    np.add.at(n, inv, t["n_events"].to_numpy(zero_copy_only=False))
+    np.add.at(s, inv, t["sum_value_c"].to_numpy(zero_copy_only=False))
+    return pa.table({
+        "k": pa.array(u, pa.int64()),
+        "n_events": pa.array(n, pa.int64()),
+        "sum_value_c": pa.array(s, pa.int64()),
+    })
+
+
+PROPS_K_STATS_SQL = r"""
+SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events
+GROUP BY 1
+"""

@@ -659,3 +659,108 @@ FROM (
 )
 GROUP BY c_count
 """
+
+
+def below_avg_revenue(lineitem_ds, num_partitions: int = 8):
+    """Correlated scalar-subquery shape (TPC-H Q17): revenue from
+    lineitems whose quantity is below HALF their part's average quantity.
+
+    The classic plan is a self-join against a per-group aggregate; here
+    both legs ride ONE tag-union keyed exchange — every block sends its
+    raw (partkey, qty, price) rows AND its per-part partial (sum, count),
+    the combine folds the partials into exact per-part totals and filters
+    the co-located rows with the integer cross-multiplied predicate
+    ``2 * qty * cnt < sum_qty`` (no division, no floats — bit-identical
+    under any partitioning).  Output is the single global (revenue_c,
+    n_items) row from driver-merged block partials.
+    """
+    schema = pa.schema([
+        ("jkey", pa.int64()), ("tag", pa.int8()),
+        ("qty_c", pa.int64()), ("price_c", pa.int64()), ("cnt", pa.int64()),
+    ])
+
+    def both_sides(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["l_partkey"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        qc = np.round(
+            t["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        prc = np.round(
+            t["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        # leg 1: the raw rows
+        n = len(k)
+        # leg 2: this block's per-part partial (sum_qty_c, cnt)
+        u, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, qc)
+        c = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        return pa.table({
+            "jkey": pa.array(np.concatenate([k, u]), pa.int64()),
+            "tag": pa.array(
+                np.concatenate([np.zeros(n, np.int8), np.ones(len(u), np.int8)]),
+                pa.int8()),
+            "qty_c": pa.array(np.concatenate([qc, s]), pa.int64()),
+            "price_c": pa.array(np.concatenate([prc, np.zeros(len(u), np.int64)]),
+                                pa.int64()),
+            "cnt": pa.array(np.concatenate([np.zeros(n, np.int64), c]), pa.int64()),
+        }).cast(schema)
+
+    mixed = lineitem_ds.map_batches(both_sides, batch_format="pyarrow")
+    mixed = mixed.repartition(num_blocks=num_partitions, keys=["jkey"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "revenue_c": pa.array([], pa.int64()),
+            "n_items": pa.array([], pa.int64()),
+        })
+        if len(t) == 0:
+            return empty
+        tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["jkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        qc = t["qty_c"].combine_chunks().to_numpy(zero_copy_only=False)
+        agg = tag == 1
+        ak, aq = k[agg], qc[agg]
+        ac = t["cnt"].combine_chunks().to_numpy(zero_copy_only=False)[agg]
+        u, inv = np.unique(ak, return_inverse=True)
+        tot_q = np.zeros(len(u), dtype=np.int64)
+        tot_c = np.zeros(len(u), dtype=np.int64)
+        np.add.at(tot_q, inv, aq)
+        np.add.at(tot_c, inv, ac)
+        rows = np.flatnonzero(~agg)
+        if len(rows) == 0:
+            return empty
+        pos = np.searchsorted(u, k[rows])
+        keep = 2 * qc[rows] * tot_c[pos] < tot_q[pos]
+        prc = t["price_c"].combine_chunks().to_numpy(zero_copy_only=False)[rows][keep]
+        return pa.table({
+            "revenue_c": pa.array([int(prc.sum())], pa.int64()),
+            "n_items": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    parts = mixed.map_batches(combine, batch_format="pyarrow", batch_size=None)
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in parts.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs)
+    return pa.table({
+        "revenue_c": pa.array(
+            [int(t["revenue_c"].to_numpy(zero_copy_only=False).sum())], pa.int64()),
+        "n_items": pa.array(
+            [int(t["n_items"].to_numpy(zero_copy_only=False).sum())], pa.int64()),
+    })
+
+
+BELOW_AVG_REVENUE_SQL = """
+WITH pavg AS (
+  SELECT l_partkey,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN pavg ON lineitem.l_partkey = pavg.l_partkey
+WHERE 2 * CAST(round(l_quantity * 100) AS BIGINT) * cnt < sum_qty_c
+"""

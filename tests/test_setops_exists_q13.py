@@ -141,3 +141,39 @@ def test_pricing_cube_grouping_sets(ray_session):
         (None, "F"): (2, 500), (None, "O"): (1, 200),
         (None, None): (3, 700),
     }
+
+
+def test_below_avg_revenue_integer_predicate(ray_session):
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.joins import below_avg_revenue
+
+    # part 1: qtys 10, 20, 30 (avg 20; below half-avg < 10: none... use 4)
+    # part 1: qtys 4, 20, 30 (sum 54, half-avg 9: 4 qualifies, price 7.0)
+    # part 2: qtys 5, 5 (half-avg 2.5: none)
+    t = pa.table(
+        {
+            "l_partkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "l_quantity": pa.array([4.0, 20.0, 30.0, 5.0, 5.0]),
+            "l_extendedprice": pa.array([7.0, 1.0, 1.0, 1.0, 1.0]),
+        }
+    )
+    out = below_avg_revenue(rd.from_arrow(t).repartition(3), num_partitions=2)
+    assert out["n_items"].to_pylist() == [1]
+    assert out["revenue_c"].to_pylist() == [700]
+
+
+def test_props_k_stats_extraction(ray_session):
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.aggregate import props_k_stats
+
+    t = pa.table(
+        {
+            "props": pa.array(['{"k": 7}', '{"k": 7}', '{"k":12}']),
+            "value": pa.array([1.5, 2.25, 4.0]),
+        }
+    )
+    out = props_k_stats(rd.from_arrow(t).repartition(2)).to_pandas()
+    got = {r.k: (r.n_events, r.sum_value_c) for r in out.itertuples()}
+    assert got == {7: (2, 375), 12: (1, 400)}
