@@ -984,6 +984,17 @@ def q_media_pipeline(sf_dir: str):
     })
 
 
+def q_embedding_centroids(sf_dir: str):
+    """Per-language embedding centroid components (quantized exact int
+    sums): the list<float> vector-aggregate pattern — one keyed exchange,
+    numpy scatter-add partials, small driver merge."""
+    from ..stages.vecagg import embedding_centroids
+
+    return embedding_centroids(
+        _embeddings(sf_dir), _documents(sf_dir, columns=["doc_id", "lang"])
+    )
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -1053,6 +1064,7 @@ QUERIES = {
     "below_avg_revenue": q_below_avg_revenue,
     "props_k_stats": q_props_k_stats,
     "media_pipeline": q_media_pipeline,
+    "embedding_centroids": q_embedding_centroids,
 }
 
 
@@ -1083,6 +1095,7 @@ from ..stages.joins import (
     ORDER_REVENUE_TOPK_SQL,
 )
 from ..stages.sample import SAMPLE_DOCS_SQL, STRATIFIED_SAMPLE_SQL
+from ..stages.vecagg import EMBEDDING_CENTROIDS_SQL
 from ..stages.wordcount import TOP_TOKENS_SQL
 from ..stages.sketch import HEAVY_USERS_SQL
 from ..stages.sessions import (
@@ -1246,6 +1259,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 # the prefiltered scale path computes the identical relation, so it shares
 # the exact tier's oracle verbatim
+ORACLE_SQL["embedding_centroids"] = EMBEDDING_CENTROIDS_SQL
 ORACLE_SQL["substring_dups_winnowed"] = ORACLE_SQL["substring_dups"]
 ORACLE_SQL["substring_spans_winnowed"] = ORACLE_SQL["substring_spans"]
 

@@ -1,0 +1,151 @@
+"""Vector aggregates over embedding columns (centroid per group).
+
+The training-data op behind cluster-centroid dedup and per-domain drift
+monitoring: mean embedding per group.  The reference has no vector math
+(SURVEY.md §2.5 — no aggregations at all); this is the engine's
+list<float> aggregate pattern:
+
+- ONE tag-union keyed exchange on doc id co-locates each vector with its
+  group label (both sides may be huge — no broadcast),
+- per-block accumulation is a single numpy matmul-style scatter-add into
+  a (groups x dim) matrix, emitted as (group, dim, sum, n) partials,
+- the driver merges |groups| x dim x partitions rows.
+
+Exactness: components are float32; both the Ray side and the SQL oracle
+quantize with ``floor(float64(x) * 1e6)`` — the float32->float64 cast is
+exact, the multiply is the same IEEE op, and floor has no tie rule to
+diverge on (numpy round is half-even, SQL round is half-away — floor
+sidesteps that class of mismatch).  Sums are then exact int64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+QUANT = 1_000_000.0
+
+
+def embedding_centroids(embeddings_ds, documents_ds, dim: int = 64,
+                        num_partitions: int = 8):
+    """-> (lang, dim_no [1-based], sum_q, n): per-language per-dimension
+    quantized component sums (the centroid is sum_q / n / 1e6)."""
+    schema = pa.schema([
+        ("jkey", pa.int64()), ("tag", pa.int8()),
+        ("emb", pa.list_(pa.float32())), ("lang", pa.string()),
+    ])
+
+    def emb_side(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "jkey": pc.cast(t["vec_id"], pa.int64()),
+            "tag": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "emb": pc.cast(t["embedding"], pa.list_(pa.float32())),
+            "lang": pa.nulls(n, pa.string()),
+        }).cast(schema)
+
+    def doc_side(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "jkey": pc.cast(t["doc_id"], pa.int64()),
+            "tag": pa.array(np.ones(n, np.int8), pa.int8()),
+            "emb": pa.nulls(n, pa.list_(pa.float32())),
+            "lang": t["lang"],
+        }).cast(schema)
+
+    mixed = embeddings_ds.map_batches(emb_side, batch_format="pyarrow").union(
+        documents_ds.map_batches(doc_side, batch_format="pyarrow")
+    )
+    mixed = mixed.repartition(num_blocks=num_partitions, keys=["jkey"])
+
+    empty = pa.table({
+        "lang": pa.array([], pa.string()),
+        "dim_no": pa.array([], pa.int64()),
+        "sum_q": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64()),
+    })
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["jkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        esel = np.flatnonzero(tag == 0)
+        dsel = np.flatnonzero(tag == 1)
+        if len(esel) == 0 or len(dsel) == 0:
+            return empty
+        # group label lookup: doc ids are unique, sorted searchsorted map
+        dk = k[dsel]
+        order = np.argsort(dk, kind="stable")
+        dk = dk[order]
+        langs = t["lang"].combine_chunks().take(
+            pa.array(dsel[order], pa.int64()))
+        enc = langs.dictionary_encode()
+        lang_codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(dk, k[esel])
+        pos_c = np.minimum(pos, len(dk) - 1)
+        hit = dk[pos_c] == k[esel]
+        esel, pos_c = esel[hit], pos_c[hit]
+        if len(esel) == 0:
+            return empty
+        emb = t["emb"].combine_chunks().take(pa.array(esel, pa.int64()))
+        mat = np.asarray(
+            emb.flatten().to_numpy(zero_copy_only=False), dtype=np.float64
+        ).reshape(len(esel), -1)
+        q = np.floor(mat * QUANT).astype(np.int64)
+        g = lang_codes[pos_c]
+        ng = len(enc.dictionary)
+        d = q.shape[1]
+        sums = np.zeros((ng, d), dtype=np.int64)
+        np.add.at(sums, g, q)
+        counts = np.bincount(g, minlength=ng).astype(np.int64)
+        # inner-join semantics: a lang whose docs matched no vector in this
+        # block must not emit (the oracle's JOIN produces no such rows)
+        live = np.flatnonzero(counts > 0)
+        sums, counts = sums[live], counts[live]
+        nl = len(live)
+        lang_out = enc.dictionary.take(
+            pa.array(np.repeat(live, d), pa.int64()))
+        return pa.table({
+            "lang": lang_out,
+            "dim_no": pa.array(np.tile(np.arange(1, d + 1), nl), pa.int64()),
+            "sum_q": pa.array(sums.reshape(-1), pa.int64()),
+            "n": pa.array(np.repeat(counts, d), pa.int64()),
+        })
+
+    parts = mixed.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in parts.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs)
+    langs = t["lang"].combine_chunks()
+    enc = langs.dictionary_encode()
+    lc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dims = t["dim_no"].to_numpy(zero_copy_only=False)
+    key = lc * (int(dims.max()) + 1 if len(dims) else 1) + dims
+    uk, inv = np.unique(key, return_inverse=True)
+    s = np.zeros(len(uk), dtype=np.int64)
+    n = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(s, inv, t["sum_q"].to_numpy(zero_copy_only=False))
+    np.add.at(n, inv, t["n"].to_numpy(zero_copy_only=False))
+    base = int(dims.max()) + 1 if len(dims) else 1
+    return pa.table({
+        "lang": enc.dictionary.take(pa.array(uk // base, pa.int64())),
+        "dim_no": pa.array(uk % base, pa.int64()),
+        "sum_q": pa.array(s, pa.int64()),
+        "n": pa.array(n, pa.int64()),
+    })
+
+
+EMBEDDING_CENTROIDS_SQL = """
+SELECT lang, CAST(i AS BIGINT) AS dim_no,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000)
+                     AS BIGINT)) AS BIGINT) AS sum_q,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM embeddings
+JOIN documents ON vec_id = doc_id
+CROSS JOIN range(1, 65) t(i)
+GROUP BY lang, i
+"""
