@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "order_revenue_topk",
     "top_events_per_user",
     "distinct_users_per_type",
+    "embedding_centroids",
 ]
 
 
