@@ -995,6 +995,29 @@ def q_embedding_centroids(sf_dir: str):
     )
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding column (rows-only:
+    iterative — not SQL-expressible; pytest pins bit-equality against the
+    single-matrix numpy reference and planted-blob recovery)."""
+    from ..stages.kmeans import kmeans
+
+    out, _cent = kmeans(_embeddings(sf_dir), k=8, n_iter=10)
+    return out
+
+
+def q_funnel_conversions(sf_dir: str):
+    """Ordered-event funnel (purchase strictly after first signup) by
+    signup day — the sequence predicate collapses to a mergeable per-user
+    (min, max) partial, so the event log is never shuffled."""
+    import ray.data as rd
+
+    from ..stages.funnel import funnel_conversions
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel_conversions(ds, num_partitions=8)
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -1065,6 +1088,8 @@ QUERIES = {
     "props_k_stats": q_props_k_stats,
     "media_pipeline": q_media_pipeline,
     "embedding_centroids": q_embedding_centroids,
+    "kmeans_clusters": q_kmeans_clusters,
+    "funnel_conversions": q_funnel_conversions,
 }
 
 
@@ -1096,6 +1121,7 @@ from ..stages.joins import (
 )
 from ..stages.sample import SAMPLE_DOCS_SQL, STRATIFIED_SAMPLE_SQL
 from ..stages.vecagg import EMBEDDING_CENTROIDS_SQL
+from ..stages.funnel import FUNNEL_CONVERSIONS_SQL
 from ..stages.wordcount import TOP_TOKENS_SQL
 from ..stages.sketch import HEAVY_USERS_SQL
 from ..stages.sessions import (
@@ -1260,6 +1286,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 # the prefiltered scale path computes the identical relation, so it shares
 # the exact tier's oracle verbatim
 ORACLE_SQL["embedding_centroids"] = EMBEDDING_CENTROIDS_SQL
+ORACLE_SQL["funnel_conversions"] = FUNNEL_CONVERSIONS_SQL
 ORACLE_SQL["substring_dups_winnowed"] = ORACLE_SQL["substring_dups"]
 ORACLE_SQL["substring_spans_winnowed"] = ORACLE_SQL["substring_spans"]
 
