@@ -1018,6 +1018,39 @@ def q_funnel_conversions(sf_dir: str):
     return funnel_conversions(ds, num_partitions=8)
 
 
+def q_tfidf_terms(sf_dir: str):
+    """Top-10 distinctive tokens per language by the integer-exact tf/df
+    surrogate score (one token-keyed exchange of (token, lang) partials)."""
+    from ..stages.tfidf import tfidf_terms
+
+    return tfidf_terms(_documents(sf_dir, columns=["doc_id", "text", "lang"]),
+                       num_partitions=8)
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Exact dedup through a standing sharded index (raw Ray actors — the
+    shared-mutable-index pattern); result equals keep-min-doc_id per
+    distinct text."""
+    from ..stages.stateidx import incremental_dedup
+
+    return incremental_dedup(
+        _documents(sf_dir, columns=["doc_id", "text"]), n_shards=4)
+
+
+def q_bloom_semi_stats(sf_dir: str):
+    """Bloom-prefiltered broadcast semi-join (exact: bloom prunes, exact
+    set verifies), rolled up per returnflag."""
+    import ray.data as rd
+
+    from ..stages.bloomjoin import bloom_semi_stats
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity", "l_returnflag"])
+    pt = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_size"])
+    return bloom_semi_stats(li, pt, min_size=48)
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -1090,6 +1123,9 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "kmeans_clusters": q_kmeans_clusters,
     "funnel_conversions": q_funnel_conversions,
+    "tfidf_terms": q_tfidf_terms,
+    "dedup_incremental": q_dedup_incremental,
+    "bloom_semi_stats": q_bloom_semi_stats,
 }
 
 
@@ -1122,6 +1158,8 @@ from ..stages.joins import (
 from ..stages.sample import SAMPLE_DOCS_SQL, STRATIFIED_SAMPLE_SQL
 from ..stages.vecagg import EMBEDDING_CENTROIDS_SQL
 from ..stages.funnel import FUNNEL_CONVERSIONS_SQL
+from ..stages.tfidf import TFIDF_TERMS_SQL
+from ..stages.bloomjoin import BLOOM_SEMI_STATS_SQL
 from ..stages.wordcount import TOP_TOKENS_SQL
 from ..stages.sketch import HEAVY_USERS_SQL
 from ..stages.sessions import (
@@ -1287,6 +1325,12 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 # the exact tier's oracle verbatim
 ORACLE_SQL["embedding_centroids"] = EMBEDDING_CENTROIDS_SQL
 ORACLE_SQL["funnel_conversions"] = FUNNEL_CONVERSIONS_SQL
+ORACLE_SQL["tfidf_terms"] = TFIDF_TERMS_SQL
+ORACLE_SQL["dedup_incremental"] = """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM documents GROUP BY text
+"""
+ORACLE_SQL["bloom_semi_stats"] = BLOOM_SEMI_STATS_SQL
 ORACLE_SQL["substring_dups_winnowed"] = ORACLE_SQL["substring_dups"]
 ORACLE_SQL["substring_spans_winnowed"] = ORACLE_SQL["substring_spans"]
 
