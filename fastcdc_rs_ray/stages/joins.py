@@ -764,3 +764,80 @@ SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
 FROM lineitem JOIN pavg ON lineitem.l_partkey = pavg.l_partkey
 WHERE 2 * CAST(round(l_quantity * 100) AS BIGINT) * cnt < sum_qty_c
 """
+
+
+def full_outer_counts(orders_ds, events_ds, num_partitions: int = 8):
+    """FULL OUTER join of two filtered aggregates on the shared id space:
+    urgent-order count per customer vs purchase-event count per user ->
+    (uid, n_urgent, n_purchase), rows kept when EITHER side has activity.
+
+    Completes the join taxonomy (inner/semi/anti/asof/range/EXISTS/LEFT/
+    correlated implemented above): both inputs pre-reduce to per-key count
+    partials inside ``map_batches`` (the wide sides are never shuffled),
+    the partials tag-union through ONE keyed exchange, and the per-block
+    combine emits a row per key with COALESCE(count, 0) on each side —
+    the outer semantics cost nothing beyond the inner shape."""
+    schema = pa.schema([
+        ("uid", pa.int64()), ("side", pa.int8()), ("cnt", pa.int64()),
+    ])
+
+    def _count_partial(t: pa.Table, keycol: str, side: int) -> pa.Table:
+        if len(t) == 0:
+            return schema.empty_table()
+        ids = t[keycol].combine_chunks().to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(ids, return_counts=True)
+        return pa.table({
+            "uid": pa.array(uk, pa.int64()),
+            "side": pa.array(np.full(len(uk), side, np.int8), pa.int8()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        }).cast(schema)
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["o_orderpriority"].combine_chunks(), "1-URGENT")
+        return _count_partial(t.filter(keep), "o_custkey", 0)
+
+    def events_side(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["event_type"].combine_chunks(), "purchase")
+        return _count_partial(t.filter(keep), "user_id", 1)
+
+    mixed = orders_ds.map_batches(orders_side, batch_format="pyarrow").union(
+        events_ds.map_batches(events_side, batch_format="pyarrow")
+    ).repartition(num_blocks=num_partitions, keys=["uid"])
+
+    out_schema = pa.schema([
+        ("uid", pa.int64()), ("n_urgent", pa.int64()),
+        ("n_purchase", pa.int64()),
+    ])
+
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        uid = t["uid"].combine_chunks().to_numpy(zero_copy_only=False)
+        side = t["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(uid, return_inverse=True)
+        n_u = np.zeros(len(uk), np.int64)
+        n_p = np.zeros(len(uk), np.int64)
+        np.add.at(n_u, inv[side == 0], cnt[side == 0])
+        np.add.at(n_p, inv[side == 1], cnt[side == 1])
+        return pa.table({
+            "uid": pa.array(uk, pa.int64()),
+            "n_urgent": pa.array(n_u, pa.int64()),
+            "n_purchase": pa.array(n_p, pa.int64()),
+        }).cast(out_schema)
+
+    return mixed.map_batches(combine, batch_format="pyarrow",
+                             batch_size=None)
+
+
+FULL_OUTER_COUNTS_SQL = """
+SELECT COALESCE(o.k, e.k) AS uid,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_urgent,
+       CAST(COALESCE(e.n, 0) AS BIGINT) AS n_purchase
+FROM (SELECT o_custkey AS k, count(*) AS n FROM orders
+      WHERE o_orderpriority = '1-URGENT' GROUP BY 1) o
+FULL OUTER JOIN
+     (SELECT user_id AS k, count(*) AS n FROM events
+      WHERE event_type = 'purchase' GROUP BY 1) e
+ON o.k = e.k
+"""
