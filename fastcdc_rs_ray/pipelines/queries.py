@@ -1051,6 +1051,45 @@ def q_bloom_semi_stats(sf_dir: str):
     return bloom_semi_stats(li, pt, min_size=48)
 
 
+def q_urgent_vs_purchase(sf_dir: str):
+    """FULL OUTER join of per-customer urgent-order counts vs per-user
+    purchase counts (pre-reduced partials; wide sides never shuffled)."""
+    import ray.data as rd
+
+    from ..stages.joins import full_outer_counts
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"])
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_type"])
+    return full_outer_counts(orders, events, num_partitions=8)
+
+
+def q_part_pagerank(sf_dir: str):
+    """Integer-quantized PageRank over the part co-purchase graph
+    (rows-only: iterative — pytest pins bit-equality vs a numpy replica)."""
+    import ray.data as rd
+
+    from ..stages.pagerank import copurchase_edges, pagerank
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_linenumber"])
+    return pagerank(copurchase_edges(li, num_partitions=8), n_iter=10)
+
+
+def q_watermark_windows(sf_dir: str):
+    """Event-time watermark replay: per tumbling window, events a
+    streaming run would keep vs drop as late (distributed prefix-max via
+    per-block candidate chains — no global sort, no scan)."""
+    import ray.data as rd
+
+    from ..stages.watermark import watermark_windows
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts"])
+    return watermark_windows(ds)
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -1126,6 +1165,9 @@ QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "dedup_incremental": q_dedup_incremental,
     "bloom_semi_stats": q_bloom_semi_stats,
+    "urgent_vs_purchase": q_urgent_vs_purchase,
+    "part_pagerank": q_part_pagerank,
+    "watermark_windows": q_watermark_windows,
 }
 
 
@@ -1149,6 +1191,7 @@ from ..stages.aggregate import (
 )
 from ..stages.joins import (
     BELOW_AVG_REVENUE_SQL,
+    FULL_OUTER_COUNTS_SQL,
     CUSTOMER_ORDER_COUNTS_SQL,
     EXISTS_ORDER_COUNTS_SQL,
     INACTIVE_CUSTOMERS_SQL,
@@ -1160,6 +1203,7 @@ from ..stages.vecagg import EMBEDDING_CENTROIDS_SQL
 from ..stages.funnel import FUNNEL_CONVERSIONS_SQL
 from ..stages.tfidf import TFIDF_TERMS_SQL
 from ..stages.bloomjoin import BLOOM_SEMI_STATS_SQL
+from ..stages.watermark import WATERMARK_WINDOWS_SQL
 from ..stages.wordcount import TOP_TOKENS_SQL
 from ..stages.sketch import HEAVY_USERS_SQL
 from ..stages.sessions import (
@@ -1331,6 +1375,8 @@ SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
 FROM documents GROUP BY text
 """
 ORACLE_SQL["bloom_semi_stats"] = BLOOM_SEMI_STATS_SQL
+ORACLE_SQL["urgent_vs_purchase"] = FULL_OUTER_COUNTS_SQL
+ORACLE_SQL["watermark_windows"] = WATERMARK_WINDOWS_SQL
 ORACLE_SQL["substring_dups_winnowed"] = ORACLE_SQL["substring_dups"]
 ORACLE_SQL["substring_spans_winnowed"] = ORACLE_SQL["substring_spans"]
 
