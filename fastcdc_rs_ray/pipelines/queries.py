@@ -1090,6 +1090,19 @@ def q_watermark_windows(sf_dir: str):
     return watermark_windows(ds)
 
 
+def q_value_quantiles_sketch(sf_dir: str):
+    """Mergeable approximate quantiles via deterministic hash sampling —
+    the unbounded-domain quantile sketch (SQL-checkable because the
+    sample is a pure function of event_id)."""
+    import ray.data as rd
+
+    from ..stages.sketch import value_quantiles_sketch
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+    return value_quantiles_sketch(ds)
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -1168,6 +1181,7 @@ QUERIES = {
     "urgent_vs_purchase": q_urgent_vs_purchase,
     "part_pagerank": q_part_pagerank,
     "watermark_windows": q_watermark_windows,
+    "value_quantiles_sketch": q_value_quantiles_sketch,
 }
 
 
@@ -1205,7 +1219,7 @@ from ..stages.tfidf import TFIDF_TERMS_SQL
 from ..stages.bloomjoin import BLOOM_SEMI_STATS_SQL
 from ..stages.watermark import WATERMARK_WINDOWS_SQL
 from ..stages.wordcount import TOP_TOKENS_SQL
-from ..stages.sketch import HEAVY_USERS_SQL
+from ..stages.sketch import HEAVY_USERS_SQL, VALUE_QUANTILES_SKETCH_SQL
 from ..stages.sessions import (
     DISTINCT_USERS_PER_TYPE_SQL,
     MEDIAN_VALUE_BY_TYPE_SQL,
@@ -1377,6 +1391,7 @@ FROM documents GROUP BY text
 ORACLE_SQL["bloom_semi_stats"] = BLOOM_SEMI_STATS_SQL
 ORACLE_SQL["urgent_vs_purchase"] = FULL_OUTER_COUNTS_SQL
 ORACLE_SQL["watermark_windows"] = WATERMARK_WINDOWS_SQL
+ORACLE_SQL["value_quantiles_sketch"] = VALUE_QUANTILES_SKETCH_SQL
 ORACLE_SQL["substring_dups_winnowed"] = ORACLE_SQL["substring_dups"]
 ORACLE_SQL["substring_spans_winnowed"] = ORACLE_SQL["substring_spans"]
 

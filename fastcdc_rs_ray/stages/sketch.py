@@ -183,3 +183,92 @@ GROUP BY user_id
 ORDER BY n_events DESC, user_id ASC
 LIMIT 5
 """
+
+
+# --------------------------------------------------------------------------
+# quantile sketch: deterministic hash-sample + exact small quantile
+# --------------------------------------------------------------------------
+
+SKETCH_RATE_PM = 100  # per-mille sample rate (10%)
+SKETCH_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def value_quantiles_sketch(events_ds, rate_pm: int = SKETCH_RATE_PM,
+                           qs: tuple[float, ...] = SKETCH_QS) -> pa.Table:
+    """Mergeable approximate quantiles for an UNBOUNDED value domain —
+    completes the sketch tier (HLL = distinct, Misra-Gries = heavy
+    hitters, this = quantiles).
+
+    The sketch is a deterministic multiplicative-hash row sample
+    (``mix(event_id) per-mille < rate``): mergeable by construction
+    (a union of per-block samples IS the global sample), retry-stable
+    (re-executed blocks pick the same rows — no RNG), and SQL-expressible,
+    so unlike classic KLL the oracle can check it EXACTLY; accuracy is the
+    standard sample-quantile bound (~1/sqrt(rate * N)).  Quantile over the
+    sample reuses the nearest-rank formulation of
+    stages/sessions.py:value_percentiles.
+    """
+    from .sample import SAMPLE_MULT
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"value_c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        eid = t["event_id"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        keep = (eid * np.uint64(SAMPLE_MULT)) % np.uint64(1000) \
+            < np.uint64(rate_pm)
+        val = t["value"].combine_chunks().to_numpy(
+            zero_copy_only=False)[keep]
+        vc = np.round(val * 100).astype(np.int64)
+        u, c = np.unique(vc, return_counts=True)
+        return pa.table({"value_c": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    import math
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow")
+    t = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    )
+    v = t["value_c"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(v, kind="stable")
+    v, n = v[order], n[order]
+    starts = np.concatenate([[0], np.flatnonzero(v[1:] != v[:-1]) + 1]) \
+        if len(v) else np.array([], np.int64)
+    vals = v[starts] if len(v) else v
+    cum = np.cumsum(np.add.reduceat(n, starts)) if len(v) else n
+    total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if total == 0:
+            continue
+        rank = max(1, math.ceil(q * total))
+        ix = int(np.searchsorted(cum, rank))
+        out_q.append(q)
+        out_v.append(int(vals[ix]))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value_c": pa.array(out_v, pa.int64())})
+
+
+_SKETCH_QS_VALUES = ", ".join(f"({q})" for q in SKETCH_QS)
+
+VALUE_QUANTILES_SKETCH_SQL = f"""
+WITH qs(q) AS (VALUES {_SKETCH_QS_VALUES}),
+s0 AS (
+  SELECT value FROM events
+  WHERE (CAST(event_id AS HUGEINT) * {0x9E3779B97F4A7C15})
+        % 18446744073709551616 % 1000 < {SKETCH_RATE_PM}
+),
+s AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (ORDER BY CAST(ROUND(value * 100) AS BIGINT)) AS rn,
+         COUNT(*) OVER () AS n
+  FROM s0
+)
+SELECT q, CAST(MIN(v) AS BIGINT) AS value_c
+FROM s JOIN qs ON s.rn >= CEIL(qs.q * s.n)
+GROUP BY q
+"""
