@@ -44,6 +44,12 @@ BENCH_QUERIES = [
     "top_events_per_user",
     "distinct_users_per_type",
     "embedding_centroids",
+    "funnel_conversions",
+    "watermark_windows",
+    "bloom_semi_stats",
+    "urgent_vs_purchase",
+    "tfidf_terms",
+    "value_quantiles_sketch",
 ]
 
 
