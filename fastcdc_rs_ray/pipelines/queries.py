@@ -1103,6 +1103,35 @@ def q_value_quantiles_sketch(sf_dir: str):
     return value_quantiles_sketch(ds)
 
 
+def _scratch_dir(sf_dir: str, kind: str) -> str:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"/tmp/graft_ingest/{kind}_{tag}"
+
+
+def q_ingest_jsonl(sf_dir: str):
+    """JSONL source path: documents -> JSONL dump (once) -> read_json ->
+    per-lang rollup; oracle checks against the parquet original."""
+    from ..sources.textio import ingest_jsonl_rollup
+
+    return ingest_jsonl_rollup(
+        _documents(sf_dir, columns=["doc_id", "text", "lang"]),
+        _scratch_dir(sf_dir, "jsonl"))
+
+
+def q_ingest_csv(sf_dir: str):
+    """CSV source path: events numeric projection -> CSV dump (once) ->
+    read_csv -> per-user rollup; exact 2-decimal round-trip."""
+    import ray.data as rd
+
+    from ..sources.textio import ingest_csv_rollup
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+    return ingest_csv_rollup(ds, _scratch_dir(sf_dir, "csv"))
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -1182,6 +1211,8 @@ QUERIES = {
     "part_pagerank": q_part_pagerank,
     "watermark_windows": q_watermark_windows,
     "value_quantiles_sketch": q_value_quantiles_sketch,
+    "ingest_jsonl": q_ingest_jsonl,
+    "ingest_csv": q_ingest_csv,
 }
 
 
@@ -1392,6 +1423,10 @@ ORACLE_SQL["bloom_semi_stats"] = BLOOM_SEMI_STATS_SQL
 ORACLE_SQL["urgent_vs_purchase"] = FULL_OUTER_COUNTS_SQL
 ORACLE_SQL["watermark_windows"] = WATERMARK_WINDOWS_SQL
 ORACLE_SQL["value_quantiles_sketch"] = VALUE_QUANTILES_SKETCH_SQL
+from ..sources.textio import INGEST_CSV_SQL, INGEST_JSONL_SQL  # noqa: E402
+
+ORACLE_SQL["ingest_jsonl"] = INGEST_JSONL_SQL
+ORACLE_SQL["ingest_csv"] = INGEST_CSV_SQL
 ORACLE_SQL["substring_dups_winnowed"] = ORACLE_SQL["substring_dups"]
 ORACLE_SQL["substring_spans_winnowed"] = ORACLE_SQL["substring_spans"]
 

@@ -1,0 +1,136 @@
+"""JSONL / CSV ingestion sources — the text-format half of §2.1.
+
+The reference's only sources are byte buffers and files
+(src/v2020/mod.rs:516, examples/v2020.rs:29); a training-data engine also
+ingests JSONL crawl dumps and CSV exports.  These helpers materialize a
+deterministic text-format copy of a parquet table under /tmp ONCE (keyed
+by destination dir), then expose it through Ray Data's native distributed
+readers (`read_json` / `read_csv`) — so the oracle can check the whole
+ingest -> rollup path against the parquet original: the round-trip is
+lossless for int64/strings and for 2-decimal floats.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ensure_dump(src_ds, out_dir: str, fmt: str):
+    done = out_dir.rstrip("/") + ".done"  # sibling: readers glob out_dir/*
+    if os.path.exists(done):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    if fmt == "json":
+        src_ds.write_json(out_dir)
+    else:
+        src_ds.write_csv(out_dir)
+    with open(done, "w") as f:
+        f.write("ok")
+
+
+def ingest_jsonl_rollup(documents_ds, out_dir: str):
+    """documents -> JSONL dump -> read_json -> (lang, n_docs, sum_chars).
+    Proves the JSONL source path end-to-end against the parquet oracle."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    _ensure_dump(documents_ds, out_dir, "json")
+    ds = rd.read_json(out_dir, file_extensions=["json", "jsonl"])
+
+    def rollup(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "sum_chars": pa.array([], pa.int64())})
+        lenc = t["lang"].combine_chunks().dictionary_encode()
+        codes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = pc.utf8_length(t["text"].combine_chunks()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        k = len(lenc.dictionary)
+        return pa.table({
+            "lang": lenc.dictionary,
+            "n_docs": pa.array(np.bincount(codes, minlength=k).astype(
+                np.int64), pa.int64()),
+            "sum_chars": pa.array(np.bincount(
+                codes, weights=nch, minlength=k).astype(np.int64), pa.int64()),
+        })
+
+    parts = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in ds.map_batches(rollup, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    lenc = parts["lang"].combine_chunks().dictionary_encode()
+    codes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    k = len(lenc.dictionary)
+    n = np.zeros(k, np.int64)
+    s = np.zeros(k, np.int64)
+    np.add.at(n, codes, parts["n_docs"].to_numpy(zero_copy_only=False))
+    np.add.at(s, codes, parts["sum_chars"].to_numpy(zero_copy_only=False))
+    return pa.table({
+        "lang": lenc.dictionary,
+        "n_docs": pa.array(n, pa.int64()),
+        "sum_chars": pa.array(s, pa.int64()),
+    })
+
+
+INGEST_JSONL_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+def ingest_csv_rollup(events_ds, out_dir: str):
+    """events (numeric projection) -> CSV dump -> read_csv ->
+    (user_id, n_events, sum_value_c).  2-decimal values survive the text
+    round-trip exactly."""
+    import ray.data as rd
+
+    _ensure_dump(events_ds, out_dir, "csv")
+    ds = rd.read_csv(out_dir)
+
+    def rollup(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "sum_value_c": pa.array([], pa.int64())})
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        vc = np.round(t["value"].combine_chunks().to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        uu, inv = np.unique(uid, return_inverse=True)
+        return pa.table({
+            "user_id": pa.array(uu, pa.int64()),
+            "n_events": pa.array(np.bincount(
+                inv, minlength=len(uu)).astype(np.int64), pa.int64()),
+            "sum_value_c": pa.array(np.bincount(
+                inv, weights=vc, minlength=len(uu)).astype(np.int64),
+                pa.int64()),
+        })
+
+    parts = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in ds.map_batches(rollup, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    uid = parts["user_id"].to_numpy(zero_copy_only=False)
+    uu, inv = np.unique(uid, return_inverse=True)
+    n = np.zeros(len(uu), np.int64)
+    s = np.zeros(len(uu), np.int64)
+    np.add.at(n, inv, parts["n_events"].to_numpy(zero_copy_only=False))
+    np.add.at(s, inv, parts["sum_value_c"].to_numpy(zero_copy_only=False))
+    return pa.table({
+        "user_id": pa.array(uu, pa.int64()),
+        "n_events": pa.array(n, pa.int64()),
+        "sum_value_c": pa.array(s, pa.int64()),
+    })
+
+
+INGEST_CSV_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events GROUP BY user_id
+"""
