@@ -1132,6 +1132,15 @@ def q_ingest_csv(sf_dir: str):
     return ingest_csv_rollup(ds, _scratch_dir(sf_dir, "csv"))
 
 
+def q_decontaminate(sf_dir: str):
+    """Train/eval overlap removal: non-benchmark docs sharing a 30-gram
+    with the benchmark slice (bloom broadcast + exact verify; training
+    side streams with NO shuffle)."""
+    from ..stages.decontam import decontaminate
+
+    return decontaminate(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -1213,6 +1222,7 @@ QUERIES = {
     "value_quantiles_sketch": q_value_quantiles_sketch,
     "ingest_jsonl": q_ingest_jsonl,
     "ingest_csv": q_ingest_csv,
+    "decontaminate": q_decontaminate,
 }
 
 
@@ -1427,6 +1437,9 @@ from ..sources.textio import INGEST_CSV_SQL, INGEST_JSONL_SQL  # noqa: E402
 
 ORACLE_SQL["ingest_jsonl"] = INGEST_JSONL_SQL
 ORACLE_SQL["ingest_csv"] = INGEST_CSV_SQL
+from ..stages.decontam import DECONTAMINATE_SQL  # noqa: E402
+
+ORACLE_SQL["decontaminate"] = DECONTAMINATE_SQL
 ORACLE_SQL["substring_dups_winnowed"] = ORACLE_SQL["substring_dups"]
 ORACLE_SQL["substring_spans_winnowed"] = ORACLE_SQL["substring_spans"]
 
