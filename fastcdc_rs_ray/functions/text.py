@@ -192,3 +192,40 @@ def tokenize_hashes(t: pa.Table, text_col: str = "text") -> tuple[np.ndarray, np
     counts = np.bincount(row_nz, minlength=n).astype(np.int64)
     offsets = np.concatenate([[0], np.cumsum(counts)])
     return hash_str_array_u64(flat_nz), offsets
+
+
+# --------------------------------------------------------------------------
+# BPE-ish tokenization + PII redaction (RE2 both sides: pyarrow and DuckDB)
+# --------------------------------------------------------------------------
+
+# GPT-2-flavoured pretokenizer, restricted to RE2-safe classes (no \p{} so
+# the same literal string runs in pyarrow and DuckDB): contractions,
+# space-prefixed letter runs, digit runs, punctuation runs.
+BPE_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^ \tA-Za-z0-9]+"
+
+# emails + long digit runs (ids/phones); [REDACTED] marker
+PII_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{6,}"
+PII_MARK = "[REDACTED]"
+
+
+def token_count_bpe_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, n_bpe_tokens): count of BPE-style pretokens — the
+    token-budget estimator a curation pipeline runs before training."""
+    text = t["text"].combine_chunks()
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_bpe_tokens": pc.cast(
+            pc.count_substring_regex(text, BPE_RE), pa.int64()),
+    })
+
+
+def pii_redact_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, clean_text, n_pii): vectorized RE2 redaction of emails and
+    long digit runs; n_pii counts the matches removed."""
+    text = t["text"].combine_chunks()
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "clean_text": pc.replace_substring_regex(
+            text, pattern=PII_RE, replacement=PII_MARK),
+        "n_pii": pc.cast(pc.count_substring_regex(text, PII_RE), pa.int64()),
+    })

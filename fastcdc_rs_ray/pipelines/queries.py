@@ -1141,6 +1141,22 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(_documents(sf_dir, columns=["doc_id", "text"]))
 
 
+def q_token_count_bpe(sf_dir: str):
+    """BPE-style pretoken counts per doc (vectorized RE2, zero shuffle)."""
+    from ..functions.text import token_count_bpe_batch
+
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        token_count_bpe_batch, batch_format="pyarrow")
+
+
+def q_pii_redact(sf_dir: str):
+    """Email/long-digit-run redaction per doc (vectorized RE2 rewrite)."""
+    from ..functions.text import pii_redact_batch
+
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        pii_redact_batch, batch_format="pyarrow")
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -1223,6 +1239,8 @@ QUERIES = {
     "ingest_jsonl": q_ingest_jsonl,
     "ingest_csv": q_ingest_csv,
     "decontaminate": q_decontaminate,
+    "token_count_bpe": q_token_count_bpe,
+    "pii_redact": q_pii_redact,
 }
 
 
@@ -1440,6 +1458,20 @@ ORACLE_SQL["ingest_csv"] = INGEST_CSV_SQL
 from ..stages.decontam import DECONTAMINATE_SQL  # noqa: E402
 
 ORACLE_SQL["decontaminate"] = DECONTAMINATE_SQL
+from ..functions.text import BPE_RE, PII_MARK, PII_RE  # noqa: E402
+
+ORACLE_SQL["token_count_bpe"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+ORACLE_SQL["pii_redact"] = f"""
+SELECT doc_id,
+       regexp_replace(text, '{PII_RE}', '{PII_MARK}', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{PII_RE}')) AS BIGINT) AS n_pii
+FROM documents
+"""
 ORACLE_SQL["substring_dups_winnowed"] = ORACLE_SQL["substring_dups"]
 ORACLE_SQL["substring_spans_winnowed"] = ORACLE_SQL["substring_spans"]
 
