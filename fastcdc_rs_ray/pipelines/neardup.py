@@ -513,3 +513,53 @@ def representatives(clusters_ds, num_partitions: int = 16):
         ).cast(out_schema)
 
     return ds.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+def doc_signatures(documents_ds, n_perms: int = N_PERMS, k: int = 5,
+                   seed: int = 7):
+    """documents -> (conv_id = str(doc_id), minhash) signatures: MinHash
+    over k-gram TOKEN shingles of the raw text — the document-level dedup
+    entry (the flagship signs chunk-hash sequences of assembled
+    transcripts; this signs the documents table directly, as a curation
+    pipeline would).  Docs with no tokens are dropped (no shingle set =>
+    cannot be a near-dup of anything)."""
+    from ..functions.text import tokenize_hashes
+    from ..stages.minhash import _cached_hasher
+
+    def apply(t: pa.Table) -> pa.Table:
+        hasher = _cached_hasher(n_perms, k, seed)
+        empty = pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "minhash": pa.array([], pa.list_(pa.uint64(), n_perms)),
+        })
+        if len(t) == 0:
+            return empty
+        th, offsets = tokenize_hashes(t, "text")
+        starts, ends = offsets[:-1], offsets[1:]
+        keep = ends > starts
+        if not keep.any():
+            return empty
+        starts, ends = starts[keep], ends[keep]
+        shingles, seg_starts = hasher._shingles_all_segments(th, starts, ends)
+        sig = hasher.signatures_for_segments(shingles, seg_starts)
+        ids = t["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False)[keep]
+        return pa.table({
+            "conv_id": pc.cast(pa.array(ids, pa.int64()), pa.string()),
+            "minhash": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig.reshape(-1), pa.uint64()), n_perms),
+        })
+
+    return documents_ds.map_batches(apply, batch_format="pyarrow",
+                                    batch_size=None)
+
+
+def doc_neardup_clusters(documents_ds, num_partitions: int = 16,
+                         verify_threshold: float | None = 0.5, **kw):
+    """Document-level near-dup clusters: MinHash over token shingles ->
+    the flagship's LSH band exchange / verify / connected-components tail,
+    unchanged.  Output (conv_id = str(doc_id), cluster_id)."""
+    sigs = doc_signatures(documents_ds)
+    return neardup_clusters_from_signatures(
+        sigs, num_partitions=num_partitions,
+        verify_threshold=verify_threshold, **kw)

@@ -1157,6 +1157,16 @@ def q_pii_redact(sf_dir: str):
         pii_redact_batch, batch_format="pyarrow")
 
 
+def q_doc_neardup_clusters(sf_dir: str):
+    """Document-level MinHash+LSH near-dup clusters (token shingles over
+    the documents table; rows-only — pytest pins recall vs brute-force
+    Jaccard on planted twins)."""
+    from .neardup import doc_neardup_clusters
+
+    return doc_neardup_clusters(
+        _documents(sf_dir, columns=["doc_id", "text"]), num_partitions=8)
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -1241,6 +1251,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "token_count_bpe": q_token_count_bpe,
     "pii_redact": q_pii_redact,
+    "doc_neardup_clusters": q_doc_neardup_clusters,
 }
 
 
