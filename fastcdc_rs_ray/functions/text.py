@@ -229,3 +229,31 @@ def pii_redact_batch(t: pa.Table) -> pa.Table:
             text, pattern=PII_RE, replacement=PII_MARK),
         "n_pii": pc.cast(pc.count_substring_regex(text, PII_RE), pa.int64()),
     })
+
+
+def repetition_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, top_tok_ppm): the repetition quality signal — ppm share of
+    the single most frequent token, integer-exact
+    (``max_count * 1e6 // n_tokens``).  Boilerplate/spam pages score high;
+    zero-token docs emit no row (matches the SQL oracle's empty group).
+    Whole docs are rows, so this is shuffle-free."""
+    flat, row_of, n = _flat_tokens(t["text"])
+    if len(flat) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "top_tok_ppm": pa.array([], pa.int64())})
+    enc = flat.dictionary_encode()
+    code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    nt = len(enc.dictionary)
+    key = row_of * nt + code
+    uk, cnt = np.unique(key, return_counts=True)
+    rows = uk // nt
+    top = np.zeros(n, np.int64)
+    np.maximum.at(top, rows, cnt)
+    total = np.bincount(row_of, minlength=n).astype(np.int64)
+    live = np.flatnonzero(total > 0)
+    ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    return pa.table({
+        "doc_id": pa.array(ids[live], pa.int64()),
+        "top_tok_ppm": pa.array(
+            (top[live] * 1_000_000) // total[live], pa.int64()),
+    })

@@ -1167,6 +1167,15 @@ def q_doc_neardup_clusters(sf_dir: str):
         _documents(sf_dir, columns=["doc_id", "text"]), num_partitions=8)
 
 
+def q_repetition(sf_dir: str):
+    """Repetition quality signal: ppm share of the top token per doc
+    (integer-exact, shuffle-free)."""
+    from ..functions.text import repetition_batch
+
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_batch, batch_format="pyarrow")
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -1252,6 +1261,7 @@ QUERIES = {
     "token_count_bpe": q_token_count_bpe,
     "pii_redact": q_pii_redact,
     "doc_neardup_clusters": q_doc_neardup_clusters,
+    "repetition": q_repetition,
 }
 
 
@@ -1476,6 +1486,16 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}'))
             AS BIGINT) AS n_bpe_tokens
 FROM documents
+"""
+ORACLE_SQL["repetition"] = f"""
+WITH tc AS (
+  SELECT doc_id, token, count(*) AS c
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS token
+        FROM documents)
+  GROUP BY 1, 2
+)
+SELECT doc_id, CAST((max(c) * 1000000) // sum(c) AS BIGINT) AS top_tok_ppm
+FROM tc GROUP BY doc_id
 """
 ORACLE_SQL["pii_redact"] = f"""
 SELECT doc_id,
