@@ -1176,6 +1176,41 @@ def q_repetition(sf_dir: str):
         repetition_batch, batch_format="pyarrow")
 
 
+def q_media_frames(sf_dir: str):
+    """Frame-sampling multimodal stage end-to-end (rows-only): synthetic
+    media corpus -> actor-pool every-k frame sampler -> per-type frame
+    counts.  Same corpus scaling rule as media_pipeline."""
+    import ray.data as rd
+
+    from ..stages.multimodal import sample_frames, synth_media_table
+
+    n_docs = _documents(sf_dir, ["doc_id"]).count()
+    media = rd.from_arrow(synth_media_table(n=min(max(n_docs // 4, 32), 512)))
+    frames = sample_frames(media, every_k=4, batch_size=16, concurrency=2)
+
+    def rollup(t: pa.Table) -> pa.Table:
+        ids = t["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(ids, return_inverse=True)
+        return pa.table({
+            "id": pa.array(uu, pa.int64()),
+            "n_frames_sampled": pa.array(
+                np.bincount(inv, minlength=len(uu)).astype(np.int64),
+                pa.int64()),
+        })
+
+    parts = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in frames.map_batches(rollup, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    ids = parts["id"].to_numpy(zero_copy_only=False)
+    uu, inv = np.unique(ids, return_inverse=True)
+    n = np.zeros(len(uu), np.int64)
+    np.add.at(n, inv, parts["n_frames_sampled"].to_numpy(zero_copy_only=False))
+    return pa.table({"id": pa.array(uu, pa.int64()),
+                     "n_frames_sampled": pa.array(n, pa.int64())})
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -1262,6 +1297,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "doc_neardup_clusters": q_doc_neardup_clusters,
     "repetition": q_repetition,
+    "media_frames": q_media_frames,
 }
 
 
