@@ -145,21 +145,30 @@ class FrameSampler:
         self.decoder = decoder or fake_decoder
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, frame_idx, w, h = [], [], [], []
-        meta = t["meta"].combine_chunks() if isinstance(t["meta"], pa.ChunkedArray) else t["meta"]
-        for i in range(len(t)):
-            m = meta[i].as_py()
-            for f in range(0, m["n_frames"], self.every_k):
-                ids.append(t["id"][i].as_py())
-                frame_idx.append(f)
-                w.append(m["width"])
-                h.append(m["height"])
+        import pyarrow.compute as pc
+
+        # vectorized index explosion: no per-row/per-frame Python loop
+        meta = t["meta"].combine_chunks() if isinstance(
+            t["meta"], pa.ChunkedArray) else t["meta"]
+        nf = pc.struct_field(meta, "n_frames").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        k = self.every_k
+        cnt = (nf + k - 1) // k
+        total = int(cnt.sum())
+        row_of = np.repeat(np.arange(len(t), dtype=np.int64), cnt)
+        shift = np.repeat(np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+        frame_idx = (np.arange(total, dtype=np.int64) - shift) * k
+        ids = t["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = pc.struct_field(meta, "width").to_numpy(
+            zero_copy_only=False).astype(np.int32)
+        h = pc.struct_field(meta, "height").to_numpy(
+            zero_copy_only=False).astype(np.int32)
         return pa.table(
             {
-                "id": pa.array(ids, pa.int64()),
-                "frame_idx": pa.array(frame_idx, pa.int32()),
-                "width": pa.array(w, pa.int32()),
-                "height": pa.array(h, pa.int32()),
+                "id": pa.array(ids[row_of], pa.int64()),
+                "frame_idx": pa.array(frame_idx.astype(np.int32), pa.int32()),
+                "width": pa.array(w[row_of], pa.int32()),
+                "height": pa.array(h[row_of], pa.int32()),
             }
         )
 
