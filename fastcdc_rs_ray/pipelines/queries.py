@@ -1211,6 +1211,33 @@ def q_media_frames(sf_dir: str):
                      "n_frames_sampled": pa.array(n, pa.int64())})
 
 
+def q_export_chunks_manifest(sf_dir: str):
+    """Resumable partitioned parquet sink as a driver-visible surface
+    (rows-only): chunk the assembled transcripts through the
+    per-partition checkpointed writer and return its manifest
+    (partition_id, rows) — a re-run skips finished partitions (pytest
+    tests/test_pipeline_resume.py pins byte-identical resume)."""
+    import hashlib
+    import shutil
+
+    from ..state.checkpoint import completed_partitions, run_stage_checkpointed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/graft_export/{tag}"
+    shutil.rmtree(root, ignore_errors=True)  # fresh run each invocation
+
+    conv = assemble(transcripts_from_documents(sf_dir), num_partitions=8)
+    run_stage_checkpointed(
+        conv, "chunks", root, key="conv_id",
+        fn=lambda ds: chunk(ds, DEFAULT_CONFIG), num_partitions=4)
+    done = completed_partitions(f"{root}/chunks")
+    parts = sorted(done)
+    return pa.table({
+        "partition_id": pa.array(parts, pa.int64()),
+        "rows": pa.array([int(done[p]["rows"]) for p in parts], pa.int64()),
+    })
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -1298,6 +1325,7 @@ QUERIES = {
     "doc_neardup_clusters": q_doc_neardup_clusters,
     "repetition": q_repetition,
     "media_frames": q_media_frames,
+    "export_chunks_manifest": q_export_chunks_manifest,
 }
 
 
