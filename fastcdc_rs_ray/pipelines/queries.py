@@ -1238,6 +1238,18 @@ def q_export_chunks_manifest(sf_dir: str):
     })
 
 
+def q_concurrent_events(sf_dir: str):
+    """Interval self-join: cross-user event pairs within 60 s, via bucket
+    replication (factor exactly 2) + one keyed exchange."""
+    import ray.data as rd
+
+    from ..stages.intervaljoin import concurrent_events
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    return concurrent_events(ds, num_partitions=8)
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -1326,6 +1338,7 @@ QUERIES = {
     "repetition": q_repetition,
     "media_frames": q_media_frames,
     "export_chunks_manifest": q_export_chunks_manifest,
+    "concurrent_events": q_concurrent_events,
 }
 
 
@@ -1362,6 +1375,7 @@ from ..stages.funnel import FUNNEL_CONVERSIONS_SQL
 from ..stages.tfidf import TFIDF_TERMS_SQL
 from ..stages.bloomjoin import BLOOM_SEMI_STATS_SQL
 from ..stages.watermark import WATERMARK_WINDOWS_SQL
+from ..stages.intervaljoin import CONCURRENT_EVENTS_SQL
 from ..stages.wordcount import TOP_TOKENS_SQL
 from ..stages.sketch import HEAVY_USERS_SQL, VALUE_QUANTILES_SKETCH_SQL
 from ..stages.sessions import (
@@ -1536,6 +1550,7 @@ ORACLE_SQL["bloom_semi_stats"] = BLOOM_SEMI_STATS_SQL
 ORACLE_SQL["urgent_vs_purchase"] = FULL_OUTER_COUNTS_SQL
 ORACLE_SQL["watermark_windows"] = WATERMARK_WINDOWS_SQL
 ORACLE_SQL["value_quantiles_sketch"] = VALUE_QUANTILES_SKETCH_SQL
+ORACLE_SQL["concurrent_events"] = CONCURRENT_EVENTS_SQL
 from ..sources.textio import INGEST_CSV_SQL, INGEST_JSONL_SQL  # noqa: E402
 
 ORACLE_SQL["ingest_jsonl"] = INGEST_JSONL_SQL
