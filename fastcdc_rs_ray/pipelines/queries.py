@@ -1250,6 +1250,40 @@ def q_concurrent_events(sf_dir: str):
     return concurrent_events(ds, num_partitions=8)
 
 
+def q_events_unpivot(sf_dir: str):
+    """UNPIVOT / melt: the pivoted per-user crosstab back to long form
+    (user_id, event_type, n) — reshaping is a free map_batches after the
+    pivot's exchange (no extra shuffle)."""
+    import ray.data as rd
+
+    from ..stages.sessions import events_pivot
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+    piv = events_pivot(ds, num_partitions=8)
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        cols = np.stack([
+            t[f"n_{et}"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64) for et in types
+        ])  # (5, n)
+        return pa.table({
+            "user_id": pa.array(np.tile(uid, len(types)), pa.int64()),
+            "event_type": pa.array(
+                np.repeat(np.array(types, object), n), pa.string()),
+            "n": pa.array(cols.reshape(-1), pa.int64()),
+        })
+
+    return piv.map_batches(melt, batch_format="pyarrow")
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -1339,6 +1373,7 @@ QUERIES = {
     "media_frames": q_media_frames,
     "export_chunks_manifest": q_export_chunks_manifest,
     "concurrent_events": q_concurrent_events,
+    "events_unpivot": q_events_unpivot,
 }
 
 
@@ -1551,6 +1586,22 @@ ORACLE_SQL["urgent_vs_purchase"] = FULL_OUTER_COUNTS_SQL
 ORACLE_SQL["watermark_windows"] = WATERMARK_WINDOWS_SQL
 ORACLE_SQL["value_quantiles_sketch"] = VALUE_QUANTILES_SKETCH_SQL
 ORACLE_SQL["concurrent_events"] = CONCURRENT_EVENTS_SQL
+ORACLE_SQL["events_unpivot"] = """
+WITH p AS (
+  SELECT user_id,
+         COUNT(*) FILTER (event_type = 'click')    AS n_click,
+         COUNT(*) FILTER (event_type = 'error')    AS n_error,
+         COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+         COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+         COUNT(*) FILTER (event_type = 'view')     AS n_view
+  FROM events GROUP BY user_id
+)
+SELECT user_id, 'click' AS event_type, CAST(n_click AS BIGINT) AS n FROM p
+UNION ALL SELECT user_id, 'error', CAST(n_error AS BIGINT) FROM p
+UNION ALL SELECT user_id, 'purchase', CAST(n_purchase AS BIGINT) FROM p
+UNION ALL SELECT user_id, 'signup', CAST(n_signup AS BIGINT) FROM p
+UNION ALL SELECT user_id, 'view', CAST(n_view AS BIGINT) FROM p
+"""
 from ..sources.textio import INGEST_CSV_SQL, INGEST_JSONL_SQL  # noqa: E402
 
 ORACLE_SQL["ingest_jsonl"] = INGEST_JSONL_SQL
