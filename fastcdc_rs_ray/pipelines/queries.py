@@ -1284,6 +1284,19 @@ def q_events_unpivot(sf_dir: str):
     return piv.map_batches(melt, batch_format="pyarrow")
 
 
+def q_part_reachability(sf_dir: str):
+    """BFS on the co-purchase graph: min-hop distance from part 0 within
+    4 hops — distributed graph traversal whose oracle is a recursive CTE."""
+    import ray.data as rd
+
+    from ..stages.pagerank import copurchase_edges, reachability
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_linenumber"])
+    return reachability(copurchase_edges(li, num_partitions=8),
+                        source=0, max_hops=4)
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -1374,6 +1387,7 @@ QUERIES = {
     "export_chunks_manifest": q_export_chunks_manifest,
     "concurrent_events": q_concurrent_events,
     "events_unpivot": q_events_unpivot,
+    "part_reachability": q_part_reachability,
 }
 
 
@@ -1586,6 +1600,22 @@ ORACLE_SQL["urgent_vs_purchase"] = FULL_OUTER_COUNTS_SQL
 ORACLE_SQL["watermark_windows"] = WATERMARK_WINDOWS_SQL
 ORACLE_SQL["value_quantiles_sketch"] = VALUE_QUANTILES_SKETCH_SQL
 ORACLE_SQL["concurrent_events"] = CONCURRENT_EVENTS_SQL
+ORACLE_SQL["part_reachability"] = """
+WITH RECURSIVE e AS (
+  SELECT src, dst FROM (
+    SELECT l_partkey AS src,
+           lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_linenumber, l_partkey) AS dst
+    FROM lineitem
+  ) WHERE dst IS NOT NULL
+),
+r(node, d) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.node WHERE r.d < 4
+)
+SELECT node, CAST(min(d) AS BIGINT) AS dist FROM r GROUP BY node
+"""
 ORACLE_SQL["events_unpivot"] = """
 WITH p AS (
   SELECT user_id,

@@ -35,7 +35,10 @@ _EDGE = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 
 def copurchase_edges(lineitem_ds, num_partitions: int = 8):
     """lineitem -> directed edges (src part, dst part) between consecutive
-    line numbers of the same order."""
+    line numbers of the same order.  Line numbers are NOT unique within an
+    order in the testdata, so the sort adds l_partkey as a tiebreaker —
+    mirrored in every SQL oracle's ``ORDER BY l_linenumber, l_partkey`` —
+    to keep the edge set deterministic."""
     mid = pa.schema([
         ("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
         ("l_linenumber", pa.int64()),
@@ -57,7 +60,7 @@ def copurchase_edges(lineitem_ds, num_partitions: int = 8):
         ok = t["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
         pk = t["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
         ln = t["l_linenumber"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((ln, ok))
+        order = np.lexsort((pk, ln, ok))
         ok, pk = ok[order], pk[order]
         same = ok[1:] == ok[:-1]
         return pa.table({
@@ -163,3 +166,51 @@ def pagerank_numpy_reference(src: np.ndarray, dst: np.ndarray,
             break
         r = new
     return nodes, r
+
+
+def reachability(edges_ds, source: int = 0, max_hops: int = 4) -> pa.Table:
+    """BFS over the edge Dataset: (node, dist = min hops from ``source``)
+    for every node within ``max_hops`` — the graph-traversal class, and
+    (unlike k-means/PageRank) SQL-checkable via a recursive CTE, so the
+    driver gate verifies the distributed iteration exactly.
+
+    Each hop is one streaming pass: the frontier (sorted int64 array)
+    broadcasts via ``ray.put``, blocks emit the distinct successors of
+    frontier members (searchsorted membership — no Python loop), and the
+    driver subtracts visited nodes.  Frontier/visited are node-universe
+    sized (the same broadcastability assumption as :func:`pagerank`)."""
+    import ray
+
+    edges_ds = edges_ds.materialize()
+    visited = {int(source): 0}
+    frontier = np.array([source], np.int64)
+
+    for hop in range(1, max_hops + 1):
+        fref = ray.put(np.sort(frontier))
+
+        def succ(t: pa.Table, _fref=fref) -> pa.Table:
+            if len(t) == 0:
+                return pa.table({"node": pa.array([], pa.int64())})
+            fr = ray.get(_fref)
+            src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(fr, src)
+            pos_c = np.minimum(pos, len(fr) - 1)
+            hit = fr[pos_c] == src
+            return pa.table({"node": pa.array(np.unique(dst[hit]), pa.int64())})
+
+        parts = _collect(edges_ds.map_batches(succ, batch_format="pyarrow"))
+        nxt = np.unique(parts["node"].to_numpy(zero_copy_only=False))
+        fresh = np.array([n for n in nxt.tolist() if n not in visited],
+                         np.int64)
+        if len(fresh) == 0:
+            break
+        for n in fresh.tolist():
+            visited[n] = hop
+        frontier = fresh
+
+    nodes = np.array(sorted(visited), np.int64)
+    return pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "dist": pa.array([visited[int(n)] for n in nodes], pa.int64()),
+    })

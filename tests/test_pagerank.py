@@ -37,7 +37,7 @@ def _lineitems(tmp_path, n_orders=150, seed=13):
 
 
 def _ref_edges(ok, pk, ln):
-    order = np.lexsort((ln, ok))
+    order = np.lexsort((pk, ln, ok))
     ok, pk = ok[order], pk[order]
     same = ok[1:] == ok[:-1]
     return pk[:-1][same], pk[1:][same]
