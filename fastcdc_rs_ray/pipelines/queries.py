@@ -1297,6 +1297,17 @@ def q_part_reachability(sf_dir: str):
                         source=0, max_hops=4)
 
 
+def q_pair_edit_distance(sf_dir: str):
+    """Character-level verify tier: exact Levenshtein for every n-gram
+    Jaccard candidate pair (vectorized multi-pair DP; candidate-sized)."""
+    from ..stages.editdist import pair_edit_distances
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, k=NGRAM_K, tau=NGRAM_TAU,
+                                num_partitions=8, max_group=1_000_000)
+    return pair_edit_distances(_documents(sf_dir, ["doc_id", "text"]), pairs)
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -1388,6 +1399,7 @@ QUERIES = {
     "concurrent_events": q_concurrent_events,
     "events_unpivot": q_events_unpivot,
     "part_reachability": q_part_reachability,
+    "pair_edit_distance": q_pair_edit_distance,
 }
 
 
@@ -1588,6 +1600,12 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 # the prefiltered scale path computes the identical relation, so it shares
 # the exact tier's oracle verbatim
+ORACLE_SQL["pair_edit_distance"] = f"""
+WITH pairs AS ({ORACLE_SQL["ngram_dups"]})
+SELECT src, dst, CAST(levenshtein(a.text, b.text) AS BIGINT) AS editdist
+FROM pairs JOIN documents a ON a.doc_id = src
+           JOIN documents b ON b.doc_id = dst
+"""
 ORACLE_SQL["embedding_centroids"] = EMBEDDING_CENTROIDS_SQL
 ORACLE_SQL["funnel_conversions"] = FUNNEL_CONVERSIONS_SQL
 ORACLE_SQL["tfidf_terms"] = TFIDF_TERMS_SQL
