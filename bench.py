@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "urgent_vs_purchase",
     "tfidf_terms",
     "value_quantiles_sketch",
+    "concurrent_events",
+    "part_reachability",
+    "decontaminate",
+    "pair_edit_distance",
 ]
 
 
