@@ -1013,8 +1013,14 @@ def q_funnel_conversions(sf_dir: str):
 
     from ..stages.funnel import funnel_conversions
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "event_type"])
+    import pyarrow.dataset as pads
+
+    # row filter pushed to the read: only funnel-relevant event types
+    # leave storage (the stage re-filters, harmlessly, for other callers)
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+        filter=pads.field("event_type").isin(["signup", "purchase"]))
     return funnel_conversions(ds, num_partitions=8)
 
 
@@ -1044,10 +1050,13 @@ def q_bloom_semi_stats(sf_dir: str):
 
     from ..stages.bloomjoin import bloom_semi_stats
 
+    import pyarrow.dataset as pads
+
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_partkey", "l_quantity", "l_returnflag"])
     pt = rd.read_parquet(f"{sf_dir}/part.parquet",
-                         columns=["p_partkey", "p_size"])
+                         columns=["p_partkey", "p_size"],
+                         filter=pads.field("p_size") >= 48)
     return bloom_semi_stats(li, pt, min_size=48)
 
 
@@ -1058,10 +1067,14 @@ def q_urgent_vs_purchase(sf_dir: str):
 
     from ..stages.joins import full_outer_counts
 
+    import pyarrow.dataset as pads
+
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_custkey", "o_orderpriority"])
+                             columns=["o_custkey", "o_orderpriority"],
+                             filter=pads.field("o_orderpriority") == "1-URGENT")
     events = rd.read_parquet(f"{sf_dir}/events.parquet",
-                             columns=["user_id", "event_type"])
+                             columns=["user_id", "event_type"],
+                             filter=pads.field("event_type") == "purchase")
     return full_outer_counts(orders, events, num_partitions=8)
 
 
