@@ -106,6 +106,15 @@ def run_bench(sf_dir: str, num_cpus: int, queries=None) -> dict:
                 return
             time.sleep(0.2)
 
+    # Warm the Ray worker pool before timing anything: the first Dataset of
+    # a fresh session spawns ~num_cpus worker processes (measured ~19 s at
+    # num_cpus=32 on this box), a one-time session setup cost that would
+    # otherwise be charged entirely to whichever query runs first.  A real
+    # deployment pays it once per `ray job submit`, not per query.
+    ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
+
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in queries or BENCH_QUERIES:
