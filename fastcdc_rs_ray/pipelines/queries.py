@@ -650,6 +650,34 @@ def q_running_totals(sf_dir: str):
     return running_totals(ds, num_partitions=8)
 
 
+def q_user_event_paths(sf_dir: str):
+    """Ordered string_agg / LISTAGG shape: per-user event-type path in
+    (ts, event_id) order via one keyed repartition + vectorized
+    ListArray binary_join (order-sensitive, so no commutative partial)."""
+    import ray.data as rd
+
+    from ..stages.sessions import user_event_paths
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return user_event_paths(ds, num_partitions=8)
+
+
+def q_monthly_revenue(sf_dir: str):
+    """Calendar-unit temporal rollup (date_trunc month): vectorized
+    floor_temporal partials in exact cents, driver-merged tiny result."""
+    import ray.data as rd
+
+    from ..stages.aggregate import monthly_revenue
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    return monthly_revenue(ds)
+
+
 def q_inactive_customers(sf_dir: str):
     """Anti-join (Q22 shape): customers with no 1-URGENT order, via a
     row-filter pushed into the read + right-side per-block key dedup +
@@ -1370,6 +1398,8 @@ QUERIES = {
     "ndv_users_hll": q_ndv_users_hll,
     "quantity_bands": q_quantity_bands,
     "running_totals": q_running_totals,
+    "user_event_paths": q_user_event_paths,
+    "monthly_revenue": q_monthly_revenue,
     "inactive_customers": q_inactive_customers,
     "hopping_windows": q_hopping_windows,
     "heavy_users": q_heavy_users,
@@ -1425,6 +1455,7 @@ _TOKENS_SQL = (
 )
 
 from ..stages.aggregate import (
+    MONTHLY_REVENUE_SQL,
     PRICING_CUBE_SQL,
     PROPS_K_STATS_SQL,
     PRICING_ROLLUP_SQL,
@@ -1461,6 +1492,7 @@ from ..stages.sessions import (
     HOPPING_WINDOWS_SQL,
     RUNNING_TOTALS_SQL,
     TOP_EVENTS_PER_USER_SQL,
+    USER_EVENT_PATHS_SQL,
     VALUE_PERCENTILES_SQL,
 )
 from ..stages.sessions import EVENT_WINDOWS_SQL, SESSIONIZE_SQL, TOP_USERS_SQL
@@ -1480,6 +1512,8 @@ ORACLE_SQL = {
     "promo_revenue": PROMO_REVENUE_SQL,
     "supplier_nation_revenue": SUPPLIER_NATION_REVENUE_SQL,
     "running_totals": RUNNING_TOTALS_SQL,
+    "user_event_paths": USER_EVENT_PATHS_SQL,
+    "monthly_revenue": MONTHLY_REVENUE_SQL,
     "inactive_customers": INACTIVE_CUSTOMERS_SQL,
     "hopping_windows": HOPPING_WINDOWS_SQL,
     "heavy_users": HEAVY_USERS_SQL,

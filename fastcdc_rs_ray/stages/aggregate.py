@@ -687,3 +687,69 @@ SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
 FROM events
 GROUP BY 1
 """
+
+
+def monthly_revenue(orders_ds):
+    """Temporal rollup: orders grouped by calendar month (the
+    ``date_trunc('month', ...)`` shape — a calendar unit, so NOT
+    expressible as the fixed-width epoch-bucket arithmetic the window
+    aggregates use).
+
+    Per-block partials group on the month key via ``pc.floor_temporal``
+    (vectorized calendar truncation), revenue in exact int64 cents; the
+    partial set is (months x blocks) rows — driver-merged like the other
+    tiny-result aggregates, never a shuffle of raw orders.
+
+    Output: (month_us: int64 epoch-us of month start, n_orders, revenue_c).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(
+            t["o_orderdate"].combine_chunks(), unit="month"
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        price_c = np.round(
+            t["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        u, inv = np.unique(month, return_inverse=True)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, price_c)
+        return pa.table({
+            "month_us": pa.array(u, pa.int64()),
+            "n_orders": pa.array(n, pa.int64()),
+            "revenue_c": pa.array(s, pa.int64()),
+        })
+
+    partials = orders_ds.map_batches(partial, batch_format="pyarrow")
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs)
+    if len(t) == 0:
+        return pa.table({
+            "month_us": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+            "revenue_c": pa.array([], pa.int64()),
+        })
+    m = t["month_us"].combine_chunks().to_numpy(zero_copy_only=False)
+    u, inv = np.unique(m, return_inverse=True)
+    n = np.zeros(len(u), dtype=np.int64)
+    s = np.zeros(len(u), dtype=np.int64)
+    np.add.at(n, inv, t["n_orders"].combine_chunks().to_numpy(zero_copy_only=False))
+    np.add.at(s, inv, t["revenue_c"].combine_chunks().to_numpy(zero_copy_only=False))
+    return pa.table({
+        "month_us": pa.array(u, pa.int64()),
+        "n_orders": pa.array(n, pa.int64()),
+        "revenue_c": pa.array(s, pa.int64()),
+    })
+
+
+MONTHLY_REVENUE_SQL = """
+SELECT CAST(epoch_us(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)) AS BIGINT)
+           AS month_us,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM orders
+GROUP BY 1
+"""

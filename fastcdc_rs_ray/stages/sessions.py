@@ -911,3 +911,62 @@ SELECT user_id, total_c,
        PERCENT_RANK() OVER (ORDER BY total_c) AS pct_rank
 FROM tot
 """
+
+
+def user_event_paths(events_ds, num_partitions: int = 16):
+    """Ordered group concatenation (the SQL ``string_agg(x, ',' ORDER BY
+    ...)`` / LISTAGG shape): per user, the comma-joined sequence of event
+    types in (ts, event_id) order.
+
+    Order-sensitive aggregates can't be pre-reduced commutatively, so the
+    discipline is the window-function one, not the partial-combine one:
+    ONE keyed repartition on user_id co-locates each user's history, then
+    a single vectorized per-block pass — lexsort, segment offsets, and
+    ``pc.binary_join`` over a ListArray built straight from the sorted
+    values (no per-row Python).  Output is |users| rows; each user's path
+    string is bounded by their history length (same one-user-fits-a-block
+    assumption as sessionize, SURVEY §2.10).
+
+    Output: (user_id, n_events, path).
+    """
+    ds = events_ds.repartition(num_blocks=num_partitions, keys=["user_id"])
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_events", pa.int64()),
+         ("path", pa.string())]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        eid = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = t["event_type"].combine_chunks()
+        order = np.lexsort((eid, ts, uid))
+        uid_s = uid[order]
+        n = len(uid_s)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(uid_s[1:] != uid_s[:-1]) + 1]
+        )
+        offsets = np.append(starts, n).astype(np.int32)
+        et_sorted = et.take(pa.array(order, pa.int64()))
+        paths = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), et_sorted), ","
+        )
+        return pa.table({
+            "user_id": pa.array(uid_s[starts], pa.int64()),
+            "n_events": pa.array(np.diff(offsets).astype(np.int64), pa.int64()),
+            "path": paths,
+        }).cast(out_schema)
+
+    return ds.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+USER_EVENT_PATHS_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+FROM events
+GROUP BY user_id
+"""
