@@ -650,6 +650,28 @@ def q_running_totals(sf_dir: str):
     return running_totals(ds, num_partitions=8)
 
 
+def q_neardup_incremental(sf_dir: str):
+    """Snapshot-over-snapshot NEAR-dup via the standing sharded LSH index
+    (stages/neardup_incr.py): documents split into two crawl snapshots by
+    doc_id; snapshot 2 is matched against snapshot 1 through the index
+    without re-shuffling history.  Rows-only (stateful streaming — not
+    SQL-expressible); pytest pins recall + determinism on planted twins."""
+    import pyarrow.parquet as pq2
+    import ray.data as rd
+
+    from .neardup import doc_signatures
+    from ..stages.neardup_incr import incremental_neardup_snapshots
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n = pq2.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    cut = n // 2
+    snap1 = docs.filter(expr=f"doc_id < {cut}")
+    snap2 = docs.filter(expr=f"doc_id >= {cut}")
+    return incremental_neardup_snapshots(
+        [doc_signatures(snap1), doc_signatures(snap2)], n_shards=4, tau=0.5)
+
+
 def q_user_event_paths(sf_dir: str):
     """Ordered string_agg / LISTAGG shape: per-user event-type path in
     (ts, event_id) order via one keyed repartition + vectorized
@@ -1398,6 +1420,7 @@ QUERIES = {
     "ndv_users_hll": q_ndv_users_hll,
     "quantity_bands": q_quantity_bands,
     "running_totals": q_running_totals,
+    "neardup_incremental": q_neardup_incremental,
     "user_event_paths": q_user_event_paths,
     "monthly_revenue": q_monthly_revenue,
     "inactive_customers": q_inactive_customers,

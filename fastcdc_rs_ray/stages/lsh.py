@@ -49,6 +49,20 @@ def conv_keys(conv_col) -> np.ndarray:
     return hash_str_array_u64(conv_col)
 
 
+def band_key_matrix(sig: np.ndarray, n_bands: int = N_BANDS) -> np.ndarray:
+    """(g, n_perms) signature matrix -> (g, n_bands) uint64 band keys
+    (chained mix over each band's r components + band id)."""
+    g, n_perms = sig.shape
+    r = n_perms // n_bands
+    key = np.empty((g, n_bands), dtype=np.uint64)
+    for b in range(n_bands):
+        acc = mix64(np.full(g, b, dtype=np.uint64))
+        for j in range(r):
+            acc = mix64(acc ^ sig[:, b * r + j])
+        key[:, b] = acc
+    return key
+
+
 def bands_from_signatures(t: pa.Table, n_bands: int = N_BANDS) -> pa.Table:
     """signatures batch -> exploded band rows (band_key, conv_key)."""
     g = len(t)
@@ -61,15 +75,8 @@ def bands_from_signatures(t: pa.Table, n_bands: int = N_BANDS) -> pa.Table:
         )
     sigcol = t["minhash"].combine_chunks()
     n_perms = sigcol.type.list_size
-    r = n_perms // n_bands
     sig = sigcol.flatten().to_numpy().reshape(g, n_perms)
-    # band key: chained mix over the r components + band id
-    key = np.empty((g, n_bands), dtype=np.uint64)
-    for b in range(n_bands):
-        acc = mix64(np.full(g, b, dtype=np.uint64))
-        for j in range(r):
-            acc = mix64(acc ^ sig[:, b * r + j])
-        key[:, b] = acc
+    key = band_key_matrix(sig, n_bands)
     ck = conv_keys(t["conv_id"].combine_chunks())
     return pa.table(
         {

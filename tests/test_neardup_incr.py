@@ -1,0 +1,110 @@
+"""Incremental near-dup index: snapshot-over-snapshot MinHash/LSH matching
+through standing sharded state actors (stages/neardup_incr.py).
+
+Crafted two-snapshot corpus: snapshot B contains near-copies (10% token
+drop) of snapshot-A docs plus fresh docs.  Strict snapshot semantics:
+A-ingest sees empty history (all new); B-ingest must match every planted
+twin to its A base and leave fresh docs unmatched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from fastcdc_rs_ray.pipelines.neardup import doc_signatures
+from fastcdc_rs_ray.stages.lsh import conv_keys
+from fastcdc_rs_ray.stages.neardup_incr import NearDupIndex
+
+N_BASE = 40
+N_TWIN = 20
+N_FRESH = 20
+VOCAB = [f"tok{i}" for i in range(500)]
+
+
+def _doc(rng: np.random.Generator, n: int = 120) -> str:
+    return " ".join(rng.choice(VOCAB, size=n))
+
+
+def _twin(rng: np.random.Generator, text: str) -> str:
+    # 3% token drop: with k=5 token shingles a shingle survives at
+    # 0.97^5 ~ 0.86, giving J ~ 0.79 — well above tau=0.5 and a
+    # near-certain band hit at 32 bands of r=4 (1-(1-0.79^4)^32 ~ 1)
+    toks = text.split()
+    keep = rng.random(len(toks)) >= 0.03
+    keep[: 5] = True  # never empty
+    return " ".join(t for t, k in zip(toks, keep) if k)
+
+
+def _corpus():
+    rng = np.random.default_rng(42)
+    base = [_doc(rng) for _ in range(N_BASE)]
+    snap_a = pa.table({
+        "doc_id": pa.array(np.arange(N_BASE), pa.int64()),
+        "text": pa.array(base),
+    })
+    twins = [_twin(rng, base[i]) for i in range(N_TWIN)]
+    fresh = [_doc(rng) for _ in range(N_FRESH)]
+    snap_b = pa.table({
+        "doc_id": pa.array(np.arange(1000, 1000 + N_TWIN + N_FRESH), pa.int64()),
+        "text": pa.array(twins + fresh),
+    })
+    return snap_a, snap_b
+
+
+def _run_two_snapshots():
+    import ray.data as rd
+
+    snap_a, snap_b = _corpus()
+    idx = NearDupIndex(n_shards=3, tau=0.5)
+    try:
+        out_a = idx.ingest(
+            doc_signatures(rd.from_arrow(snap_a).repartition(4))
+        ).to_pandas()
+        out_b = idx.ingest(
+            doc_signatures(rd.from_arrow(snap_b).repartition(4))
+        ).to_pandas()
+        stats = idx.stats()
+    finally:
+        idx.close()
+    return out_a, out_b, stats
+
+
+def test_incremental_neardup_two_snapshots(ray_session):
+    out_a, out_b, stats = _run_two_snapshots()
+
+    # snapshot A: empty history -> everything new
+    assert len(out_a) == N_BASE
+    assert (out_a["match_key"] == -1).all()
+
+    # index absorbed both snapshots
+    assert stats["sigs"] == N_BASE + N_TWIN + N_FRESH
+
+    out_b = out_b.set_index("conv_id")
+    # expected base conv_key per twin
+    base_ids = pa.array([str(i) for i in range(N_BASE)])
+    base_keys = conv_keys(base_ids).astype(np.int64)
+
+    matched = 0
+    for i in range(N_TWIN):
+        row = out_b.loc[str(1000 + i)]
+        if row["match_key"] != -1:
+            assert row["match_key"] == base_keys[i], (
+                f"twin {i} matched a non-base doc")
+            assert row["sim_ppm"] >= 500_000
+            matched += 1
+    # J ~ 0.79 per _twin's math; allow one unlucky twin
+    assert matched >= N_TWIN - 1
+
+    # fresh docs stay unmatched
+    for i in range(N_TWIN, N_TWIN + N_FRESH):
+        assert out_b.loc[str(1000 + i)]["match_key"] == -1
+
+
+def test_incremental_neardup_deterministic(ray_session):
+    a1, b1, _ = _run_two_snapshots()
+    a2, b2, _ = _run_two_snapshots()
+    for x, y in ((a1, a2), (b1, b2)):
+        x = x.sort_values("conv_id").reset_index(drop=True)
+        y = y.sort_values("conv_id").reset_index(drop=True)
+        assert x.equals(y)
