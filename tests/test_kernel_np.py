@@ -145,3 +145,64 @@ def test_native_multirow():
         got = list(zip(hs[mask].tolist(), offs[mask].tolist(), lens[mask].tolist()))
         expect = [(c.hash, c.offset, c.length) for c in chunk_bytes(data, cfg)]
         assert got == expect, f"row {r}"
+
+
+# ---------------------------------------------------------------------------
+# hypothesis generalization (SURVEY §5.4): coverage + scalar/fast parity over
+# RANDOM inputs and RANDOM valid configs, not just the fixed matrix above
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _random_cfg(draw):
+    algo = draw(st.sampled_from(["v2020", "v2016", "ronomon"]))
+    avg_bits = draw(st.integers(8, 12))          # avg 256..4096
+    avg = 1 << avg_bits
+    min_size = draw(st.integers(64, avg // 2))
+    max_size = draw(st.integers(max(1024, avg * 2), avg * 8))
+    if algo == "ronomon":
+        # ronomon requires min>=64, avg>=256, max<=1GiB (wider bounds)
+        return ChunkerConfig(min_size, avg, max_size, algo=algo)
+    norm = draw(st.sampled_from([0, 1, 2, 3]))
+    seed = draw(st.sampled_from([0, 666]))
+    return ChunkerConfig(min_size, avg, max_size, norm_level=norm, seed=seed)
+
+
+@st.composite
+def _random_payload(draw):
+    kind = draw(st.sampled_from(["random", "text", "zeros", "mixed", "runs"]))
+    n = draw(st.integers(0, 20_000))
+    seed = draw(st.integers(0, 2**31 - 1))
+    if kind == "random":
+        return bytes(gen_random(n, seed))
+    if kind == "text":
+        return bytes(gen_text(n, seed))
+    if kind == "zeros":
+        return bytes(n)
+    if kind == "runs":
+        # long byte runs stress the max-size fallback path
+        rng = np.random.default_rng(seed)
+        vals = rng.integers(0, 256, size=max(1, n // 512 + 1), dtype=np.uint8)
+        return bytes(np.repeat(vals, 512)[:n].tobytes())
+    return bytes(gen_mixed(n, seed))
+
+
+@settings(max_examples=40, deadline=None)
+@given(cfg=_random_cfg(), data=_random_payload())
+def test_hypothesis_coverage_and_parity(cfg, data):
+    got = chunk_bytes(data, cfg)
+    # coverage: contiguous, non-empty, every byte exactly once
+    pos = 0
+    for c in got:
+        assert c.offset == pos and 0 < c.length <= cfg.max_size
+        pos += c.length
+    assert pos == len(data)
+    # all chunks except possibly the last reach min_size
+    for c in got[:-1]:
+        assert c.length >= min(cfg.min_size, cfg.max_size)
+    # fast path (native/NumPy) must agree bit-for-bit with the scalar kernel
+    fast = chunk_bytes_fast(data, cfg)  # list[(hash, offset, length)]
+    assert [(c.hash, c.offset, c.length) for c in got] == fast
