@@ -200,9 +200,13 @@ def test_hypothesis_coverage_and_parity(cfg, data):
         assert c.offset == pos and 0 < c.length <= cfg.max_size
         pos += c.length
     assert pos == len(data)
-    # all chunks except possibly the last reach min_size
+    # Non-final chunks respect the size floor — with the reference's own
+    # quirk: v2020 scans two bytes per roll from index = min_size/2
+    # (src/v2020/mod.rs:380), so for ODD min_size a cut can land at
+    # min_size - 1 (the first judged position is floor(min/2)*2).
+    floor = cfg.min_size - (1 if cfg.algo == "v2020" and cfg.min_size % 2 else 0)
     for c in got[:-1]:
-        assert c.length >= min(cfg.min_size, cfg.max_size)
+        assert c.length >= floor
     # fast path (native/NumPy) must agree bit-for-bit with the scalar kernel
     fast = chunk_bytes_fast(data, cfg)  # list[(hash, offset, length)]
     assert [(c.hash, c.offset, c.length) for c in got] == fast
