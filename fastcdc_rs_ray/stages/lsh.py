@@ -49,6 +49,13 @@ def conv_keys(conv_col) -> np.ndarray:
     return hash_str_array_u64(conv_col)
 
 
+def sig_matrix(t: pa.Table) -> np.ndarray:
+    """(g, n_perms) uint64 view of a signatures batch's ``minhash``
+    fixed-size-list column."""
+    col = t["minhash"].combine_chunks()
+    return col.flatten().to_numpy().reshape(len(t), col.type.list_size)
+
+
 def band_key_matrix(sig: np.ndarray, n_bands: int = N_BANDS) -> np.ndarray:
     """(g, n_perms) signature matrix -> (g, n_bands) uint64 band keys
     (chained mix over each band's r components + band id)."""
@@ -73,9 +80,7 @@ def bands_from_signatures(t: pa.Table, n_bands: int = N_BANDS) -> pa.Table:
                 "conv_key": pa.array([], pa.uint64()),
             }
         )
-    sigcol = t["minhash"].combine_chunks()
-    n_perms = sigcol.type.list_size
-    sig = sigcol.flatten().to_numpy().reshape(g, n_perms)
+    sig = sig_matrix(t)
     key = band_key_matrix(sig, n_bands)
     ck = conv_keys(t["conv_id"].combine_chunks())
     return pa.table(

@@ -26,9 +26,13 @@ Architecture (mirrors stateidx.py's sharding discipline):
 - Map tasks send one numpy array per (batch, shard); actor loops touch
   band buckets, never rows.
 
-Output per ingested doc: ``match_key`` = conv_key of the best verified
-historical match (estimated Jaccard >= tau; ties -> higher similarity,
-then lower key — deterministic), or -1 when the doc is new.
+Output per ingested doc: ``matched`` flag + ``match_key`` = conv_key of
+the best verified historical match (estimated Jaccard >= tau; ties ->
+higher similarity, then lower key — deterministic); unmatched docs carry
+matched=False.  Hot-band buckets converge to the cap SMALLEST member keys
+(order-free and idempotent, so Ray's at-least-once task retries and
+re-crawled identical snapshots cannot consume cap slots or make
+membership arrival-order dependent).
 
 At production scale the signature store is the memory bill: 128 B/doc
 -> ~128 GB per 10^9 docs, sharded horizontally; band buckets add
@@ -42,9 +46,17 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .lsh import N_BANDS, band_key_matrix, conv_keys
+from .lsh import N_BANDS, band_key_matrix, conv_keys, sig_matrix as _sig_matrix
 
 DEFAULT_BUCKET_CAP = 16
+
+
+def _index(sorted_list: list[int], v: int) -> int | None:
+    """Index of ``v`` in a sorted list, or None."""
+    from bisect import bisect_left
+
+    i = bisect_left(sorted_list, v)
+    return i if i < len(sorted_list) and sorted_list[i] == v else None
 
 
 def _shard_class():
@@ -84,14 +96,28 @@ def _shard_class():
             return out
 
         def add_bands(self, keys: np.ndarray, convs: np.ndarray) -> None:
+            """Order-free, idempotent bucket fill: a bucket converges to the
+            ``cap`` SMALLEST distinct conv_keys ever offered, whatever the
+            arrival order or retry count — so re-crawled identical docs and
+            Ray's at-least-once task retries can't consume cap slots, and
+            membership under hot-band cap pressure is deterministic (the
+            min-set rule; still the documented recall knob)."""
+            from bisect import insort
+
             bands, cap = self.bands, self.cap
             for k, c in zip(keys.tolist(), convs.tolist()):
                 cur = bands.get(k)
                 if cur is None:
                     bands[k] = [c]
-                elif len(cur) < cap:
-                    cur.append(c)
-                # full bucket: hot band — stop accepting (recall knob)
+                    continue
+                i = _index(cur, c)
+                if i is not None:
+                    continue  # already a member (idempotent)
+                if len(cur) < cap:
+                    insort(cur, c)
+                elif c < cur[-1]:
+                    cur.pop()
+                    insort(cur, c)
 
         def add_sigs(self, keys: np.ndarray, mat: np.ndarray) -> None:
             sigs = self.sigs
@@ -104,9 +130,22 @@ def _shard_class():
     return NearDupShard
 
 
-def _sig_matrix(t: pa.Table) -> np.ndarray:
-    col = t["minhash"].combine_chunks()
-    return col.flatten().to_numpy().reshape(len(t), col.type.list_size)
+def _scatter(shards, method: str, key_of: np.ndarray, *arrays: np.ndarray):
+    """Route rows to shard actors by ``key_of % n_shards`` and call
+    ``method`` once per live shard with each array's selected rows;
+    returns ``[(selection_mask, result), ...]``.  One helper so the
+    refs/masks alignment subtlety lives in exactly one place."""
+    import ray
+
+    n = len(shards)
+    shard_of = (key_of % np.uint64(n)).astype(np.int64)
+    sels = [shard_of == i for i in range(n)]
+    live = [i for i in range(n) if sels[i].any()]
+    refs = [
+        getattr(shards[i], method).remote(*(a[sels[i]] for a in arrays))
+        for i in live
+    ]
+    return [(sels[i], r) for i, r in zip(live, ray.get(refs))]
 
 
 class NearDupIndex:
@@ -114,7 +153,7 @@ class NearDupIndex:
 
     ``ingest(signatures_ds)`` consumes a (conv_id, minhash) Dataset (the
     flagship's signature schema — from doc_signatures or minhash()) and
-    returns a Dataset (conv_id, conv_key, match_key, sim_ppm).
+    returns a Dataset (conv_id, conv_key, matched, match_key, sim_ppm).
     """
 
     def __init__(self, n_shards: int = 4, n_bands: int = N_BANDS,
@@ -137,7 +176,20 @@ class NearDupIndex:
         def lookup_verify(t: pa.Table) -> pa.Table:
             out_schema = pa.schema(
                 [("conv_id", pa.string()), ("conv_key", pa.uint64()),
-                 ("match_key", pa.int64()), ("sim_ppm", pa.int64())])
+                 ("matched", pa.bool_()), ("match_key", pa.uint64()),
+                 ("sim_ppm", pa.int64())])
+
+            def result(ck, matched, match, best):
+                return pa.table({
+                    "conv_id": t["conv_id"].combine_chunks(),
+                    "conv_key": pa.array(ck, pa.uint64()),
+                    "matched": pa.array(matched, pa.bool_()),
+                    "match_key": pa.array(match, pa.uint64()),
+                    "sim_ppm": pa.array(
+                        np.round(best * 1_000_000).astype(np.int64),
+                        pa.int64()),
+                }).cast(out_schema)
+
             g = len(t)
             if g == 0:
                 return out_schema.empty_table()
@@ -146,24 +198,17 @@ class NearDupIndex:
             bk = band_key_matrix(sig, n_bands)          # (g, n_bands)
             flat_bk = bk.reshape(-1)
             doc_of = np.repeat(np.arange(g, dtype=np.int64), n_bands)
-            shard_of = (flat_bk % np.uint64(n_shards)).astype(np.int64)
             # one lookup round-trip per shard
             cand_doc_l, cand_key_l = [], []
-            sels = [shard_of == i for i in range(n_shards)]
-            refs = [shards[i].lookup_bands.remote(flat_bk[sels[i]])
-                    for i in range(n_shards) if sels[i].any()]
-            live = [i for i in range(n_shards) if sels[i].any()]
-            for i, (flat, counts) in zip(live, ray.get(refs)):
+            for sel, (flat, counts) in _scatter(
+                    shards, "lookup_bands", flat_bk, flat_bk):
                 if len(flat):
-                    cand_doc_l.append(np.repeat(doc_of[sels[i]], counts))
+                    cand_doc_l.append(np.repeat(doc_of[sel], counts))
                     cand_key_l.append(flat)
+            no_match = (np.zeros(g, bool), np.zeros(g, np.uint64),
+                        np.zeros(g, np.float64))
             if not cand_doc_l:
-                return pa.table({
-                    "conv_id": t["conv_id"].combine_chunks(),
-                    "conv_key": pa.array(ck, pa.uint64()),
-                    "match_key": pa.array(np.full(g, -1, np.int64), pa.int64()),
-                    "sim_ppm": pa.array(np.zeros(g, np.int64), pa.int64()),
-                }).cast(out_schema)
+                return result(ck, *no_match)
             cd = np.concatenate(cand_doc_l)
             ckey = np.concatenate(cand_key_l)
             # dedup (doc, candidate) pairs hit via multiple bands
@@ -175,22 +220,14 @@ class NearDupIndex:
             ckey = pair_view[keep, 1]
             # fetch candidate signature bytes, sharded by conv_key
             uk, inv = np.unique(ckey, return_inverse=True)
-            s_of = (uk % np.uint64(n_shards)).astype(np.int64)
-            mats: list[np.ndarray | None] = [None] * n_shards
-            sels2 = [s_of == i for i in range(n_shards)]
-            refs2 = [shards[i].get_sigs.remote(uk[sels2[i]])
-                     for i in range(n_shards) if sels2[i].any()]
-            live2 = [i for i in range(n_shards) if sels2[i].any()]
-            nb = sig.shape[1]
-            cand_mat = np.empty((len(uk), nb), np.uint8)
-            for i, m in zip(live2, ray.get(refs2)):
-                cand_mat[sels2[i]] = m
+            cand_mat = np.empty((len(uk), sig.shape[1]), np.uint8)
+            for sel, m in _scatter(shards, "get_sigs", uk, uk):
+                cand_mat[sel] = m
             # estimated similarity: fraction of equal component low bytes
             new_lo = (sig & np.uint64(0xFF)).astype(np.uint8)
             sim = (new_lo[cd] == cand_mat[inv]).mean(axis=1)
             ok = sim >= tau
-            match = np.full(g, -1, np.int64)
-            best = np.zeros(g, np.float64)
+            matched_f, match, best = no_match
             if ok.any():
                 cd_ok, key_ok, sim_ok = cd[ok], ckey[ok], sim[ok]
                 # per doc: highest sim, ties -> lowest conv_key
@@ -198,15 +235,10 @@ class NearDupIndex:
                 first = np.ones(len(order), bool)
                 first[1:] = cd_ok[order][1:] != cd_ok[order][:-1]
                 w = order[first]
-                match[cd_ok[w]] = key_ok[w].astype(np.int64)
+                matched_f[cd_ok[w]] = True
+                match[cd_ok[w]] = key_ok[w]
                 best[cd_ok[w]] = sim_ok[w]
-            return pa.table({
-                "conv_id": t["conv_id"].combine_chunks(),
-                "conv_key": pa.array(ck, pa.uint64()),
-                "match_key": pa.array(match, pa.int64()),
-                "sim_ppm": pa.array(
-                    np.round(best * 1_000_000).astype(np.int64), pa.int64()),
-            }).cast(out_schema)
+            return result(ck, matched_f, match, best)
 
         matched = sig_ds.map_batches(
             lookup_verify, batch_format="pyarrow").materialize()
@@ -216,24 +248,11 @@ class NearDupIndex:
                 return pa.table({"n": pa.array([], pa.int64())})
             sig = _sig_matrix(t)
             ck = conv_keys(t["conv_id"].combine_chunks())
-            bk = band_key_matrix(sig, n_bands)
-            flat_bk = bk.reshape(-1)
+            flat_bk = band_key_matrix(sig, n_bands).reshape(-1)
             flat_ck = np.repeat(ck, n_bands)
-            shard_of = (flat_bk % np.uint64(n_shards)).astype(np.int64)
-            refs = []
-            for i in range(n_shards):
-                sel = shard_of == i
-                if sel.any():
-                    refs.append(
-                        shards[i].add_bands.remote(flat_bk[sel], flat_ck[sel]))
             lo = (sig & np.uint64(0xFF)).astype(np.uint8)
-            s_of = (ck % np.uint64(n_shards)).astype(np.int64)
-            for i in range(n_shards):
-                sel = s_of == i
-                if sel.any():
-                    refs.append(shards[i].add_sigs.remote(ck[sel], lo[sel]))
-            import ray as _ray
-            _ray.get(refs)
+            _scatter(shards, "add_bands", flat_bk, flat_bk, flat_ck)
+            _scatter(shards, "add_sigs", ck, ck, lo)
             return pa.table({"n": pa.array([len(t)], pa.int64())})
 
         sig_ds.map_batches(register, batch_format="pyarrow").materialize()
@@ -261,6 +280,8 @@ def incremental_neardup_snapshots(snapshot_sig_dss, n_shards: int = 4,
     (later snapshots see all earlier ones).  Index actors are torn down
     before returning — persistence across calls is the production point;
     tests exercise multi-snapshot behavior through NearDupIndex directly."""
+    if not snapshot_sig_dss:
+        raise ValueError("incremental_neardup_snapshots: no snapshots given")
     idx = NearDupIndex(n_shards=n_shards, n_bands=n_bands, tau=tau)
     try:
         outs = [idx.ingest(ds) for ds in snapshot_sig_dss]

@@ -75,7 +75,7 @@ def test_incremental_neardup_two_snapshots(ray_session):
 
     # snapshot A: empty history -> everything new
     assert len(out_a) == N_BASE
-    assert (out_a["match_key"] == -1).all()
+    assert (~out_a["matched"]).all()
 
     # index absorbed both snapshots
     assert stats["sigs"] == N_BASE + N_TWIN + N_FRESH
@@ -83,12 +83,12 @@ def test_incremental_neardup_two_snapshots(ray_session):
     out_b = out_b.set_index("conv_id")
     # expected base conv_key per twin
     base_ids = pa.array([str(i) for i in range(N_BASE)])
-    base_keys = conv_keys(base_ids).astype(np.int64)
+    base_keys = conv_keys(base_ids)
 
     matched = 0
     for i in range(N_TWIN):
         row = out_b.loc[str(1000 + i)]
-        if row["match_key"] != -1:
+        if row["matched"]:
             assert row["match_key"] == base_keys[i], (
                 f"twin {i} matched a non-base doc")
             assert row["sim_ppm"] >= 500_000
@@ -98,7 +98,7 @@ def test_incremental_neardup_two_snapshots(ray_session):
 
     # fresh docs stay unmatched
     for i in range(N_TWIN, N_TWIN + N_FRESH):
-        assert out_b.loc[str(1000 + i)]["match_key"] == -1
+        assert not out_b.loc[str(1000 + i)]["matched"]
 
 
 def test_incremental_neardup_deterministic(ray_session):
@@ -108,3 +108,33 @@ def test_incremental_neardup_deterministic(ray_session):
         x = x.sort_values("conv_id").reset_index(drop=True)
         y = y.sort_values("conv_id").reset_index(drop=True)
         assert x.equals(y)
+
+
+def test_bucket_cap_pressure_deterministic(ray_session):
+    """Hot band under cap pressure: 30 identical docs overflow every bucket
+    (cap=4).  The min-set bucket rule makes membership — and therefore the
+    twin's match — arrival-order-free: always the globally smallest
+    conv_key, no matter how register tasks interleave."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    text = " ".join(rng.choice(VOCAB, size=100))
+    snap_a = pa.table({
+        "doc_id": pa.array(np.arange(30), pa.int64()),
+        "text": pa.array([text] * 30),
+    })
+    snap_b = pa.table({
+        "doc_id": pa.array([500], pa.int64()),
+        "text": pa.array([text]),
+    })
+    want = conv_keys(pa.array([str(i) for i in range(30)])).min()
+    for _ in range(2):  # run twice: identical result both times
+        idx = NearDupIndex(n_shards=3, tau=0.5, bucket_cap=4)
+        try:
+            idx.ingest(doc_signatures(rd.from_arrow(snap_a).repartition(6)))
+            out = idx.ingest(doc_signatures(rd.from_arrow(snap_b))).to_pandas()
+        finally:
+            idx.close()
+        assert bool(out["matched"].iloc[0])
+        assert out["match_key"].iloc[0] == want
+        assert out["sim_ppm"].iloc[0] == 1_000_000
