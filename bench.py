@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "part_reachability",
     "decontaminate",
     "pair_edit_distance",
+    "user_event_paths",
+    "monthly_revenue",
 ]
 
 
