@@ -68,7 +68,14 @@ def _shard_class():
 
         def __init__(self, bucket_cap: int = DEFAULT_BUCKET_CAP):
             self.bands: dict[int, list[int]] = {}
-            self.sigs: dict[int, bytes] = {}
+            # conv_key -> (ingest generation, compressed signature bytes).
+            # The generation stamp makes lookups re-executable: a lineage
+            # re-run of a pass-1 lookup task AFTER pass 2 registered the
+            # snapshot would otherwise see the snapshot's own entries
+            # (self-match at sim 1.0); instead every candidate at
+            # gen >= the lookup's generation is filtered out, so a
+            # reconstructed lookup returns the original answer.
+            self.sigs: dict[int, tuple[int, bytes]] = {}
             self.cap = bucket_cap
 
         def lookup_bands(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -82,18 +89,20 @@ def _shard_class():
                 count=int(counts.sum()))
             return flat, counts
 
-        def get_sigs(self, keys: np.ndarray) -> np.ndarray:
-            """conv_keys -> (m, sig_bytes) uint8 matrix (missing -> 0xFF
-            rows; a key is only queried after a band hit, so misses mean
-            a racing snapshot — impossible under the two-pass barrier)."""
+        def get_sigs(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            """conv_keys -> ((m, sig_bytes) uint8 matrix, (m,) int64 ingest
+            generations).  Missing keys get gen = 2^62 (filtered by every
+            caller's gen < cur_gen test)."""
             sigs = self.sigs
             rows = [sigs.get(k) for k in keys.tolist()]
-            nb = next((len(r) for r in rows if r is not None), 1)
+            nb = next((len(r[1]) for r in rows if r is not None), 1)
             out = np.full((len(rows), nb), 0xFF, np.uint8)
+            gens = np.full(len(rows), 1 << 62, np.int64)
             for i, r in enumerate(rows):
                 if r is not None:
-                    out[i] = np.frombuffer(r, np.uint8)
-            return out
+                    gens[i] = r[0]
+                    out[i] = np.frombuffer(r[1], np.uint8)
+            return out, gens
 
         def add_bands(self, keys: np.ndarray, convs: np.ndarray) -> None:
             """Order-free, idempotent bucket fill: a bucket converges to the
@@ -119,10 +128,16 @@ def _shard_class():
                     cur.pop()
                     insort(cur, c)
 
-        def add_sigs(self, keys: np.ndarray, mat: np.ndarray) -> None:
+        def add_sigs(self, keys: np.ndarray, mat: np.ndarray,
+                     gen: int) -> None:
+            """Idempotent: re-registration keeps the FIRST generation (a
+            retried register task or re-crawled doc can't bump a key into
+            a later generation and hide it from in-flight lookups)."""
             sigs = self.sigs
             for i, k in enumerate(keys.tolist()):
-                sigs[k] = mat[i].tobytes()
+                cur = sigs.get(k)
+                if cur is None or cur[0] > gen:
+                    sigs[k] = (gen, mat[i].tobytes())
 
         def stats(self) -> dict:
             return {"bands": len(self.bands), "sigs": len(self.sigs)}
@@ -130,11 +145,14 @@ def _shard_class():
     return NearDupShard
 
 
-def _scatter(shards, method: str, key_of: np.ndarray, *arrays: np.ndarray):
+def _scatter(shards, method: str, key_of: np.ndarray, *arrays: np.ndarray,
+             extra_args: tuple = (), block: bool = True):
     """Route rows to shard actors by ``key_of % n_shards`` and call
-    ``method`` once per live shard with each array's selected rows;
-    returns ``[(selection_mask, result), ...]``.  One helper so the
-    refs/masks alignment subtlety lives in exactly one place."""
+    ``method`` once per live shard with each array's selected rows (plus
+    ``extra_args`` verbatim).  With ``block`` returns
+    ``[(selection_mask, result), ...]``; otherwise returns the raw object
+    refs so independent fan-outs can be awaited together.  One helper so
+    the refs/masks alignment subtlety lives in exactly one place."""
     import ray
 
     n = len(shards)
@@ -142,9 +160,12 @@ def _scatter(shards, method: str, key_of: np.ndarray, *arrays: np.ndarray):
     sels = [shard_of == i for i in range(n)]
     live = [i for i in range(n) if sels[i].any()]
     refs = [
-        getattr(shards[i], method).remote(*(a[sels[i]] for a in arrays))
+        getattr(shards[i], method).remote(
+            *(a[sels[i]] for a in arrays), *extra_args)
         for i in live
     ]
+    if not block:
+        return refs
     return [(sels[i], r) for i, r in zip(live, ray.get(refs))]
 
 
@@ -163,6 +184,7 @@ class NearDupIndex:
         self.n_shards = n_shards
         self.n_bands = n_bands
         self.tau = tau
+        self._gen = 0  # per-ingest generation stamp (see NearDupShard.sigs)
 
     def ingest(self, sig_ds):
         import ray
@@ -172,6 +194,8 @@ class NearDupIndex:
         sig_ds = sig_ds.materialize()
         shards, n_shards, n_bands, tau = (
             self.shards, self.n_shards, self.n_bands, self.tau)
+        cur_gen = self._gen
+        self._gen += 1
 
         def lookup_verify(t: pa.Table) -> pa.Table:
             out_schema = pa.schema(
@@ -218,15 +242,21 @@ class NearDupIndex:
             keep[1:] = (pair_view[1:] != pair_view[:-1]).any(axis=1)
             cd = pair_view[keep, 0].astype(np.int64)
             ckey = pair_view[keep, 1]
-            # fetch candidate signature bytes, sharded by conv_key
+            # fetch candidate signature bytes + generations by conv_key
             uk, inv = np.unique(ckey, return_inverse=True)
             cand_mat = np.empty((len(uk), sig.shape[1]), np.uint8)
-            for sel, m in _scatter(shards, "get_sigs", uk, uk):
+            cand_gen = np.empty(len(uk), np.int64)
+            for sel, (m, gens) in _scatter(shards, "get_sigs", uk, uk):
                 cand_mat[sel] = m
-            # estimated similarity: fraction of equal component low bytes
+                cand_gen[sel] = gens
+            # estimated similarity: fraction of equal component low bytes.
+            # Candidates from this ingest's own (or a later) generation are
+            # filtered out: a lineage re-execution of this lookup task after
+            # register() ran must return the original pre-snapshot answer,
+            # not self-matches.
             new_lo = (sig & np.uint64(0xFF)).astype(np.uint8)
             sim = (new_lo[cd] == cand_mat[inv]).mean(axis=1)
-            ok = sim >= tau
+            ok = (sim >= tau) & (cand_gen[inv] < cur_gen)
             matched_f, match, best = no_match
             if ok.any():
                 cd_ok, key_ok, sim_ok = cd[ok], ckey[ok], sim[ok]
@@ -251,8 +281,12 @@ class NearDupIndex:
             flat_bk = band_key_matrix(sig, n_bands).reshape(-1)
             flat_ck = np.repeat(ck, n_bands)
             lo = (sig & np.uint64(0xFF)).astype(np.uint8)
-            _scatter(shards, "add_bands", flat_bk, flat_bk, flat_ck)
-            _scatter(shards, "add_sigs", ck, ck, lo)
+            # the two fan-outs are independent: submit both, await once
+            refs = _scatter(shards, "add_bands", flat_bk, flat_bk, flat_ck,
+                            block=False)
+            refs += _scatter(shards, "add_sigs", ck, ck, lo,
+                             extra_args=(cur_gen,), block=False)
+            ray.get(refs)
             return pa.table({"n": pa.array([len(t)], pa.int64())})
 
         sig_ds.map_batches(register, batch_format="pyarrow").materialize()

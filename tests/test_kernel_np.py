@@ -168,7 +168,8 @@ def _random_cfg(draw):
         return ChunkerConfig(min_size, avg, max_size, algo=algo)
     norm = draw(st.sampled_from([0, 1, 2, 3]))
     seed = draw(st.sampled_from([0, 666]))
-    return ChunkerConfig(min_size, avg, max_size, norm_level=norm, seed=seed)
+    return ChunkerConfig(min_size, avg, max_size, algo=algo,
+                         norm_level=norm, seed=seed)
 
 
 @st.composite

@@ -1,8 +1,8 @@
 """Incremental near-dup index: snapshot-over-snapshot MinHash/LSH matching
 through standing sharded state actors (stages/neardup_incr.py).
 
-Crafted two-snapshot corpus: snapshot B contains near-copies (10% token
-drop) of snapshot-A docs plus fresh docs.  Strict snapshot semantics:
+Crafted two-snapshot corpus: snapshot B contains near-copies (3% token
+drop, J ~ 0.79 at k=5 — see _twin) of snapshot-A docs plus fresh docs.  Strict snapshot semantics:
 A-ingest sees empty history (all new); B-ingest must match every planted
 twin to its A base and leave fresh docs unmatched.
 """
@@ -138,3 +138,28 @@ def test_bucket_cap_pressure_deterministic(ray_session):
         assert bool(out["matched"].iloc[0])
         assert out["match_key"].iloc[0] == want
         assert out["sim_ppm"].iloc[0] == 1_000_000
+
+
+def test_recrawl_identical_snapshot_matches_history(ray_session):
+    """Generation semantics: re-ingesting the SAME snapshot matches every
+    doc to its own prior-generation entry (sim 1.0) — the re-crawl case —
+    while the first ingest of those docs saw an empty index.  Exercises the
+    gen stamp that also shields lineage-re-executed lookups from seeing
+    their own snapshot."""
+    import ray.data as rd
+
+    snap_a, _ = _corpus()
+    keys = conv_keys(snap_a["doc_id"].cast("string"))
+    idx = NearDupIndex(n_shards=3, tau=0.5)
+    try:
+        first = idx.ingest(doc_signatures(rd.from_arrow(snap_a))).to_pandas()
+        again = idx.ingest(doc_signatures(rd.from_arrow(snap_a))).to_pandas()
+    finally:
+        idx.close()
+    assert (~first["matched"]).all()
+    again = again.set_index("conv_id")
+    for i in range(N_BASE):
+        row = again.loc[str(i)]
+        assert bool(row["matched"])
+        assert row["match_key"] == keys[i]  # its own prior-gen entry
+        assert row["sim_ppm"] == 1_000_000
