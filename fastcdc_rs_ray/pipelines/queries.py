@@ -650,6 +650,18 @@ def q_running_totals(sf_dir: str):
     return running_totals(ds, num_partitions=8)
 
 
+def q_pack_docs(sf_dir: str):
+    """Sequence packing: documents -> fixed-token-budget training samples
+    (greedy per-group bins; one keyed exchange; per-BIN scan, vectorized
+    RE2 token counts).  Rows-only (greedy packing is a data-dependent
+    recurrence, not SQL-expressible); pytest pins the greedy rule, budget
+    and oversize invariants, and partitioning determinism."""
+    from ..stages.packing import pack_docs
+
+    return pack_docs(_documents(sf_dir, ["doc_id", "text"]), budget=512,
+                     n_groups=16)
+
+
 def q_neardup_incremental(sf_dir: str):
     """Snapshot-over-snapshot NEAR-dup via the standing sharded LSH index
     (stages/neardup_incr.py): documents split into two crawl snapshots by
@@ -1421,6 +1433,7 @@ QUERIES = {
     "quantity_bands": q_quantity_bands,
     "running_totals": q_running_totals,
     "neardup_incremental": q_neardup_incremental,
+    "pack_docs": q_pack_docs,
     "user_event_paths": q_user_event_paths,
     "monthly_revenue": q_monthly_revenue,
     "inactive_customers": q_inactive_customers,

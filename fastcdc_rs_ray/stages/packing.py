@@ -1,0 +1,111 @@
+"""Sequence packing: assemble documents into fixed-token-budget training
+samples (the sample-construction step between curation and tokenization).
+
+No reference counterpart (the Rust crate stops at chunk records); this is
+the training-data operation the dedup tiers feed.  Greedy sequential
+packing is a data-dependent recurrence (a bin closes only when the next
+doc would overflow), which no window function expresses — so, like
+sessionize, it runs as ONE keyed exchange + a per-block scan.  The scan
+here is per-BIN, not per-row: each Python iteration closes a whole bin by
+``searchsorted`` on the token cumsum (loop length = bins ≈ rows /
+docs-per-bin; the token counting itself is the vectorized RE2 kernel
+shared with the ``token_count`` query).
+
+Determinism / partitioning: docs are routed by ``hash(doc_id) % n_groups``
+(same multiplicative mix as every exchange key in this engine) and packed
+in ascending doc_id order within a group, so output is bit-identical under
+any input partitioning or retry.  Bins never exceed the budget; a doc
+longer than the whole budget gets a bin of its own, marked ``oversize``
+(the caller decides truncate-vs-drop — this stage never silently loses
+tokens).
+
+Output: (doc_id, n_tokens, pack_group, bin_idx, oversize); a training
+sample is the concatenation of one (pack_group, bin_idx)'s docs in doc_id
+order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.text import TOKEN_RE
+from ..util import mix64
+
+DEFAULT_BUDGET = 2048
+
+
+def _pack_counts(counts: np.ndarray, budget: int) -> np.ndarray:
+    """Greedy sequential bin assignment for one group's ordered token
+    counts.  One searchsorted per BIN: the largest prefix whose running
+    sum stays within the open bin's remaining budget closes the bin."""
+    n = len(counts)
+    bins = np.empty(n, np.int64)
+    cum = np.cumsum(np.minimum(counts, budget + 1))  # oversize docs: > budget
+    start = 0
+    b = 0
+    base = 0
+    while start < n:
+        # last index with cum - base <= budget; always >= start because an
+        # oversize doc (count > budget) is alone in its bin via min(.., b+1)
+        end = int(np.searchsorted(cum, base + budget, side="right"))
+        if end == start:  # oversize doc: own bin
+            end = start + 1
+        bins[start:end] = b
+        b += 1
+        base = cum[end - 1]
+        start = end
+    return bins
+
+
+def pack_docs(documents_ds, budget: int = DEFAULT_BUDGET, n_groups: int = 32,
+              id_col: str = "doc_id", text_col: str = "text"):
+    """documents -> (doc_id, n_tokens, pack_group, bin_idx, oversize)."""
+
+    def count_and_group(t: pa.Table) -> pa.Table:
+        text = t[text_col].combine_chunks()
+        n_tok = pc.cast(pc.count_substring_regex(text, TOKEN_RE),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        grp = (mix64(ids.astype(np.uint64)) % np.uint64(n_groups)).astype(
+            np.int64)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "pack_group": pa.array(grp, pa.int64()),
+        })
+
+    counted = documents_ds.map_batches(count_and_group, batch_format="pyarrow")
+    # one keyed exchange: all of a group's docs in one block
+    counted = counted.repartition(
+        num_blocks=max(4, n_groups // 4), keys=["pack_group"])
+
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), ("n_tokens", pa.int64()),
+         ("pack_group", pa.int64()), ("bin_idx", pa.int64()),
+         ("oversize", pa.bool_())])
+
+    def pack_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        n_tok = t["n_tokens"].combine_chunks().to_numpy(zero_copy_only=False)
+        grp = t["pack_group"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, grp))
+        ids, n_tok, grp = ids[order], n_tok[order], grp[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(grp[1:] != grp[:-1]) + 1, [len(grp)]])
+        bins = np.empty(len(grp), np.int64)
+        for s, e in zip(starts[:-1], starts[1:]):
+            bins[s:e] = _pack_counts(n_tok[s:e], budget)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "pack_group": pa.array(grp, pa.int64()),
+            "bin_idx": pa.array(bins, pa.int64()),
+            "oversize": pa.array(n_tok > budget, pa.bool_()),
+        }).cast(out_schema)
+
+    return counted.map_batches(pack_block, batch_format="pyarrow",
+                               batch_size=None)
