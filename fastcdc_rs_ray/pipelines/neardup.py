@@ -278,22 +278,45 @@ def verify_edges_shuffle(edges_ds, sig_ds, threshold: float | None,
     )
     mixed = mixed.repartition(num_blocks=num_partitions, keys=["key"])
 
+    attach_schema = pa.schema(
+        [
+            ("src", pa.uint64()),
+            ("dst", pa.uint64()),
+            ("side", pa.int8()),
+            ("conv_id", pa.string()),
+            ("sig", pa.large_binary()),
+        ]
+    )
+
     def attach(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        sigs = df[df["side"] == -1][["key", "conv_id", "sig"]]
-        eps = df[df["side"] >= 0].drop(columns=["sig", "conv_id"])
-        out = eps.merge(sigs, on="key", how="inner").drop(columns=["key"])
-        return pa.Table.from_pandas(out, preserve_index=False).cast(
-            pa.schema(
-                [
-                    ("src", pa.uint64()),
-                    ("dst", pa.uint64()),
-                    ("side", pa.int8()),
-                    ("conv_id", pa.string()),
-                    ("sig", pa.large_binary()),
-                ]
-            )
-        )
+        # Pure Arrow/numpy join of endpoint rows to their (unique) sig row.
+        # NEVER via pandas: the nullable uint64 src/dst columns would be
+        # converted to float64, silently rounding full-range 64-bit keys
+        # (anything above 2^53 loses its low bits).
+        if len(t) == 0:
+            return attach_schema.empty_table()
+        key = t["key"].combine_chunks().to_numpy(zero_copy_only=False)
+        side = t["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_sig = side == -1
+        sig_rows = np.flatnonzero(is_sig)
+        ep_rows = np.flatnonzero(~is_sig)
+        sk = key[sig_rows]
+        order = np.argsort(sk, kind="stable")
+        sk_sorted = sk[order]
+        pos = np.searchsorted(sk_sorted, key[ep_rows])
+        ok = pos < len(sk_sorted)
+        ok[ok] = sk_sorted[pos[ok]] == key[ep_rows][ok]  # inner join
+        ep_take = pa.array(ep_rows[ok], pa.int64())
+        sig_take = pa.array(sig_rows[order][pos[ok]], pa.int64())
+        return pa.table(
+            {
+                "src": t["src"].combine_chunks().take(ep_take),
+                "dst": t["dst"].combine_chunks().take(ep_take),
+                "side": t["side"].combine_chunks().take(ep_take),
+                "conv_id": t["conv_id"].combine_chunks().take(sig_take),
+                "sig": t["sig"].combine_chunks().take(sig_take),
+            }
+        ).cast(attach_schema)
 
     halves = mixed.map_batches(attach, batch_format="pyarrow", batch_size=None)
     halves = halves.repartition(num_blocks=num_partitions, keys=["src", "dst"])
@@ -383,9 +406,13 @@ def neardup_clusters_from_signatures(
     num_partitions: int = 64,
     verify_threshold: float | None = 0.5,
     cc: str = "auto",
+    verify_driver_limit: int = 5_000_000,
+    n_perms: int = 128,
 ):
     """Resume-friendly tail of the flagship pipeline: clusters from a
-    (possibly checkpoint-restored) signatures Dataset."""
+    (possibly checkpoint-restored) signatures Dataset.  ``n_perms`` is only
+    needed to type EMPTY checkpoint buckets (a non-empty block carries its
+    width in its own offsets)."""
 
     def fix_sig_type(t: pa.Table) -> pa.Table:
         # parquet round-trips fixed_size_list as plain list; restore it
@@ -393,8 +420,9 @@ def neardup_clusters_from_signatures(
         if pa.types.is_fixed_size_list(mh.type):
             return t
         n = len(t)
-        widths = np.diff(mh.offsets.to_numpy())
-        w = int(widths[0]) if n else 0
+        # empty bucket (resumed checkpoint): from_arrays rejects width 0,
+        # so type it with the configured width
+        w = int(np.diff(mh.offsets.to_numpy())[0]) if n else n_perms
         fixed = pa.FixedSizeListArray.from_arrays(mh.flatten(), w)
         return t.set_column(t.column_names.index("minhash"), "minhash", fixed)
 
@@ -402,7 +430,8 @@ def neardup_clusters_from_signatures(
     edges = candidate_edges(sigs, n_bands=n_bands,
                             num_partitions=num_partitions).materialize()
     edges = verify_edges(edges, sigs, verify_threshold,
-                         num_partitions=max(8, num_partitions // 2))
+                         num_partitions=max(8, num_partitions // 2),
+                         driver_limit=verify_driver_limit)
     return _run_cc(cc, edges, sigs, num_partitions)
 
 

@@ -20,8 +20,14 @@ Scale design (the widest exchange of the pipeline — n_bands x corpus rows):
   members becomes one long sorted run *split across blocks by the range
   partitioner* — each block links its slice linearly (emission is linear,
   never O(n^2)), and the stitch joins the slices.  No explicit salting
-  machinery needed; connectivity (and therefore cluster assignments) is
-  identical to emitting all pairs.
+  machinery needed; candidate CONNECTIVITY is identical to emitting all
+  pairs.  (Cluster assignments are identical too when verification is off
+  or the candidates pass uniformly; with per-edge verification at a
+  threshold, chain edges are a subset of all pairs, so a borderline group
+  can verify differently than all-pairs emission would — the recall
+  harness measures the end-to-end effect, >=0.99 at the reference config.
+  Chain edges are made deterministic by (band_key, conv_key) ordering
+  inside _link_block and min-conv representatives in the stitch.)
 """
 
 from __future__ import annotations
@@ -60,6 +66,12 @@ def band_key_matrix(sig: np.ndarray, n_bands: int = N_BANDS) -> np.ndarray:
     """(g, n_perms) signature matrix -> (g, n_bands) uint64 band keys
     (chained mix over each band's r components + band id)."""
     g, n_perms = sig.shape
+    if n_perms < n_bands or n_perms % n_bands:
+        raise ValueError(
+            f"n_perms ({n_perms}) must be a positive multiple of n_bands "
+            f"({n_bands}); r = n_perms // n_bands rows per band would "
+            f"otherwise silently drop signature components (r=0 would "
+            f"collide every row in every band)")
     r = n_perms // n_bands
     key = np.empty((g, n_bands), dtype=np.uint64)
     for b in range(n_bands):
@@ -92,7 +104,13 @@ def bands_from_signatures(t: pa.Table, n_bands: int = N_BANDS) -> pa.Table:
 
 
 def _link_block(t: pa.Table) -> pa.Table:
-    """Within one sorted block: consecutive-link equal-key neighbors."""
+    """Within one sorted block: consecutive-link equal-key neighbors.
+
+    Rows are re-ordered by (band_key, conv_key) first: the range sort only
+    orders by band_key, so ties within an equal-key run would otherwise
+    follow arbitrary arrival order and the emitted chain edges would vary
+    run to run (connectivity is order-independent, but downstream per-edge
+    similarity verification is not)."""
     n = len(t)
     if n < 2:
         return pa.table(
@@ -100,6 +118,8 @@ def _link_block(t: pa.Table) -> pa.Table:
         )
     kv = t["band_key"].combine_chunks().to_numpy()
     conv = t["conv_key"].combine_chunks().to_numpy()
+    order = np.lexsort((conv, kv))
+    kv, conv = kv[order], conv[order]
     link = np.flatnonzero(kv[1:] == kv[:-1])
     return pa.table(
         {
@@ -110,7 +130,9 @@ def _link_block(t: pa.Table) -> pa.Table:
 
 
 def _block_boundary(t: pa.Table) -> pa.Table:
-    """One row per non-empty sorted block: its first/last key and conv."""
+    """One row per non-empty sorted block: its first/last key, each with
+    the MINIMUM conv in that key's run (deterministic representative —
+    row order within an equal-key run is arrival order)."""
     n = len(t)
     if n == 0:
         return pa.table(
@@ -121,12 +143,14 @@ def _block_boundary(t: pa.Table) -> pa.Table:
                 "last_conv": pa.array([], pa.uint64()),
             }
         )
+    kv = t["band_key"].combine_chunks().to_numpy()
+    conv = t["conv_key"].combine_chunks().to_numpy()
     return pa.table(
         {
-            "first_key": t["band_key"].slice(0, 1),
-            "first_conv": t["conv_key"].slice(0, 1),
-            "last_key": t["band_key"].slice(n - 1, 1),
-            "last_conv": t["conv_key"].slice(n - 1, 1),
+            "first_key": pa.array(kv[:1], pa.uint64()),
+            "first_conv": pa.array([conv[kv == kv[0]].min()], pa.uint64()),
+            "last_key": pa.array(kv[-1:], pa.uint64()),
+            "last_conv": pa.array([conv[kv == kv[-1]].min()], pa.uint64()),
         }
     )
 
@@ -163,10 +187,19 @@ def candidate_edges(sig_ds, n_bands: int = N_BANDS, n_salts: int = N_SALTS,
         if b.num_rows
     ]
     if bounds:
-        bt = pa.concat_tables(bounds)  # one row per non-empty block, in order
+        bt = pa.concat_tables(bounds)  # one row per non-empty block
         m = len(bt)
         last_k = bt["last_key"].combine_chunks().to_numpy()
         first_k = bt["first_key"].combine_chunks().to_numpy()
+        # Re-establish the range order explicitly: iter_batches does NOT
+        # guarantee sorted-dataset block order under the streaming executor
+        # (preserve_order defaults off), and a permuted boundary list would
+        # silently drop cross-block links for runs straddling blocks.
+        # Blocks hold disjoint key ranges (equal keys may share endpoints),
+        # so (first_key, last_key) lexorder IS the range order.
+        order = np.lexsort((last_k, first_k))
+        bt = bt.take(pa.array(order, pa.int64()))
+        last_k, first_k = last_k[order], first_k[order]
         hit = np.flatnonzero(last_k[:-1] == first_k[1:]) if m > 1 else np.array([], int)
         stitch = pa.table(
             {

@@ -70,3 +70,30 @@ def test_checkpointed_signatures_resume_end_to_end(ray_session, tmp_path):
     c = dict(zip(resumed.conv_id, resumed.cluster_id))
     assert a == c
     assert stage_is_complete(stage_dir)
+
+
+def test_resume_tolerates_empty_signature_bucket(ray_session):
+    """A checkpoint bucket with zero rows restores as an EMPTY plain-list
+    block; fix_sig_type must type it (FixedSizeListArray.from_arrays
+    rejects width 0) instead of crashing the whole resume run."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    n_perms = 128
+    rng = np.random.default_rng(2)
+    sig = rng.integers(0, 2**63, size=(6, n_perms), dtype=np.uint64)
+    sig[1] = sig[0]  # one identical pair -> at least one cluster of 2
+    plain = pa.list_(pa.uint64())
+    full = pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(6)]),
+        "minhash": pa.array([row for row in sig.tolist()], plain),
+    })
+    empty = full.schema.empty_table()
+    ds = rd.from_arrow([empty, full, empty])  # empty buckets around a real one
+    out = neardup_clusters_from_signatures(
+        ds, num_partitions=4, verify_threshold=0.5, n_perms=n_perms
+    ).to_pandas()
+    assert len(out) == 6
+    c = dict(zip(out.conv_id, out.cluster_id))
+    assert c["c0"] == c["c1"]
