@@ -341,8 +341,14 @@ def verify_edges_shuffle(edges_ds, sig_ds, threshold: float | None,
         if len(first) == 0:
             return empty
         if threshold is not None:
+            # THE estimator: fraction of equal component LOW BYTES — the
+            # same statistic the driver path computes, so both verify paths
+            # keep/drop identical borderline edges (a full-u64 compare here
+            # would estimate J while the driver estimates J + (1-J)/256;
+            # edges within 1/256 of the threshold would then differ by path)
             sig_all = _unpack_binary_u64(t["sig"], n)
-            sim = (sig_all[first] == sig_all[first + 1]).mean(axis=1)
+            lo = (sig_all & np.uint64(0xFF)).astype(np.uint8)
+            sim = (lo[first] == lo[first + 1]).mean(axis=1)
             first = first[sim >= threshold]
         ids = t["conv_id"].combine_chunks()
         return pa.table(

@@ -161,6 +161,25 @@ def chunk_file_parallel(path: str, cfg: ChunkerConfig | None = None,
         raise ValueError("range_bytes must be >= 4 * max_size")
     if overlap < 4 * cfg.max_size:
         raise ValueError("overlap must be >= 4 * max_size")
+    # Performance floor (output stays exact either way): a non-final
+    # range's StreamChunker only cuts once 8*max_size is buffered and never
+    # flushes its tail, so candidate ends stop up to 8*max_size before
+    # scan_end; with overlap below ~16*max_size seams may find no common
+    # candidate and degrade to the sequential driver bridge.
+    if overlap < 16 * cfg.max_size:
+        import warnings
+
+        warnings.warn(
+            "chunk_file_parallel: overlap < 16*max_size may force seams "
+            "onto the sequential bridge (candidate emission stops up to "
+            "8*max_size before scan_end)", stacklevel=2)
+    # Upper bound: a seam's sync point q lies in (s_i, s_i + overlap]; with
+    # overlap > range_bytes it could land beyond the NEXT range start, and
+    # seam i+1 could then pick q' < q — the region [q', q) would be covered
+    # by two conflicting chunk sequences.
+    if overlap > range_bytes:
+        raise ValueError("overlap must be <= range_bytes (a sync point may "
+                         "not cross the next range start)")
 
     size = os.path.getsize(path)
     cand = _scan_dataset(
@@ -177,10 +196,16 @@ def chunk_file_parallel(path: str, cfg: ChunkerConfig | None = None,
 
     seam_ends = _collect_ends(cand, in_seam) if n_ranges > 1 else {}
 
+    _ends_cache: dict[int, np.ndarray] = {}
+
     def full_ends(i: int) -> np.ndarray:  # bridge fallback only
-        return _collect_ends(cand, lambda rid, end: rid == i).get(
-            i, np.empty(0, np.int64)
-        )
+        # memoized: a bridge crossing many ranges re-queries each range once,
+        # not once per crossing (each query is a full pass over `cand`)
+        if i not in _ends_cache:
+            _ends_cache[i] = _collect_ends(
+                cand, lambda rid, end: rid == i
+            ).get(i, np.empty(0, np.int64))
+        return _ends_cache[i]
 
     # lo[i]/hi[i]: keep range i candidates with start in [lo, hi).
     lo = np.zeros(n_ranges, np.int64)

@@ -6,12 +6,16 @@ Two interchangeable implementations behind one interface
 - :func:`connected_components_driver` — union-find on the driver, streaming
   edge batches (O(V) driver memory; fine up to ~10^8 vertices).
 - :func:`connected_components_distributed` — iterative min-label
-  propagation: each round co-partitions edges and the label table on the
-  vertex key (hash shuffle), flows every vertex's current label to its
-  neighbors, and keeps the per-vertex minimum; repeat to fixpoint.
-  O(log n)–O(diameter) rounds, no driver state — the scale path for
-  10^12-turn inputs.  LSH consecutive-chain components have small
-  diameters, and label propagation halves them each round.
+  propagation WITH pointer jumping: each round (a) flows every vertex's
+  label to its neighbors over a vertex-keyed exchange and keeps the
+  per-vertex minimum, then (b) shortcuts ``label[v] <- label[label[v]]``
+  via a label-keyed exchange.  Plain one-hop propagation alone needs
+  O(diameter) rounds — an LSH consecutive-chain component's diameter is
+  its member count, so a 10^6-member hot band would need 10^6 rounds; the
+  jump step halves the pointer depth each round, giving O(log diameter)
+  convergence with no driver state (the 10^12-turn scale path).  If the
+  fixpoint is not reached within ``max_rounds`` the function RAISES
+  rather than returning silently-fragmented clusters.
 
 cluster_id = min conv_id of the component (deterministic, permutation
 invariant).  Vertices with no edges are their own singleton clusters.
@@ -113,14 +117,27 @@ def connected_components_distributed(
     )
 
     def _fingerprint(ds) -> int:
-        """Order-insensitive xor of per-row (v, label) hashes, vectorized."""
-        from ..util import hash_str_array_u64, mix64
+        """Order-insensitive xor of per-row (v, label) hashes.  Reduced to
+        ONE u64 per block inside map_batches — the driver never sees the
+        label table itself (it is corpus-sized)."""
 
-        s = np.uint64(0)
-        for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        def block_xor(b: pa.Table) -> pa.Table:
+            from ..util import hash_str_array_u64, mix64
+
+            if len(b) == 0:
+                return pa.table({"x": pa.array([], pa.uint64())})
             hv = hash_str_array_u64(b["v"].combine_chunks())
             hl = hash_str_array_u64(b["label"].combine_chunks())
-            s ^= np.bitwise_xor.reduce(mix64(hv ^ hl)) if len(hv) else np.uint64(0)
+            x = np.bitwise_xor.reduce(mix64(hv ^ hl))
+            return pa.table({"x": pa.array([x], pa.uint64())})
+
+        s = np.uint64(0)
+        for b in ds.map_batches(
+            block_xor, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                s ^= np.bitwise_xor.reduce(
+                    b["x"].combine_chunks().to_numpy())
         return int(s)
 
     prev_fp = _fingerprint(labels)
@@ -177,10 +194,54 @@ def connected_components_distributed(
         labels = cand.map_batches(
             combine, batch_format="pyarrow", batch_size=None
         ).materialize()
+
+        # pointer jump: label[v] <- label[label[v]].  Tag-union keyed on the
+        # LABEL value: each vertex row asks for its label's label, each
+        # label-table row answers for its own vertex id.  Labels only ever
+        # decrease, so label[l] <= l and the jump halves pointer-chain depth
+        # every round (O(log diameter) total rounds).
+        queries = labels.map_batches(
+            lambda t: pa.table(
+                {"key": t["label"], "v": t["v"],
+                 "label": pa.nulls(len(t), pa.string())}),
+            batch_format="pyarrow",
+        )
+        values = labels.map_batches(
+            lambda t: pa.table(
+                {"key": t["v"], "v": pa.nulls(len(t), pa.string()),
+                 "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        tagged = queries.union(values).repartition(
+            num_blocks=num_partitions, keys=["key"])
+
+        def jump(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = t.to_pandas()
+            vals = df[df["v"].isna()][["key", "label"]]
+            qs = df[df["label"].isna()][["key", "v"]]
+            m = qs.merge(vals, on="key", how="left")
+            # every label IS a vertex id, so a miss can't happen; keep the
+            # key as a defensive identity fallback
+            m["label"] = m["label"].fillna(m["key"])
+            return pa.Table.from_pandas(
+                m[["v", "label"]], preserve_index=False)
+
+        labels = tagged.map_batches(
+            jump, batch_format="pyarrow", batch_size=None
+        ).materialize()
+
         fp = _fingerprint(labels)
         if fp == prev_fp:
             break
         prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"connected_components_distributed did not converge within "
+            f"{max_rounds} rounds — returning would silently fragment "
+            f"clusters; raise max_rounds (rounds needed ~ log2 of the "
+            f"largest component diameter)")
 
     return labels.map_batches(
         lambda t: pa.table({"conv_id": t["v"], "cluster_id": t["label"]}),

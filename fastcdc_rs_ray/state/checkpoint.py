@@ -85,9 +85,19 @@ def run_stage_checkpointed(
 
     stage_dir = os.path.join(root, stage_name)
     if stage_is_complete(stage_dir):
-        return rd.read_parquet(stage_dir)
+        return _read_stage(stage_dir)
 
     done = completed_partitions(stage_dir)
+    # a resume MUST use the crashed run's bucketing scheme: mixing
+    # h%8 part dirs with h%16 ones would silently duplicate/drop rows
+    for rec in done.values():
+        if rec.get("key", key) != key or rec.get(
+                "num_partitions", num_partitions) != num_partitions:
+            raise ValueError(
+                f"resume config mismatch for stage {stage_name!r}: manifest "
+                f"has key={rec.get('key')!r} num_partitions="
+                f"{rec.get('num_partitions')}, caller passed key={key!r} "
+                f"num_partitions={num_partitions}")
     missing = [p for p in range(num_partitions) if p not in done]
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -127,6 +137,11 @@ def run_stage_checkpointed(
                 shutil.rmtree(tmp_dir)
             part = part.materialize()
             part.write_parquet(tmp_dir)
+            # an EMPTY bucket writes no files and creates no directory —
+            # materialize the empty dir so the atomic rename (and the
+            # manifest record) still happen and resume doesn't recompute
+            # and crash on the same bucket forever
+            os.makedirs(tmp_dir, exist_ok=True)
             if os.path.exists(part_dir):
                 shutil.rmtree(part_dir)
             os.replace(tmp_dir, part_dir)
@@ -141,7 +156,26 @@ def run_stage_checkpointed(
                     "bytes": nbytes,
                     "wall_s": round(wall_group / len(group), 3),
                     "key": key,
+                    "num_partitions": num_partitions,
                 },
             )
     mark_complete(stage_dir)
-    return rd.read_parquet(stage_dir)
+    return _read_stage(stage_dir)
+
+
+def _read_stage(stage_dir: str):
+    """Read a completed stage back WITHOUT hive partition inference: the
+    part=<pid> directory names would otherwise materialize as an extra
+    string column 'part' the stage transform never produced (polluting
+    every downstream schema).  Empty part dirs contribute nothing."""
+    import ray.data as rd
+
+    files = []
+    for d in sorted(os.listdir(stage_dir)):
+        if d.startswith("part="):
+            sub = os.path.join(stage_dir, d)
+            files += [os.path.join(sub, f) for f in sorted(os.listdir(sub))]
+    if not files:
+        raise ValueError(f"stage {stage_dir!r} completed with zero rows in "
+                         f"every partition — nothing to read back")
+    return rd.read_parquet(files)

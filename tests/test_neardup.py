@@ -142,7 +142,11 @@ def test_fully_distributed_flagship_equals_auto(ray_session):
         groups = {}
         for conv, cl in zip(df.conv_id, df.cluster_id):
             groups.setdefault(cl, set()).add(conv)
-        return sorted(frozenset(g) for g in groups.values())
+        # sort by member tuple, NOT sorted(frozensets): frozenset < is the
+        # subset relation (a partial order), so sorting frozensets directly
+        # is input-order-dependent and two equal partitions can compare
+        # unequal when the rows arrive in different orders
+        return sorted(tuple(sorted(g)) for g in groups.values())
 
     assert canon(a) == canon(b)
 
