@@ -204,17 +204,27 @@ class _IVFScorer:
         self.probed = np.argpartition(-qsim, npb - 1, axis=1)[:, :npb]  # (Q, n_probe)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        n = len(t)
-        if n == 0:
+        if len(t) == 0:
             return _empty_cand()
         vm = _normalize(embedding_matrix(t["embedding"]))
         vids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
         cell = np.argmax(vm @ self.cent.T, axis=1)  # (n,)
-        out = []
-        # per query, score only its probed cells' vectors
-        probe_mask = np.zeros((len(self.qids), n), dtype=bool)
-        for qi in range(len(self.qids)):
-            probe_mask[qi] = np.isin(cell, self.probed[qi])
+        # the IVF saving: restrict the GEMM to vectors in SOME query's
+        # probed cells (the brute-force path pays the full Q x n x dim
+        # product; here only the probed-cell union does)
+        union = np.isin(cell, np.unique(self.probed))
+        if not union.any():
+            return _empty_cand()
+        vm, vids, cell = vm[union], vids[union], cell[union]
+        n = len(vids)
+        # (Q, n_probe) x n membership via sorted per-query probe lists
+        probe_sorted = np.sort(self.probed, axis=1)
+        pos = np.empty((len(self.qids), n), dtype=np.int64)
+        for qi in range(len(self.qids)):  # Q is query-batch-sized, tiny
+            pos[qi] = np.searchsorted(probe_sorted[qi], cell)
+        pos = np.minimum(pos, probe_sorted.shape[1] - 1)
+        probe_mask = np.take_along_axis(
+            probe_sorted, pos, axis=1) == cell[None, :]
         sims = self.qm @ vm.T
         sims[~probe_mask] = -np.inf
         sims[self.qids[:, None] == vids[None, :]] = -np.inf
@@ -240,7 +250,23 @@ def ann_topk_ivf(ds, query_ids, query_matrix, k: int = 10, n_cells: int = 16,
     n_probe / n_cells (tested against the exact baseline)."""
     import ray
 
-    sample_t = ds.limit(sample_size).to_pandas()
+    # Train centroids on a HASH SAMPLE, never a dataset prefix: with
+    # cluster-ordered input ds.limit() sees only the first region, all
+    # centroids land there, and recall collapses for late clusters.  The
+    # multiplicative-hash bucket is deterministic and retry-stable (same
+    # discipline as sample_docs).
+    from .sample import hash_bucket
+
+    n_total = ds.count()
+    mod = max(1, n_total // sample_size)
+
+    def hash_sample(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(hash_bucket(ids, mod) == 0))
+
+    sample_t = ds.map_batches(
+        hash_sample, batch_format="pyarrow"
+    ).limit(sample_size * 2).to_pandas()
     sample = np.stack(sample_t["embedding"].to_numpy())
     cent = train_centroids(sample, n_cells, seed=seed)
     qref = ray.put(

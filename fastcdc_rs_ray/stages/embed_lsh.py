@@ -103,15 +103,17 @@ def embed_neardup_lsh(emb_ds, tau: float = 0.9, n_tables: int = N_TABLES,
                       num_partitions: int = 8, max_group: int = 4096):
     """Embeddings Dataset -> verified cosine>=tau pairs via hyperplane LSH.
 
-    Stages: bucket rows (stateless map, planes built per worker from the
-    seed) -> keyed exchange on bucket_key -> per-bucket candidate pairs ->
+    Stages: bucket rows (stateless map, planes rebuilt deterministically
+    from the seed inside each task — cheaper than shipping them; an actor
+    pool would amortize the rebuild per worker if dim x tables x bits ever
+    grows material) -> keyed exchange on bucket_key -> per-bucket candidate pairs ->
     exchange on (src, dst) for global dedup -> exact-cosine verification
     against broadcast endpoint vectors (candidate-sized)."""
     import ray
     import ray.data as rd
 
-    # planes rebuilt deterministically per worker from the seed on first
-    # batch (avoids shipping them; dim read from the data)
+    # planes rebuilt deterministically from the seed on each task's first
+    # batch (the closure dict is per-task state, not per-worker)
     planes_ref = {"p": None}
 
     def rows(t: pa.Table) -> pa.Table:

@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..util import mix64
+from .sample import SAMPLE_MULT
 
 HLL_P = 12  # 4096 registers
 _M = 1 << HLL_P
@@ -208,7 +209,6 @@ def value_quantiles_sketch(events_ds, rate_pm: int = SKETCH_RATE_PM,
     sample reuses the nearest-rank formulation of
     stages/sessions.py:value_percentiles.
     """
-    from .sample import SAMPLE_MULT
 
     def partial(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -228,10 +228,14 @@ def value_quantiles_sketch(events_ds, rate_pm: int = SKETCH_RATE_PM,
     import math
 
     partials = events_ds.map_batches(partial, batch_format="pyarrow")
-    t = pa.concat_tables(
+    tabs = [
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
         for b in partials.iter_batches(batch_format="pyarrow")
-    )
+    ]
+    if not tabs:  # zero-batch input: concat_tables(()) raises
+        tabs = [pa.table({"value_c": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})]
+    t = pa.concat_tables(tabs)
     v = t["value_c"].to_numpy(zero_copy_only=False)
     n = t["n"].to_numpy(zero_copy_only=False)
     order = np.argsort(v, kind="stable")
@@ -259,7 +263,7 @@ VALUE_QUANTILES_SKETCH_SQL = f"""
 WITH qs(q) AS (VALUES {_SKETCH_QS_VALUES}),
 s0 AS (
   SELECT value FROM events
-  WHERE (CAST(event_id AS HUGEINT) * {0x9E3779B97F4A7C15})
+  WHERE (CAST(event_id AS HUGEINT) * {SAMPLE_MULT})
         % 18446744073709551616 % 1000 < {SKETCH_RATE_PM}
 ),
 s AS (
