@@ -59,6 +59,16 @@ class StreamChunker:
             min_scan_bytes if min_scan_bytes is not None
             else 8 * self.cfg.max_size
         )
+        # The safe-cut rule (accept chunks with full max_size lookahead)
+        # is only sound when min <= avg <= max: with avg > max the phase-1
+        # center depends on `remaining`, which changes with more data.
+        # ChunkerConfig deliberately mirrors the reference (independent
+        # per-field bounds only), so the streaming layer validates ordering.
+        if not (self.cfg.min_size <= self.cfg.avg_size <= self.cfg.max_size):
+            raise ValueError(
+                f"StreamChunker requires min_size <= avg_size <= max_size, "
+                f"got {self.cfg.min_size}/{self.cfg.avg_size}/"
+                f"{self.cfg.max_size}")
         self._buf = bytearray()
         self._base = 0  # global offset of _buf[0]
         self._finalized = False
@@ -114,6 +124,9 @@ def stream_chunks(source, cfg: ChunkerConfig | None = None, *,
     to whole-buffer chunking.
     """
     sc = StreamChunker(cfg, impl)
+    if isinstance(source, (bytes, bytearray, memoryview)):
+        # iterating raw bytes yields ints — treat a single buffer as one piece
+        source = [bytes(source)]
     if hasattr(source, "read"):
         def pieces() -> Iterable[bytes]:
             while True:

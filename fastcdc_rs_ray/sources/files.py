@@ -82,7 +82,11 @@ def chunk_files_streamed(paths, cfg: ChunkerConfig | None = None,
     ds = rd.from_items(
         [{"path": p} for p in files], override_num_blocks=max(1, num_tasks)
     )
-    cfg = cfg or ChunkerConfig()
+    # same default as chunk_files' ChunkStage — the two entry points MUST
+    # agree on cfg=None or the documented bit-parity silently breaks
+    from ..stages.chunk import DEFAULT_CONFIG
+
+    cfg = cfg or DEFAULT_CONFIG
 
     def chunk_one_file(t: pa.Table):
         for path in t["path"].to_pylist():
@@ -128,14 +132,23 @@ def stage_documents_as_files(sf_dir: str, out_root: str = "/tmp/graft_file_src")
     tag = os.path.basename(os.path.normpath(sf_dir))
     out_dir = os.path.join(out_root, tag)
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    if os.path.isdir(out_dir) and len(os.listdir(out_dir)) == len(t):
+    # marker lives BESIDE the directory (inside it the chunkers would walk
+    # and chunk it); marker check, not file count: an interrupted run
+    # leaves a truncated final file a count check would accept forever
+    done_marker = out_dir + ".STAGED"
+    if os.path.isfile(done_marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     ids = t["doc_id"].to_pylist()
     texts = t["text"].to_pylist()
     for doc_id, text in zip(ids, texts):
-        with open(os.path.join(out_dir, f"{doc_id:08d}.txt"), "w") as f:
-            f.write(text)
+        # explicit UTF-8 bytes: locale-default encoding would crash on
+        # non-ASCII under a C locale, and any non-UTF-8 default would break
+        # the file-vs-table parity these bytes exist to exercise
+        with open(os.path.join(out_dir, f"{doc_id:08d}.txt"), "wb") as f:
+            f.write(text.encode("utf-8"))
+    with open(done_marker, "w") as f:
+        f.write(str(len(t)))
     return out_dir
 
 
@@ -174,8 +187,11 @@ def chunks_from_document_files(sf_dir: str, cfg: ChunkerConfig | None = None,
         chunks = chunk_files(out_dir, cfg)
 
     def attach_doc_id(t: pa.Table) -> pa.Table:
-        # filename stem "<doc_id:08d>" parsed back to int64
-        stem = pc.extract_regex(t["path"].combine_chunks(), r"(?P<id>[0-9]{8})\.txt$")
+        # filename stem parsed back to int64.  [0-9]+ (not {8}): doc_ids
+        # >= 10^8 produce 9+ digit names and a fixed-width pattern would
+        # silently truncate to the trailing 8 digits (wrong join key).
+        stem = pc.extract_regex(
+            t["path"].combine_chunks(), r"(?P<id>[0-9]+)\.txt$")
         doc_id = pc.cast(stem.field("id"), pa.int64())
         return pa.table(
             {

@@ -136,17 +136,22 @@ def featurize_media(ds, decoder: Callable | None = None, batch_size: int = 16,
 
 class FrameSampler:
     """Actor-pool stage: sample every k-th frame index per video row,
-    emitting one row per sampled frame (flat_map layout).  Decode is
-    delegated to the pluggable codec; with the fake codec the 'frame' is
-    the single decoded body."""
+    emitting one row per sampled frame (flat_map layout).  This stage is
+    METADATA-ONLY — it plans which frames downstream decode stages fetch
+    (the real-codec integration point is MediaFeaturizer/MediaResizer's
+    ``decoder``; a frame-extracting decoder would consume this plan)."""
 
-    def __init__(self, every_k: int = 4, decoder: Callable | None = None):
+    def __init__(self, every_k: int = 4):
         self.every_k = every_k
-        self.decoder = decoder or fake_decoder
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        out_schema = pa.schema(
+            [("id", pa.int64()), ("frame_idx", pa.int32()),
+             ("width", pa.int32()), ("height", pa.int32())])
+        if len(t) == 0:
+            return out_schema.empty_table()
         # vectorized index explosion: no per-row/per-frame Python loop
         meta = t["meta"].combine_chunks() if isinstance(
             t["meta"], pa.ChunkedArray) else t["meta"]
@@ -198,15 +203,17 @@ class MediaResizer:
         self.out_w = out_w
         self.out_h = out_h
         self.decoder = decoder or fake_decoder
-        # index grids built once per actor (state, not per batch)
-        self._xi = None
-        self._cache_shape = None
+        # index grids cached per source shape (actor state, not per frame)
+        self._grids: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
 
     def _resize(self, frame: np.ndarray) -> np.ndarray:
         h, w = frame.shape
-        ys = (np.arange(self.out_h) * h) // self.out_h
-        xs = (np.arange(self.out_w) * w) // self.out_w
-        return frame[np.ix_(ys, xs)]
+        grids = self._grids.get((h, w))
+        if grids is None:
+            grids = ((np.arange(self.out_h) * h) // self.out_h,
+                     (np.arange(self.out_w) * w) // self.out_w)
+            self._grids[(h, w)] = grids
+        return frame[np.ix_(*grids)]
 
     def __call__(self, t: pa.Table) -> pa.Table:
         n = len(t)
@@ -235,12 +242,14 @@ class MediaResizer:
 
 
 def resize_media(ds, out_w: int = 16, out_h: int = 16,
-                 batch_size: int = 16, concurrency=(2, 8)):
+                 batch_size: int = 16, concurrency=(2, 8),
+                 decoder: Callable | None = None):
     """media Dataset -> media Dataset at (out_w, out_h); schema-preserving,
     so downstream media stages compose unchanged."""
     return ds.map_batches(
         MediaResizer,
-        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h,
+                               "decoder": decoder},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
