@@ -712,6 +712,41 @@ def q_monthly_revenue(sf_dir: str):
     return monthly_revenue(ds)
 
 
+def q_favorite_event_type(sf_dir: str):
+    """Grouped mode / argmax (ROW_NUMBER-over-count-DESC shape): each
+    user's most frequent event type with a total deterministic tie-break."""
+    import ray.data as rd
+
+    from ..stages.sessions import favorite_event_type
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return favorite_event_type(ds, num_partitions=8)
+
+
+def q_nation_revenue_share(sf_dir: str):
+    """Ratio-to-report (SUM() OVER () window): per-nation revenue share of
+    the global total in exact integer cents / basis points; the fact table
+    never shuffles (broadcast dense customer->nation map + bincount
+    partials)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.aggregate import nation_revenue_share
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    customer = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    return nation_revenue_share(orders, customer, nation)
+
+
 def q_inactive_customers(sf_dir: str):
     """Anti-join (Q22 shape): customers with no 1-URGENT order, via a
     row-filter pushed into the read + right-side per-block key dedup +
@@ -1479,6 +1514,8 @@ QUERIES = {
     "events_unpivot": q_events_unpivot,
     "part_reachability": q_part_reachability,
     "pair_edit_distance": q_pair_edit_distance,
+    "favorite_event_type": q_favorite_event_type,
+    "nation_revenue_share": q_nation_revenue_share,
 }
 
 
@@ -1492,6 +1529,7 @@ _TOKENS_SQL = (
 
 from ..stages.aggregate import (
     MONTHLY_REVENUE_SQL,
+    NATION_REVENUE_SHARE_SQL,
     PRICING_CUBE_SQL,
     PROPS_K_STATS_SQL,
     PRICING_ROLLUP_SQL,
@@ -1521,6 +1559,7 @@ from ..stages.wordcount import TOP_TOKENS_SQL
 from ..stages.sketch import HEAVY_USERS_SQL, VALUE_QUANTILES_SKETCH_SQL
 from ..stages.sessions import (
     DISTINCT_USERS_PER_TYPE_SQL,
+    FAVORITE_EVENT_TYPE_SQL,
     MEDIAN_VALUE_BY_TYPE_SQL,
     USER_SPEND_RANK_SQL,
     EVENTS_PIVOT_SQL,
@@ -1550,6 +1589,8 @@ ORACLE_SQL = {
     "running_totals": RUNNING_TOTALS_SQL,
     "user_event_paths": USER_EVENT_PATHS_SQL,
     "monthly_revenue": MONTHLY_REVENUE_SQL,
+    "favorite_event_type": FAVORITE_EVENT_TYPE_SQL,
+    "nation_revenue_share": NATION_REVENUE_SHARE_SQL,
     "inactive_customers": INACTIVE_CUSTOMERS_SQL,
     "hopping_windows": HOPPING_WINDOWS_SQL,
     "heavy_users": HEAVY_USERS_SQL,

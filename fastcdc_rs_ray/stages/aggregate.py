@@ -753,3 +753,86 @@ SELECT CAST(epoch_us(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)) AS BIG
 FROM orders
 GROUP BY 1
 """
+
+
+def nation_revenue_share(orders_ds, customer_tbl: pa.Table,
+                         nation_tbl: pa.Table):
+    """Ratio-to-report: per-nation order revenue plus the GLOBAL total and
+    each nation's share, the ``SUM(x) OVER ()`` window shape (no reference
+    counterpart — SURVEY.md §2.5/§2.6).
+
+    Discipline: the customer->nation map folds driver-side into one dense
+    int8-per-custkey array shipped once via ``ray.put`` (1 byte/customer —
+    ~1 GB at 10^9 customers; beyond that the growth path is the tag-union
+    keyed exchange of ``order_revenue_topk``); each orders block
+    partial-reduces to |nations| bincount rows, the driver merges
+    blocks x 25 rows, and the global-total window is free at finalize —
+    the fact table never shuffles at all.  All money in exact int64 cents;
+    the share is floor basis points (integer cross-division), so the
+    result is bit-identical under any partitioning.
+    """
+    import ray
+
+    ck = customer_tbl["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnk = customer_tbl["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cust_nation = np.full(int(ck.max()) + 1 if len(ck) else 0, -1, np.int16)
+    cust_nation[ck] = cnk.astype(np.int16)
+    nk = nation_tbl["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_nations = int(nk.max()) + 1 if len(nk) else 0
+    names = np.empty(n_nations, dtype=object)
+    names[nk] = np.asarray(nation_tbl["n_name"].to_pylist(), dtype=object)
+    ref = ray.put(cust_nation)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cn = ray.get(ref)
+        cust = t["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        price = t["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        cents = np.round(price * 100).astype(np.int64)
+        nat = cn[cust].astype(np.int64)
+        n = np.bincount(nat, minlength=n_nations).astype(np.int64)
+        s = np.zeros(n_nations, np.int64)
+        np.add.at(s, nat, cents)
+        keep = np.flatnonzero(n)
+        return pa.table({
+            "nationkey": pa.array(keep, pa.int64()),
+            "rev_cents": pa.array(s[keep], pa.int64()),
+            "n_orders": pa.array(n[keep], pa.int64()),
+        })
+
+    partials = orders_ds.map_batches(partial, batch_format="pyarrow")
+    rev = np.zeros(n_nations, np.int64)
+    cnt = np.zeros(n_nations, np.int64)
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        k = t["nationkey"].to_numpy(zero_copy_only=False)
+        np.add.at(rev, k, t["rev_cents"].to_numpy(zero_copy_only=False))
+        np.add.at(cnt, k, t["n_orders"].to_numpy(zero_copy_only=False))
+    keep = np.flatnonzero(cnt)
+    total = int(rev.sum())
+    share_bp = (rev[keep] * 10000) // max(total, 1)
+    return pa.table({
+        "nation": pa.array(names[keep], pa.string()),
+        "rev_cents": pa.array(rev[keep], pa.int64()),
+        "n_orders": pa.array(cnt[keep], pa.int64()),
+        "total_cents": pa.array(np.full(len(keep), total), pa.int64()),
+        "share_bp": pa.array(share_bp, pa.int64()),
+    })
+
+
+NATION_REVENUE_SHARE_SQL = """
+WITH r AS (
+  SELECT n.n_name AS nation,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1
+)
+SELECT nation, rev_cents, n_orders,
+       CAST(SUM(rev_cents) OVER () AS BIGINT) AS total_cents,
+       CAST((rev_cents * 10000) // SUM(rev_cents) OVER () AS BIGINT)
+           AS share_bp
+FROM r
+"""

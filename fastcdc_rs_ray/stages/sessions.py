@@ -970,3 +970,85 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+def favorite_event_type(events_ds, num_partitions: int = 16):
+    """Grouped mode / argmax: each user's most frequent event_type, ties
+    broken by the lexicographically smallest type (the deterministic
+    ROW_NUMBER()-over-count-DESC shape; the reference has no aggregation
+    at all — SURVEY.md §2.5).
+
+    Discipline: per-block (user, type) partial counts (dictionary-encode +
+    lexsort + reduceat — the exchange moves one row per distinct pair per
+    block, Zipf-bounded like tfidf), ONE keyed exchange on user_id, then a
+    per-block combine + vectorized first-row-per-user argmax.  Deterministic
+    under any partitioning because the tie-break is total.
+    """
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("user_id", pa.int64()),
+                                ("event_type", pa.string()),
+                                ("n", pa.int64())])
+        if len(t) == 0:
+            return out_schema.empty_table()
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        dic = t["event_type"].combine_chunks().dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if "n" in t.column_names:  # combine pass: weighted counts
+            w = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        else:
+            w = np.ones(len(uid), np.int64)
+        order = np.lexsort((codes, uid))
+        uid, codes, w = uid[order], codes[order], w[order]
+        new = np.concatenate(
+            [[True], (uid[1:] != uid[:-1]) | (codes[1:] != codes[:-1])])
+        starts = np.flatnonzero(new)
+        counts = np.add.reduceat(w, starts)
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "event_type": dic.dictionary.take(
+                pa.array(codes[starts], pa.int64())),
+            "n": pa.array(counts, pa.int64()),
+        }).cast(out_schema)
+
+    partials = events_ds.map_batches(pair_counts, batch_format="pyarrow")
+    located = partials.repartition(num_blocks=num_partitions,
+                                   keys=["user_id"])
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("top_type", pa.string()),
+                            ("n", pa.int64())])
+
+    def argmax_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        t = pair_counts(t)  # merge same (user, type) rows across blocks
+        order = pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("n", "descending"),
+            ("event_type", "ascending")])
+        t = t.take(order)
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True], uid[1:] != uid[:-1]])
+        idx = pa.array(np.flatnonzero(first), pa.int64())
+        return pa.table({
+            "user_id": t["user_id"].take(idx),
+            "top_type": t["event_type"].take(idx),
+            "n": t["n"].take(idx),
+        }).cast(out_schema)
+
+    return located.map_batches(argmax_block, batch_format="pyarrow",
+                               batch_size=None)
+
+
+FAVORITE_EVENT_TYPE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+), r AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS top_type, n FROM r WHERE rn = 1
+"""
