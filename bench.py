@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "pair_edit_distance",
     "user_event_paths",
     "monthly_revenue",
+    "favorite_event_type",
+    "nation_revenue_share",
 ]
 
 
