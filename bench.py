@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "monthly_revenue",
     "favorite_event_type",
     "nation_revenue_share",
+    "snapshot_chunk_delta",
 ]
 
 

@@ -747,6 +747,18 @@ def q_nation_revenue_share(sf_dir: str):
     return nation_revenue_share(orders, customer, nation)
 
 
+def q_snapshot_chunk_delta(sf_dir: str):
+    """The canonical CDC application (backup/crawl dedup): how much of a
+    mutated snapshot B's chunk volume already exists in snapshot A.  One
+    summary row; rows-only (CDC chunk hashes are not SQL-expressible);
+    pytest pins the shift-resistance property (stages/delta.py)."""
+    from ..stages.delta import chunk_delta, docs_as_payload, mutate_snapshot
+
+    a = docs_as_payload(_documents(sf_dir, ["doc_id", "text"]))
+    b = mutate_snapshot(_documents(sf_dir, ["doc_id", "text"]))
+    return chunk_delta(a, b)
+
+
 def q_inactive_customers(sf_dir: str):
     """Anti-join (Q22 shape): customers with no 1-URGENT order, via a
     row-filter pushed into the read + right-side per-block key dedup +
@@ -1516,6 +1528,7 @@ QUERIES = {
     "pair_edit_distance": q_pair_edit_distance,
     "favorite_event_type": q_favorite_event_type,
     "nation_revenue_share": q_nation_revenue_share,
+    "snapshot_chunk_delta": q_snapshot_chunk_delta,
 }
 
 
