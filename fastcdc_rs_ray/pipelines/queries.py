@@ -747,6 +747,17 @@ def q_nation_revenue_share(sf_dir: str):
     return nation_revenue_share(orders, customer, nation)
 
 
+def q_chunk_size_histogram(sf_dir: str):
+    """Log2 chunk-size histogram per normalization level (0/1/3): the
+    size-distribution axis the reference's criterion avg_size group
+    benchmarks; normalized chunking narrows the spread around avg_size.
+    Rows-only; the narrowing property is pytest-pinned."""
+    from ..stages.chunk import chunk_size_histogram
+
+    conv = assemble(transcripts_from_documents(sf_dir), num_partitions=16)
+    return chunk_size_histogram(conv)
+
+
 def q_snapshot_chunk_delta(sf_dir: str):
     """The canonical CDC application (backup/crawl dedup): how much of a
     mutated snapshot B's chunk volume already exists in snapshot A.  One
@@ -1529,6 +1540,7 @@ QUERIES = {
     "favorite_event_type": q_favorite_event_type,
     "nation_revenue_share": q_nation_revenue_share,
     "snapshot_chunk_delta": q_snapshot_chunk_delta,
+    "chunk_size_histogram": q_chunk_size_histogram,
 }
 
 

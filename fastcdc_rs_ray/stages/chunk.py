@@ -95,3 +95,61 @@ def chunk(conv_ds, cfg: ChunkerConfig | None = None, impl: str = "auto"):
     return conv_ds.map_batches(
         ChunkStage(cfg, impl), batch_format="pyarrow", batch_size=None
     )
+
+
+def chunk_size_histogram(conv_ds, norm_levels: tuple[int, ...] = (0, 1, 3),
+                         base_cfg: ChunkerConfig | None = None) -> pa.Table:
+    """Per-normalization-level log2 histogram of chunk sizes — the size
+    distribution the 2020 paper's normalized chunking narrows around
+    avg_size (reference norm levels src/v2020/mod.rs:433-461; criterion's
+    avg_size group benchmarks the same axis, benches/chunking.rs).
+
+    One pass per level over the same payloads (stateless map, no shuffle);
+    per-block bincount partials over the ~60 log2 buckets merge
+    driver-side.  Output rows: (norm_level, bucket_lo, n_chunks, bytes)
+    with bucket_lo = 2^floor(log2(size)).  Rows-only (chunk sizes are not
+    SQL-expressible); the spread-narrowing property is pytest-pinned.
+    """
+    base = base_cfg or DEFAULT_CONFIG
+    out = {"norm_level": [], "bucket_lo": [], "n_chunks": [], "bytes": []}
+    for lvl in norm_levels:
+        cfg = ChunkerConfig(
+            min_size=base.min_size, avg_size=base.avg_size,
+            max_size=base.max_size, algo=base.algo, seed=base.seed,
+            norm_level=lvl)
+        chunks = chunk(conv_ds, cfg)
+
+        def partial(t: pa.Table) -> pa.Table:
+            ln = t["length"].combine_chunks().to_numpy(zero_copy_only=False)
+            ln = ln[ln > 0]
+            bucket = np.floor(np.log2(ln)).astype(np.int64)
+            n = np.bincount(bucket, minlength=64).astype(np.int64)
+            by = np.zeros(64, np.int64)
+            np.add.at(by, bucket, ln)
+            keep = np.flatnonzero(n)
+            return pa.table({
+                "bucket": pa.array(keep, pa.int64()),
+                "n": pa.array(n[keep], pa.int64()),
+                "bytes": pa.array(by[keep], pa.int64()),
+            })
+
+        n_tot = np.zeros(64, np.int64)
+        b_tot = np.zeros(64, np.int64)
+        for b in chunks.map_batches(
+                partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            k = t["bucket"].to_numpy(zero_copy_only=False)
+            np.add.at(n_tot, k, t["n"].to_numpy(zero_copy_only=False))
+            np.add.at(b_tot, k, t["bytes"].to_numpy(zero_copy_only=False))
+        for k in np.flatnonzero(n_tot):
+            out["norm_level"].append(lvl)
+            out["bucket_lo"].append(1 << int(k))
+            out["n_chunks"].append(int(n_tot[k]))
+            out["bytes"].append(int(b_tot[k]))
+    return pa.table({
+        "norm_level": pa.array(out["norm_level"], pa.int64()),
+        "bucket_lo": pa.array(out["bucket_lo"], pa.int64()),
+        "n_chunks": pa.array(out["n_chunks"], pa.int64()),
+        "bytes": pa.array(out["bytes"], pa.int64()),
+    })

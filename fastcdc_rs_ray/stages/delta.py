@@ -158,6 +158,8 @@ def _chunk_key_partials(payload_ds, cfg: ChunkerConfig, snap: int):
             row0 = row1
         k = np.concatenate(keys_parts)
         ln = np.concatenate(len_parts)
+        if len(k) == 0:  # block of only empty payloads
+            return out_schema.empty_table()
         order = np.argsort(k, kind="stable")
         k, ln = k[order], ln[order]
         new = np.concatenate([[True], k[1:] != k[:-1]])
