@@ -747,6 +747,75 @@ def q_nation_revenue_share(sf_dir: str):
     return nation_revenue_share(orders, customer, nation)
 
 
+def q_top_supplier_revenue(sf_dir: str):
+    """Q15 shape (argmax over an aggregated view): the supplier(s) with
+    the max revenue in a shipdate window — dense per-supplier bincount
+    partials; the fact table never shuffles; max + name join-back on the
+    driver-resident dimension."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.aggregate import top_supplier_revenue
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    return top_supplier_revenue(lineitem, supplier)
+
+
+def q_special_revenue(sf_dir: str):
+    """Q19 shape (disjunctive OR-of-ANDs across a dimension): the part
+    side of every arm folds to one broadcast uint8 bitmask per partkey;
+    each lineitem block evaluates all arms vectorized and reduces to one
+    row — no join, no shuffle."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.aggregate import special_revenue
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    return special_revenue(lineitem, part)
+
+
+def q_monthly_revenue_growth(sf_dir: str):
+    """LAG window over an aggregate: month-over-month revenue delta —
+    the distributed work is the calendar rollup; the window is a shift on
+    the tiny sorted result (prev COALESCEd to 0, no nulls)."""
+    import ray.data as rd
+
+    from ..stages.aggregate import monthly_revenue_growth
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    return monthly_revenue_growth(ds)
+
+
+def q_first_event_type(sf_dir: str):
+    """FIRST_VALUE / argmin-by-ordering: each user's earliest event (ts,
+    then event_id tie-break) and its type — one candidate row per (block,
+    user) through one keyed exchange; idempotent combine."""
+    import ray.data as rd
+
+    from ..stages.sessions import first_event_type
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return first_event_type(ds, num_partitions=8)
+
+
 def q_chunk_size_histogram(sf_dir: str):
     """Log2 chunk-size histogram per normalization level (0/1/3): the
     size-distribution axis the reference's criterion avg_size group
@@ -1539,6 +1608,10 @@ QUERIES = {
     "pair_edit_distance": q_pair_edit_distance,
     "favorite_event_type": q_favorite_event_type,
     "nation_revenue_share": q_nation_revenue_share,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "special_revenue": q_special_revenue,
+    "monthly_revenue_growth": q_monthly_revenue_growth,
+    "first_event_type": q_first_event_type,
     "snapshot_chunk_delta": q_snapshot_chunk_delta,
     "chunk_size_histogram": q_chunk_size_histogram,
 }
@@ -1554,7 +1627,10 @@ _TOKENS_SQL = (
 
 from ..stages.aggregate import (
     MONTHLY_REVENUE_SQL,
+    MONTHLY_REVENUE_GROWTH_SQL,
     NATION_REVENUE_SHARE_SQL,
+    SPECIAL_REVENUE_SQL,
+    TOP_SUPPLIER_REVENUE_SQL,
     PRICING_CUBE_SQL,
     PROPS_K_STATS_SQL,
     PRICING_ROLLUP_SQL,
@@ -1585,6 +1661,7 @@ from ..stages.sketch import HEAVY_USERS_SQL, VALUE_QUANTILES_SKETCH_SQL
 from ..stages.sessions import (
     DISTINCT_USERS_PER_TYPE_SQL,
     FAVORITE_EVENT_TYPE_SQL,
+    FIRST_EVENT_TYPE_SQL,
     MEDIAN_VALUE_BY_TYPE_SQL,
     USER_SPEND_RANK_SQL,
     EVENTS_PIVOT_SQL,
@@ -1616,6 +1693,10 @@ ORACLE_SQL = {
     "monthly_revenue": MONTHLY_REVENUE_SQL,
     "favorite_event_type": FAVORITE_EVENT_TYPE_SQL,
     "nation_revenue_share": NATION_REVENUE_SHARE_SQL,
+    "top_supplier_revenue": TOP_SUPPLIER_REVENUE_SQL,
+    "special_revenue": SPECIAL_REVENUE_SQL,
+    "monthly_revenue_growth": MONTHLY_REVENUE_GROWTH_SQL,
+    "first_event_type": FIRST_EVENT_TYPE_SQL,
     "inactive_customers": INACTIVE_CUSTOMERS_SQL,
     "hopping_windows": HOPPING_WINDOWS_SQL,
     "heavy_users": HEAVY_USERS_SQL,

@@ -836,3 +836,220 @@ SELECT nation, rev_cents, n_orders,
            AS share_bp
 FROM r
 """
+
+
+# --------------------------------------------------------------------------
+# Q15 shape: argmax over an aggregated view (top supplier by revenue)
+# --------------------------------------------------------------------------
+
+# half-year shipdate window (epoch microseconds), Q15's "3-month interval"
+# generalized; constants shared with the SQL literal below
+TOP_SUPPLIER_FROM = "1995-01-01"
+TOP_SUPPLIER_TO = "1995-07-01"
+
+
+def top_supplier_revenue(lineitem_ds, supplier_tbl: pa.Table,
+                         ship_from: str = TOP_SUPPLIER_FROM,
+                         ship_to: str = TOP_SUPPLIER_TO):
+    """TPC-H-Q15 shape: the supplier(s) whose revenue over a shipdate
+    window equals the GLOBAL max of the per-supplier aggregate (the
+    max-over-a-view + join-back shape; the reference has no aggregation at
+    all — SURVEY.md §2.5).
+
+    Discipline: each lineitem block bincounts revenue into a dense
+    |suppliers| int64 vector (suppliers are dimension-sized), the driver
+    merges blocks x |suppliers| partials, and the argmax + name join-back
+    happen on the driver-resident dimension — the fact table never
+    shuffles and nothing data-proportional leaves the blocks.  Revenue in
+    exact int64 1e-4-dollar units, so ties and the max are exact, not
+    float-blurred.
+    """
+    sk = supplier_tbl["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_supp = int(sk.max()) + 1 if len(sk) else 0
+    names = np.empty(n_supp, dtype=object)
+    names[sk] = np.asarray(supplier_tbl["s_name"].to_pylist(), dtype=object)
+    lo = np.datetime64(ship_from, "us").astype(np.int64)
+    hi = np.datetime64(ship_to, "us").astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["l_shipdate"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = (ts >= lo) & (ts < hi)
+        lsk = t["l_suppkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)[keep]
+        price = t["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False)[keep]
+        disc = t["l_discount"].combine_chunks().to_numpy(
+            zero_copy_only=False)[keep]
+        rev = np.round(price * 100).astype(np.int64) * (
+            100 - np.round(disc * 100).astype(np.int64))
+        s = np.zeros(n_supp, np.int64)
+        np.add.at(s, lsk, rev)
+        nz = np.flatnonzero(s)
+        return pa.table({
+            "suppkey": pa.array(nz, pa.int64()),
+            "revenue_u4": pa.array(s[nz], pa.int64()),
+        })
+
+    partials = lineitem_ds.map_batches(partial, batch_format="pyarrow")
+    total = np.zeros(n_supp, np.int64)
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        np.add.at(total, t["suppkey"].to_numpy(zero_copy_only=False),
+                  t["revenue_u4"].to_numpy(zero_copy_only=False))
+    best = int(total.max()) if n_supp else 0
+    win = np.flatnonzero(total == best) if best > 0 else np.array([], np.int64)
+    return pa.table({
+        "s_suppkey": pa.array(win, pa.int64()),
+        "s_name": pa.array(names[win].tolist(), pa.string()),
+        "total_revenue_u4": pa.array(total[win], pa.int64()),
+    })
+
+
+TOP_SUPPLIER_REVENUE_SQL = f"""
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS total_revenue_u4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{TOP_SUPPLIER_FROM}'
+    AND l_shipdate <  TIMESTAMP '{TOP_SUPPLIER_TO}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_u4
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue_u4 = (SELECT MAX(total_revenue_u4) FROM r)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q19 shape: disjunctive OR-of-ANDs predicate across a broadcast dimension
+# --------------------------------------------------------------------------
+
+# (brand, max p_size, qty lo, qty hi) brackets — Q19's three OR arms;
+# constants shared with the SQL literal below
+SPECIAL_BRACKETS: list[tuple[str, int, float, float]] = [
+    ("Brand#12", 15, 1.0, 20.0),
+    ("Brand#23", 25, 5.0, 30.0),
+    ("Brand#34", 35, 15.0, 45.0),
+]
+
+
+def special_revenue(lineitem_ds, part_tbl: pa.Table):
+    """TPC-H-Q19 shape: revenue under a disjunction of bracket predicates
+    that each mix part attributes (brand, size) with lineitem attributes
+    (quantity) — the multi-arm OR-of-ANDs filter.
+
+    Discipline: the part side of every arm folds driver-side into ONE
+    dense uint8 bitmask per partkey (bit i = partkey satisfies arm i's
+    part predicate), shipped once via ``ray.put``; each lineitem block
+    evaluates all arms vectorized (gather + bitwise AND) and reduces to a
+    single (n_items, revenue_u4) row — no join, no shuffle, one partial
+    row per block.
+    """
+    import ray
+
+    pk = part_tbl["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_part = int(pk.max()) + 1 if len(pk) else 0
+    brand = np.asarray(part_tbl["p_brand"].to_pylist(), dtype=object)
+    size = part_tbl["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mask = np.zeros(n_part, np.uint8)
+    for i, (b, smax, _qlo, _qhi) in enumerate(SPECIAL_BRACKETS):
+        arm = (brand == b) & (size >= 1) & (size <= smax)
+        mask[pk[arm]] |= np.uint8(1 << i)
+    ref = ray.put(mask)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        lpk = t["l_partkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        qty = t["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        bits = m[lpk]
+        hit = np.zeros(len(lpk), bool)
+        for i, (_b, _smax, qlo, qhi) in enumerate(SPECIAL_BRACKETS):
+            hit |= ((bits & np.uint8(1 << i)) != 0) & (qty >= qlo) & (qty <= qhi)
+        price = t["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False)[hit]
+        disc = t["l_discount"].combine_chunks().to_numpy(
+            zero_copy_only=False)[hit]
+        rev = np.round(price * 100).astype(np.int64) * (
+            100 - np.round(disc * 100).astype(np.int64))
+        return pa.table({
+            "n_items": pa.array([int(hit.sum())], pa.int64()),
+            "revenue_u4": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    partials = lineitem_ds.map_batches(partial, batch_format="pyarrow")
+    n = 0
+    s = 0
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        n += int(pc.sum(t["n_items"]).as_py() or 0)
+        s += int(pc.sum(t["revenue_u4"]).as_py() or 0)
+    return pa.table({
+        "n_items": pa.array([n], pa.int64()),
+        "revenue_u4": pa.array([s], pa.int64()),
+    })
+
+
+def _bracket_sql(b: str, smax: int, qlo: float, qhi: float) -> str:
+    return (f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {smax} "
+            f"AND l_quantity >= {qlo} AND l_quantity <= {qhi})")
+
+
+SPECIAL_REVENUE_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))), 0) AS BIGINT)
+         AS revenue_u4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {' OR '.join(_bracket_sql(*br) for br in SPECIAL_BRACKETS)}
+"""
+
+
+# --------------------------------------------------------------------------
+# window-over-aggregate: month-over-month revenue growth (LAG on a rollup)
+# --------------------------------------------------------------------------
+
+
+def monthly_revenue_growth(orders_ds):
+    """LAG window over an aggregate: monthly revenue with the previous
+    month's revenue and the month-over-month delta — the
+    ``LAG() OVER (ORDER BY ...)`` on-a-rollup shape.
+
+    The heavy part IS :func:`monthly_revenue` (per-block calendar-bucket
+    partials, driver-merged |months|-sized result); the window is then a
+    shift on the tiny sorted aggregate, so the window itself costs
+    nothing distributed.  ``prev_revenue_c`` is COALESCEd to 0 for the
+    first month (no nulls — keeps the result hash-stable).
+    """
+    m = monthly_revenue(orders_ds)
+    month = m["month_us"].to_numpy(zero_copy_only=False)
+    rev = m["revenue_c"].to_numpy(zero_copy_only=False)
+    order = np.argsort(month, kind="stable")
+    month, rev = month[order], rev[order]
+    prev = np.concatenate([[0], rev[:-1]]) if len(rev) else rev
+    return pa.table({
+        "month_us": pa.array(month, pa.int64()),
+        "revenue_c": pa.array(rev, pa.int64()),
+        "prev_revenue_c": pa.array(prev.astype(np.int64), pa.int64()),
+        "delta_c": pa.array((rev - prev).astype(np.int64), pa.int64()),
+    })
+
+
+MONTHLY_REVENUE_GROWTH_SQL = """
+WITH m AS (
+  SELECT CAST(epoch_us(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)) AS BIGINT)
+             AS month_us,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+  FROM orders
+  GROUP BY 1
+)
+SELECT month_us, revenue_c,
+       CAST(COALESCE(LAG(revenue_c) OVER (ORDER BY month_us), 0) AS BIGINT)
+           AS prev_revenue_c,
+       CAST(revenue_c - COALESCE(LAG(revenue_c) OVER (ORDER BY month_us), 0)
+           AS BIGINT) AS delta_c
+FROM m
+"""

@@ -1052,3 +1052,65 @@ WITH c AS (
 )
 SELECT user_id, event_type AS top_type, n FROM r WHERE rn = 1
 """
+
+
+def first_event_type(events_ds, num_partitions: int = 16):
+    """FIRST_VALUE / argmin-by-ordering: each user's earliest event (total
+    order: ts, then event_id as the tie-break) and its type — the
+    ``ROW_NUMBER() OVER (PARTITION BY user ORDER BY ts, id) = 1`` shape,
+    the dual of :func:`favorite_event_type`'s count-argmax.
+
+    Discipline: each block reduces to ONE candidate row per user it saw
+    (vectorized lexsort + first-row mask), those candidates ride one keyed
+    exchange on user_id, and the per-block combine re-runs the identical
+    argmin — a commutative/idempotent partial, so the result is
+    bit-identical under any partitioning or retry.
+    """
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("first_ts_us", pa.int64()),
+        ("first_event_id", pa.int64()), ("first_type", pa.string()),
+    ])
+
+    def argmin_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        if "first_ts_us" in t.column_names:  # combine pass
+            uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            ts = t["first_ts_us"].combine_chunks().to_numpy(zero_copy_only=False)
+            eid = t["first_event_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            typ = t["first_type"].combine_chunks()
+        else:
+            uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            eid = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            typ = t["event_type"].combine_chunks()
+        order = np.lexsort((eid, ts, uid))
+        first = np.concatenate([[True], uid[order][1:] != uid[order][:-1]])
+        idx = order[first]
+        return pa.table({
+            "user_id": pa.array(uid[idx], pa.int64()),
+            "first_ts_us": pa.array(ts[idx], pa.int64()),
+            "first_event_id": pa.array(eid[idx], pa.int64()),
+            "first_type": typ.take(pa.array(idx, pa.int64())),
+        }).cast(out_schema)
+
+    partials = events_ds.map_batches(argmin_block, batch_format="pyarrow")
+    located = partials.repartition(num_blocks=num_partitions, keys=["user_id"])
+    return located.map_batches(argmin_block, batch_format="pyarrow",
+                               batch_size=None)
+
+
+FIRST_EVENT_TYPE_SQL = """
+WITH r AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS first_ts_us,
+         event_id AS first_event_id,
+         event_type AS first_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, first_ts_us, first_event_id, first_type FROM r WHERE rn = 1
+"""
