@@ -816,6 +816,17 @@ def q_first_event_type(sf_dir: str):
     return first_event_type(ds, num_partitions=8)
 
 
+def q_curate_docs(sf_dir: str):
+    """Composed curation pass (quality gate -> language gate -> exact
+    dedup first-wins): every per-doc signal computed in ONE fused
+    vectorized scan, integer-exact keep predicate, one keyed exchange of
+    survivor rows only."""
+    from ..stages.curate import curate_docs
+
+    return curate_docs(_documents(sf_dir, ["doc_id", "text"]),
+                       num_partitions=8)
+
+
 def q_chunk_size_histogram(sf_dir: str):
     """Log2 chunk-size histogram per normalization level (0/1/3): the
     size-distribution axis the reference's criterion avg_size group
@@ -1612,6 +1623,7 @@ QUERIES = {
     "special_revenue": q_special_revenue,
     "monthly_revenue_growth": q_monthly_revenue_growth,
     "first_event_type": q_first_event_type,
+    "curate_docs": q_curate_docs,
     "snapshot_chunk_delta": q_snapshot_chunk_delta,
     "chunk_size_histogram": q_chunk_size_histogram,
 }
@@ -1654,6 +1666,7 @@ from ..stages.vecagg import EMBEDDING_CENTROIDS_SQL
 from ..stages.funnel import FUNNEL_CONVERSIONS_SQL
 from ..stages.tfidf import TFIDF_TERMS_SQL
 from ..stages.bloomjoin import BLOOM_SEMI_STATS_SQL
+from ..stages.curate import CURATE_DOCS_SQL
 from ..stages.watermark import WATERMARK_WINDOWS_SQL
 from ..stages.intervaljoin import CONCURRENT_EVENTS_SQL
 from ..stages.wordcount import TOP_TOKENS_SQL
@@ -1697,6 +1710,7 @@ ORACLE_SQL = {
     "special_revenue": SPECIAL_REVENUE_SQL,
     "monthly_revenue_growth": MONTHLY_REVENUE_GROWTH_SQL,
     "first_event_type": FIRST_EVENT_TYPE_SQL,
+    "curate_docs": CURATE_DOCS_SQL,
     "inactive_customers": INACTIVE_CUSTOMERS_SQL,
     "hopping_windows": HOPPING_WINDOWS_SQL,
     "heavy_users": HEAVY_USERS_SQL,
