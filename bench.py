@@ -195,7 +195,8 @@ def run_corpus_flagship(corpus_dir: str, num_cpus: int) -> dict:
             nrows += md.num_rows
     t0 = time.perf_counter()
     # prune at the read: clustering needs only (conv_id, turn_idx, text)
-    ds = read_transcripts(corpus_dir, columns=["conv_id", "turn_idx", "text"])
+    ds = read_transcripts(corpus_dir, columns=["conv_id", "turn_idx", "text"],
+                          whole_files=True)  # pre_partitioned contract
     # FIXED partition count at every cluster size (a real scaling run
     # executes the identical job plan on N and 4N nodes); aggregator actors
     # are cheap (0.1 CPU each, see fastcdc_rs_ray.ensure_data_context)

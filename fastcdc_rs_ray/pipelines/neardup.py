@@ -31,6 +31,7 @@ from ..stages.chunk import DEFAULT_CONFIG, chunk
 from ..stages.cc import connected_components_distributed, connected_components_driver
 from ..stages.lsh import N_BANDS, N_SALTS, candidate_edges, conv_keys
 from ..stages.minhash import N_PERMS, SHINGLE_K, minhash
+from ..util import shuffle_safe_partitions
 
 
 def signatures_pipeline(
@@ -372,6 +373,10 @@ def verify_edges(edges_ds, sig_ds, threshold: float | None,
         import ray.data as rd
 
         return rd.from_arrow(verify_edges_driver(edges_ds, sig_ds, threshold))
+    # the dedupe+verify plan keeps ~2.25x num_partitions aggregator actors
+    # live at once; clamp so they can't starve the map tasks on a small
+    # cluster (deadlock observed at 32 partitions x 3 shuffles on 8 CPUs)
+    num_partitions = shuffle_safe_partitions(num_partitions)
     ded = dedupe_edges(edges_ds, num_partitions=max(4, num_partitions // 4))
     return verify_edges_shuffle(ded, sig_ds, threshold, num_partitions)
 

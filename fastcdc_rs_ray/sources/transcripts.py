@@ -230,11 +230,33 @@ WHERE (doc_id // {DOCS_TURNS_PER_CONV}) % 10 = 0
 # --------------------------------------------------------------------------
 
 
-def read_transcripts(path: str, columns: list[str] | None = None):
-    """Read a transcripts parquet file/dir as a Ray Dataset (column-pruned)."""
+def read_transcripts(path: str, columns: list[str] | None = None,
+                     whole_files: bool = False):
+    """Read a transcripts parquet file/dir as a Ray Dataset (column-pruned).
+
+    ``whole_files=True`` pins one output block per input file
+    (``override_num_blocks = n_files``), disabling Ray's dynamic block
+    splitting.  REQUIRED whenever the downstream asserts
+    ``pre_partitioned=True``: the assembly contract is "no conversation
+    spans two blocks", and a conversation-contiguous FILE layout only
+    implies conversation-contiguous BLOCKS if Ray doesn't split a file's
+    rows across blocks mid-conversation (observed: ~0.3% of conversations
+    split, yielding duplicate fragment signatures).  A task may still read
+    several whole files into one block — concatenation preserves
+    contiguity.
+    """
     import ray.data as rd
 
-    return rd.read_parquet(path, columns=columns)
+    if not whole_files:
+        return rd.read_parquet(path, columns=columns)
+    import os
+
+    if os.path.isdir(path):
+        n_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    else:
+        n_files = 1
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=max(1, n_files))
 
 
 def transcripts_from_documents(sf_dir: str):

@@ -91,3 +91,31 @@ def hash_str_array_u64(arr) -> np.ndarray:
         red = np.add.reduceat(vals, row_starts[nz])
         sums[nz] = red
     return mix64(sums + lens.astype(np.uint64))
+
+
+def shuffle_safe_partitions(requested: int, concurrent_shuffles: float = 2.25,
+                            aggregator_cpu: float = 0.1,
+                            budget_frac: float = 0.6) -> int:
+    """Clamp a shuffle partition count so a multi-shuffle streaming plan
+    cannot deadlock on a small cluster.
+
+    Every hash-shuffle aggregator actor holds ``aggregator_cpu`` CPUs for
+    the life of its stage (``ensure_data_context``); a plan with several
+    hash shuffles live at once (e.g. the dedupe -> attach -> pair-meet
+    verify pipeline: 0.25x + 1x + 1x partitions) can reserve nearly every
+    CPU in aggregators, leaving none for the 1-CPU map tasks that feed
+    them — a scheduling deadlock, observed at num_partitions=32 x 3
+    shuffles on an 8-CPU session.  Cap so aggregators across the plan use
+    at most ``budget_frac`` of the cluster.  No-op when Ray is absent or
+    the budget already accommodates ``requested``.
+    """
+    try:
+        import ray
+
+        cpus = float(ray.cluster_resources().get("CPU", 0.0))
+    except Exception:
+        return requested
+    if cpus <= 0:
+        return requested
+    cap = int(cpus * budget_frac / (aggregator_cpu * concurrent_shuffles))
+    return max(4, min(requested, cap))
