@@ -827,6 +827,20 @@ def q_curate_docs(sf_dir: str):
                        num_partitions=8)
 
 
+def q_value_quartiles_cont(sf_dir: str):
+    """Grouped INTERPOLATED quartiles (percentile_cont shape) in exact
+    integer u4 units — the interpolation is integer cross-multiplication,
+    so Ray and the SQL oracle agree bit-for-bit."""
+    import ray.data as rd
+
+    from ..stages.sessions import value_quartiles_cont
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return value_quartiles_cont(ds)
+
+
 def q_chunk_size_histogram(sf_dir: str):
     """Log2 chunk-size histogram per normalization level (0/1/3): the
     size-distribution axis the reference's criterion avg_size group
@@ -1624,6 +1638,7 @@ QUERIES = {
     "monthly_revenue_growth": q_monthly_revenue_growth,
     "first_event_type": q_first_event_type,
     "curate_docs": q_curate_docs,
+    "value_quartiles_cont": q_value_quartiles_cont,
     "snapshot_chunk_delta": q_snapshot_chunk_delta,
     "chunk_size_histogram": q_chunk_size_histogram,
 }
@@ -1675,6 +1690,7 @@ from ..stages.sessions import (
     DISTINCT_USERS_PER_TYPE_SQL,
     FAVORITE_EVENT_TYPE_SQL,
     FIRST_EVENT_TYPE_SQL,
+    VALUE_QUARTILES_CONT_SQL,
     MEDIAN_VALUE_BY_TYPE_SQL,
     USER_SPEND_RANK_SQL,
     EVENTS_PIVOT_SQL,
@@ -1711,6 +1727,7 @@ ORACLE_SQL = {
     "monthly_revenue_growth": MONTHLY_REVENUE_GROWTH_SQL,
     "first_event_type": FIRST_EVENT_TYPE_SQL,
     "curate_docs": CURATE_DOCS_SQL,
+    "value_quartiles_cont": VALUE_QUARTILES_CONT_SQL,
     "inactive_customers": INACTIVE_CUSTOMERS_SQL,
     "hopping_windows": HOPPING_WINDOWS_SQL,
     "heavy_users": HEAVY_USERS_SQL,

@@ -1114,3 +1114,102 @@ WITH r AS (
 )
 SELECT user_id, first_ts_us, first_event_id, first_type FROM r WHERE rn = 1
 """
+
+
+QUARTILE_PCTS = (25, 50, 75)
+
+
+def value_quartiles_cont(events_ds):
+    """Grouped INTERPOLATED quartiles (the ``percentile_cont`` /
+    ``quantile_cont`` shape — linear interpolation between the two
+    straddling order statistics, vs the nearest-rank ``_disc`` family of
+    :func:`median_value_by_type` / value_percentiles).
+
+    Interpolation is exact integer arithmetic: with values quantized to
+    cents (the column is 2-decimal by contract) and quantile p in percent,
+    ``idx100 = (n-1)*p``, ``k = idx100 // 100``, ``r = idx100 % 100`` and
+    the answer in 1e-4-dollar units is ``v[k]*(100-r) + v[k+1]*r`` — no
+    float division anywhere, so the result is bit-identical under any
+    partitioning AND hash-matches the SQL oracle, which evaluates the
+    identical integer formula over a sorted list.
+
+    Same partial discipline as the other grouped quantiles: per-block
+    (type, value_c, count) histogram rows — the exchange-free
+    driver-merged tiny set — then per-group order statistics off the
+    cumulative histogram.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].combine_chunks()
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vc = np.round(
+            t["value"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pair = np.stack([codes, vc], axis=1)
+        u, c = np.unique(pair, axis=0, return_counts=True)
+        return pa.table({
+            "event_type": enc.dictionary.take(pa.array(u[:, 0], pa.int64())),
+            "value_c": pa.array(u[:, 1], pa.int64()),
+            "n": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow")
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs)
+    schema = pa.schema(
+        [("event_type", pa.string()), ("n", pa.int64())]
+        + [(f"p{p}_u4", pa.int64()) for p in QUARTILE_PCTS]
+    )
+    if len(t) == 0:
+        return schema.empty_table()
+    et = t["event_type"].combine_chunks()
+    enc = et.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    val = t["value_c"].to_numpy(zero_copy_only=False)
+    cnt = t["n"].to_numpy(zero_copy_only=False)
+    rows: dict[str, list] = {c: [] for c in schema.names}
+    names = enc.dictionary.to_pylist()
+    for code, name in enumerate(names):
+        sel = codes == code
+        v, c = val[sel], cnt[sel]
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        starts = np.concatenate([[0], np.flatnonzero(v[1:] != v[:-1]) + 1])
+        vals = v[starts]
+        cum = np.cumsum(np.add.reduceat(c, starts))
+        total = int(cum[-1])
+        rows["event_type"].append(name)
+        rows["n"].append(total)
+        for p in QUARTILE_PCTS:
+            idx100 = (total - 1) * p
+            k, r = divmod(idx100, 100)
+            lo = int(vals[np.searchsorted(cum, k, side="right")])
+            hi = int(vals[np.searchsorted(cum, min(k + 1, total - 1), side="right")])
+            rows[f"p{p}_u4"].append(lo * (100 - r) + hi * r)
+    return pa.table(rows).cast(schema)
+
+
+def _quart_sql_term(p: int) -> str:
+    return (
+        f"vs[((n-1)*{p})//100 + 1] * (100 - ((n-1)*{p})%100)"
+        f" + vs[least(((n-1)*{p})//100 + 2, n)] * (((n-1)*{p})%100)"
+        f" AS p{p}_u4"
+    )
+
+
+VALUE_QUARTILES_CONT_SQL = f"""
+WITH s AS (
+  SELECT event_type,
+         list_sort(list(CAST(ROUND(value * 100) AS BIGINT))) AS vs,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       {", ".join(_quart_sql_term(p) for p in QUARTILE_PCTS)}
+FROM s
+"""

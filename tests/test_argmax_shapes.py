@@ -141,3 +141,46 @@ def test_first_event_type_partition_invariant(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_value_quartiles_cont_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.sessions import (
+        VALUE_QUARTILES_CONT_SQL,
+        value_quartiles_cont,
+    )
+
+    ds = rd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["event_type", "value"]
+    )
+    got = (
+        value_quartiles_cont(ds)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(VALUE_QUARTILES_CONT_SQL)
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # interpolation sits between the straddling order statistics
+    assert (got["p25_u4"] <= got["p50_u4"]).all()
+    assert (got["p50_u4"] <= got["p75_u4"]).all()
+
+
+def test_value_quartiles_cont_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.sessions import value_quartiles_cont
+
+    ds = rd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["event_type", "value"]
+    )
+    a = value_quartiles_cont(ds).to_pandas().sort_values("event_type")
+    b = value_quartiles_cont(ds.repartition(11)).to_pandas().sort_values(
+        "event_type")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
