@@ -841,6 +841,20 @@ def q_value_quartiles_cont(sf_dir: str):
     return value_quartiles_cont(ds)
 
 
+def q_login_streaks(sf_dir: str):
+    """Gaps-and-islands: distinct active days + longest consecutive-day
+    streak per user — blocks pre-reduce to distinct (user, day) pairs,
+    one keyed exchange, vectorized anchor-labelled run detection."""
+    import ray.data as rd
+
+    from ..stages.sessions import login_streaks
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return login_streaks(ds, num_partitions=8)
+
+
 def q_chunk_size_histogram(sf_dir: str):
     """Log2 chunk-size histogram per normalization level (0/1/3): the
     size-distribution axis the reference's criterion avg_size group
@@ -1639,6 +1653,7 @@ QUERIES = {
     "first_event_type": q_first_event_type,
     "curate_docs": q_curate_docs,
     "value_quartiles_cont": q_value_quartiles_cont,
+    "login_streaks": q_login_streaks,
     "snapshot_chunk_delta": q_snapshot_chunk_delta,
     "chunk_size_histogram": q_chunk_size_histogram,
 }
@@ -1691,6 +1706,7 @@ from ..stages.sessions import (
     FAVORITE_EVENT_TYPE_SQL,
     FIRST_EVENT_TYPE_SQL,
     VALUE_QUARTILES_CONT_SQL,
+    LOGIN_STREAKS_SQL,
     MEDIAN_VALUE_BY_TYPE_SQL,
     USER_SPEND_RANK_SQL,
     EVENTS_PIVOT_SQL,
@@ -1728,6 +1744,7 @@ ORACLE_SQL = {
     "first_event_type": FIRST_EVENT_TYPE_SQL,
     "curate_docs": CURATE_DOCS_SQL,
     "value_quartiles_cont": VALUE_QUARTILES_CONT_SQL,
+    "login_streaks": LOGIN_STREAKS_SQL,
     "inactive_customers": INACTIVE_CUSTOMERS_SQL,
     "hopping_windows": HOPPING_WINDOWS_SQL,
     "heavy_users": HEAVY_USERS_SQL,

@@ -1213,3 +1213,102 @@ SELECT event_type, n,
        {", ".join(_quart_sql_term(p) for p in QUARTILE_PCTS)}
 FROM s
 """
+
+
+def login_streaks(events_ds, num_partitions: int = 16):
+    """Gaps-and-islands: each user's count of distinct active days and
+    LONGEST run of consecutive days — the islands-via-(day - row_number)
+    anchor shape, the one classic window idiom the window tier didn't yet
+    cover (sessionize islands on a time GAP; this islands on calendar
+    adjacency).
+
+    Discipline: blocks pre-reduce to distinct (user, epoch-day) pairs
+    (bounded by blocks x |users| x |days|, far under raw events), ONE
+    keyed exchange on user_id co-locates each user's days, and the
+    per-block combine is fully vectorized: global dedup + lexsort, then
+    ``anchor = day - rank-within-user`` labels each maximal consecutive
+    run with a constant, and a double reduceat reads off the longest run.
+    Integer epoch-day arithmetic end to end — partition-invariant.
+    """
+    pair_schema = pa.schema([("user_id", pa.int64()), ("day", pa.int64())])
+
+    def distinct_days(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pair_schema.empty_table()
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        if "day" in t.column_names:
+            day = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        else:
+            ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            day = ts // 86_400_000_000  # epoch-us -> epoch-day
+        pair = np.stack([uid, day], axis=1)
+        u = np.unique(pair, axis=0)
+        return pa.table({
+            "user_id": pa.array(u[:, 0], pa.int64()),
+            "day": pa.array(u[:, 1], pa.int64()),
+        }).cast(pair_schema)
+
+    partials = events_ds.map_batches(distinct_days, batch_format="pyarrow")
+    located = partials.repartition(num_blocks=num_partitions, keys=["user_id"])
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("n_active_days", pa.int64()),
+        ("longest_streak", pa.int64()),
+    ])
+
+    def streaks(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        t = distinct_days(t)  # cross-block dedup of (user, day)
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        day = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        n = len(uid)
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        ustarts = np.flatnonzero(new_user)
+        # rank within user = global index - user segment start
+        rank = np.arange(n) - np.repeat(ustarts, np.diff(np.append(ustarts, n)))
+        anchor = day - rank  # constant within a maximal consecutive run
+        new_run = np.concatenate(
+            [[True], (uid[1:] != uid[:-1]) | (anchor[1:] != anchor[:-1])])
+        rstarts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(rstarts, n))
+        # longest run per user = max over this user's runs
+        run_user_start = np.searchsorted(ustarts, rstarts, side="right") - 1
+        seg = np.concatenate(
+            [[True], run_user_start[1:] != run_user_start[:-1]])
+        longest = np.maximum.reduceat(run_len, np.flatnonzero(seg))
+        return pa.table({
+            "user_id": pa.array(uid[ustarts], pa.int64()),
+            "n_active_days": pa.array(
+                np.diff(np.append(ustarts, n)).astype(np.int64), pa.int64()),
+            "longest_streak": pa.array(longest.astype(np.int64), pa.int64()),
+        }).cast(out_schema)
+
+    return located.map_batches(streaks, batch_format="pyarrow",
+                               batch_size=None)
+
+
+LOGIN_STREAKS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+i AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS anchor
+  FROM d
+),
+runs AS (
+  SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len
+  FROM i GROUP BY user_id, anchor
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM runs
+GROUP BY user_id
+"""

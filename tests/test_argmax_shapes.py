@@ -184,3 +184,40 @@ def test_value_quartiles_cont_partition_invariant(ray_session):
         "event_type")
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_login_streaks_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.sessions import (
+        LOGIN_STREAKS_SQL,
+        login_streaks,
+    )
+
+    ds = rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "ts"])
+    got = (
+        login_streaks(ds, num_partitions=5)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle(LOGIN_STREAKS_SQL)
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    assert (got["longest_streak"] <= got["n_active_days"]).all()
+
+
+def test_login_streaks_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.sessions import login_streaks
+
+    ds = rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "ts"])
+    a = login_streaks(ds, num_partitions=3).to_pandas().sort_values("user_id")
+    b = login_streaks(ds.repartition(9), num_partitions=6).to_pandas(
+        ).sort_values("user_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
