@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "favorite_event_type",
     "nation_revenue_share",
     "snapshot_chunk_delta",
+    "curate_docs",
+    "login_streaks",
 ]
 
 
