@@ -225,6 +225,7 @@ def run_corpus_flagship(corpus_dir: str, num_cpus: int) -> dict:
         "input_turns": nrows,
         "turns_per_sec": round(nrows / wall, 1),
         "num_cpus": num_cpus,
+        "host_first_touch_200mb_s": _first_touch_probe(),
     }
 
 
@@ -277,6 +278,7 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
     estimate of what the configuration can do).
     """
     corpus = _prepare_corpus(SCALE_CONVS, SCALE_CORPUS)
+    probe_before = _first_touch_probe()
     a = min((_scaling_child(corpus, lo) for _ in range(2)), key=lambda d: d["value"])
     b = min((_scaling_child(corpus, hi) for _ in range(2)), key=lambda d: d["value"])
     ta, tb = a["value"], b["value"]
@@ -310,6 +312,16 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
         "note": "same flagship near-dup job, fresh ray.init sessions at two "
         "num_cpus levels (sandbox stand-in for N vs 4N nodes; box has "
         f"{os.cpu_count()} logical CPUs)",
+        # window quality: ~0.1 s quiet; 10 s+ = host page-supply degraded,
+        # absolute walls (hi leg especially: 4x the worker allocations) are
+        # then inflated and the efficiency ratio is not meaningful
+        "host_first_touch_200mb_s": {
+            "before": probe_before,
+            "after": _first_touch_probe(),
+            "lo_leg": a.get("host_first_touch_200mb_s"),
+            "hi_leg": b.get("host_first_touch_200mb_s"),
+            "weak_lo_leg": w.get("host_first_touch_200mb_s"),
+        },
     }
 
 
