@@ -253,10 +253,11 @@ def _scaling_child(corpus_dir: str, num_cpus: int) -> dict:
 def _prepare_corpus(n_convs: int, path: str) -> str:
     from fastcdc_rs_ray.sources.synth_fast import ensure_corpus
 
-    # slices >= 64: map-stage parallelism is bounded by input blocks under
-    # pre_partitioned assembly, so blocks must exceed the largest CPU level
+    # slices >= 128: under pre_partitioned assembly the reader pins one
+    # block per file (whole_files=True), so map-stage parallelism equals
+    # the file count — keep >= 4 blocks per CPU at the hi level
     corpus = ensure_corpus(path, n_convs=n_convs,
-                           slices=max(64, n_convs // 16_000))
+                           slices=max(128, n_convs // 16_000))
     for f in os.listdir(corpus):  # equalize page-cache state across children
         with open(os.path.join(corpus, f), "rb") as fh:
             while fh.read(1 << 24):
