@@ -1361,6 +1361,17 @@ def q_ingest_jsonl(sf_dir: str):
         _scratch_dir(sf_dir, "jsonl"))
 
 
+def q_ingest_jsonl_gz(sf_dir: str):
+    """Compressed JSONL path: distributed gzip shard sink (one
+    deterministic .json.gz per block) -> distributed read_json over the
+    compressed files -> per-lang rollup; same oracle as ingest_jsonl."""
+    from ..sources.textio import ingest_jsonl_gz_rollup
+
+    return ingest_jsonl_gz_rollup(
+        _documents(sf_dir, columns=["doc_id", "text", "lang"]),
+        _scratch_dir(sf_dir, "jsonlgz"))
+
+
 def q_ingest_csv(sf_dir: str):
     """CSV source path: events numeric projection -> CSV dump (once) ->
     read_csv -> per-user rollup; exact 2-decimal round-trip."""
@@ -1633,6 +1644,7 @@ QUERIES = {
     "watermark_windows": q_watermark_windows,
     "value_quantiles_sketch": q_value_quantiles_sketch,
     "ingest_jsonl": q_ingest_jsonl,
+    "ingest_jsonl_gz": q_ingest_jsonl_gz,
     "ingest_csv": q_ingest_csv,
     "decontaminate": q_decontaminate,
     "token_count_bpe": q_token_count_bpe,
@@ -1931,6 +1943,7 @@ UNION ALL SELECT user_id, 'view', CAST(n_view AS BIGINT) FROM p
 from ..sources.textio import INGEST_CSV_SQL, INGEST_JSONL_SQL  # noqa: E402
 
 ORACLE_SQL["ingest_jsonl"] = INGEST_JSONL_SQL
+ORACLE_SQL["ingest_jsonl_gz"] = INGEST_JSONL_SQL
 ORACLE_SQL["ingest_csv"] = INGEST_CSV_SQL
 from ..stages.decontam import DECONTAMINATE_SQL  # noqa: E402
 

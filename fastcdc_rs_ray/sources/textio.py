@@ -34,47 +34,11 @@ def _ensure_dump(src_ds, out_dir: str, fmt: str):
 def ingest_jsonl_rollup(documents_ds, out_dir: str):
     """documents -> JSONL dump -> read_json -> (lang, n_docs, sum_chars).
     Proves the JSONL source path end-to-end against the parquet oracle."""
-    import pyarrow.compute as pc
     import ray.data as rd
 
     _ensure_dump(documents_ds, out_dir, "json")
     ds = rd.read_json(out_dir, file_extensions=["json", "jsonl"])
-
-    def rollup(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.table({"lang": pa.array([], pa.string()),
-                             "n_docs": pa.array([], pa.int64()),
-                             "sum_chars": pa.array([], pa.int64())})
-        lenc = t["lang"].combine_chunks().dictionary_encode()
-        codes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        nch = pc.utf8_length(t["text"].combine_chunks()).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        k = len(lenc.dictionary)
-        return pa.table({
-            "lang": lenc.dictionary,
-            "n_docs": pa.array(np.bincount(codes, minlength=k).astype(
-                np.int64), pa.int64()),
-            "sum_chars": pa.array(np.bincount(
-                codes, weights=nch, minlength=k).astype(np.int64), pa.int64()),
-        })
-
-    parts = pa.concat_tables(
-        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in ds.map_batches(rollup, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-    )
-    lenc = parts["lang"].combine_chunks().dictionary_encode()
-    codes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    k = len(lenc.dictionary)
-    n = np.zeros(k, np.int64)
-    s = np.zeros(k, np.int64)
-    np.add.at(n, codes, parts["n_docs"].to_numpy(zero_copy_only=False))
-    np.add.at(s, codes, parts["sum_chars"].to_numpy(zero_copy_only=False))
-    return pa.table({
-        "lang": lenc.dictionary,
-        "n_docs": pa.array(n, pa.int64()),
-        "sum_chars": pa.array(s, pa.int64()),
-    })
+    return _lang_rollup(ds)
 
 
 INGEST_JSONL_SQL = """
@@ -134,3 +98,90 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM events GROUP BY user_id
 """
+
+
+def ingest_jsonl_gz_rollup(documents_ds, out_dir: str):
+    """documents -> gzip JSONL dump -> distributed ``read_json`` over the
+    compressed files -> (lang, n_docs, sum_chars).
+
+    The compressed twin of :func:`ingest_jsonl_rollup` — crawl dumps ship
+    as ``.json.gz`` in practice.  The dump itself is DISTRIBUTED: each
+    block gzips and writes its own shard (named by the block's min doc_id
+    — deterministic and collision-free since doc_id is unique), the
+    compressed-sink side of the path; the read side exercises Ray's
+    ``read_json`` with a gzip ``open_input_stream`` — one shard per read
+    task, the standard splittability caveat of gzip (a 100 TB dump is
+    parallel across files, never within one)."""
+    import gzip
+    import json as _json
+
+    import ray.data as rd
+
+    done = out_dir.rstrip("/") + ".done"
+    if not os.path.exists(done):
+        os.makedirs(out_dir, exist_ok=True)
+
+        def write_shard(t: pa.Table) -> pa.Table:
+            if len(t):
+                shard = int(
+                    np.min(t["doc_id"].combine_chunks().to_numpy(
+                        zero_copy_only=False)))
+                path = os.path.join(out_dir, f"part-{shard:012d}.json.gz")
+                # mtime=0 → byte-deterministic archive for a given block
+                with open(path, "wb") as raw, gzip.GzipFile(
+                        fileobj=raw, mode="wb", mtime=0) as gz:
+                    for row in t.to_pylist():
+                        gz.write((_json.dumps(row, sort_keys=True) + "\n")
+                                 .encode())
+            return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+        documents_ds.map_batches(
+            write_shard, batch_format="pyarrow").materialize()
+        with open(done, "w") as f:
+            f.write("ok")
+
+    ds = rd.read_json(out_dir, file_extensions=["gz"],
+                      arrow_open_stream_args={"compression": "gzip"})
+    return _lang_rollup(ds)
+
+
+def _lang_rollup(ds):
+    """(lang, text) Dataset -> (lang, n_docs, sum_chars) — shared finalize
+    of the JSONL ingest paths."""
+    import pyarrow.compute as pc
+
+    def rollup(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "sum_chars": pa.array([], pa.int64())})
+        lenc = t["lang"].combine_chunks().dictionary_encode()
+        codes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = pc.utf8_length(t["text"].combine_chunks()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        k = len(lenc.dictionary)
+        return pa.table({
+            "lang": lenc.dictionary,
+            "n_docs": pa.array(np.bincount(codes, minlength=k).astype(
+                np.int64), pa.int64()),
+            "sum_chars": pa.array(np.bincount(
+                codes, weights=nch, minlength=k).astype(np.int64), pa.int64()),
+        })
+
+    parts = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in ds.map_batches(rollup, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    lenc = parts["lang"].combine_chunks().dictionary_encode()
+    codes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    k = len(lenc.dictionary)
+    n = np.zeros(k, np.int64)
+    s = np.zeros(k, np.int64)
+    np.add.at(n, codes, parts["n_docs"].to_numpy(zero_copy_only=False))
+    np.add.at(s, codes, parts["sum_chars"].to_numpy(zero_copy_only=False))
+    return pa.table({
+        "lang": lenc.dictionary,
+        "n_docs": pa.array(n, pa.int64()),
+        "sum_chars": pa.array(s, pa.int64()),
+    })
