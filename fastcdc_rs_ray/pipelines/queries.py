@@ -801,6 +801,21 @@ def q_monthly_revenue_growth(sf_dir: str):
     return monthly_revenue_growth(ds)
 
 
+def q_value_dispersion(sf_dir: str):
+    """VAR_SAMP / COVAR_SAMP family per event_type via exact integer
+    sufficient statistics: per-block (n, Σc, Σc², Σh, Σch) int64
+    partials, driver merge in Python arbitrary-precision ints, outputs
+    quantized to int64 — bit-identical under any partitioning."""
+    import ray.data as rd
+
+    from ..stages.aggregate import value_dispersion
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value", "ts"]
+    )
+    return value_dispersion(ds)
+
+
 def q_first_event_type(sf_dir: str):
     """FIRST_VALUE / argmin-by-ordering: each user's earliest event (ts,
     then event_id tie-break) and its type — one candidate row per (block,
@@ -1662,6 +1677,7 @@ QUERIES = {
     "top_supplier_revenue": q_top_supplier_revenue,
     "special_revenue": q_special_revenue,
     "monthly_revenue_growth": q_monthly_revenue_growth,
+    "value_dispersion": q_value_dispersion,
     "first_event_type": q_first_event_type,
     "curate_docs": q_curate_docs,
     "value_quartiles_cont": q_value_quartiles_cont,
@@ -1682,6 +1698,7 @@ _TOKENS_SQL = (
 from ..stages.aggregate import (
     MONTHLY_REVENUE_SQL,
     MONTHLY_REVENUE_GROWTH_SQL,
+    VALUE_DISPERSION_SQL,
     NATION_REVENUE_SHARE_SQL,
     SPECIAL_REVENUE_SQL,
     TOP_SUPPLIER_REVENUE_SQL,
@@ -1753,6 +1770,7 @@ ORACLE_SQL = {
     "top_supplier_revenue": TOP_SUPPLIER_REVENUE_SQL,
     "special_revenue": SPECIAL_REVENUE_SQL,
     "monthly_revenue_growth": MONTHLY_REVENUE_GROWTH_SQL,
+    "value_dispersion": VALUE_DISPERSION_SQL,
     "first_event_type": FIRST_EVENT_TYPE_SQL,
     "curate_docs": CURATE_DOCS_SQL,
     "value_quartiles_cont": VALUE_QUARTILES_CONT_SQL,

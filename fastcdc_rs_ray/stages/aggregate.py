@@ -1053,3 +1053,119 @@ SELECT month_us, revenue_c,
            AS BIGINT) AS delta_c
 FROM m
 """
+
+
+def _trunc_div(num: int, den: int) -> int:
+    """Integer division truncating toward zero — DuckDB's ``//`` semantics
+    (Python's ``//`` floors, which differs for negative numerators)."""
+    q = abs(num) // den
+    return -q if num < 0 else q
+
+
+def value_dispersion(events_ds):
+    """Statistical (algebraic) aggregates per event_type: sample variance
+    of ``value`` and sample covariance of ``value`` vs hour-of-day — the
+    VAR_SAMP / COVAR_SAMP family the other aggregate tiers don't cover.
+
+    The distributed discipline is exact integer SUFFICIENT STATISTICS:
+    each block reduces to per-type (n, Σc, Σc², Σh, Σch) in int64 (c =
+    cents, h = hour-of-day; per-block magnitudes are block-bounded so
+    int64 never overflows inside a task), the |types|×|blocks| partial
+    rows collect on the driver, and the final merge runs in Python
+    arbitrary-precision ints — so the cross-multiplied numerators
+    (n·Σc² − (Σc)², which would overflow int64 at ~10⁹ rows) are exact at
+    any scale, and the quantized outputs are bit-identical under any
+    partitioning.  Division truncates toward zero to match DuckDB ``//``
+    (variance numerators are non-negative, so trunc == floor there; the
+    covariance numerator can be negative).
+
+    Output: (event_type, n, sum_c, var_c2, cov_ch) — var in cents²,
+    cov in cents·hour, both sample (n−1) denominators; groups with n<2
+    would be dropped (cannot happen on this corpus, documented).
+
+    No reference counterpart (SURVEY.md §2.5 — the reference never
+    aggregates); this is the partial+final pattern of `pricing_summary`
+    applied to non-distributive algebraic aggregates.
+    """
+    STATS = ("n", "sum_c", "sum_cc", "sum_h", "sum_ch")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            cols = {"event_type": pa.array([], pa.string())}
+            cols.update({s: pa.array([], pa.int64()) for s in STATS})
+            return pa.table(cols)
+        et = t["event_type"].combine_chunks()
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.round(
+            t["value"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (ts // 3_600_000_000) % 24
+        k = len(enc.dictionary)
+        vals = {
+            "n": np.bincount(codes, minlength=k).astype(np.int64),
+            "sum_c": np.bincount(codes, weights=c, minlength=k).astype(np.int64),
+            "sum_cc": np.bincount(codes, weights=c * c, minlength=k).astype(np.int64),
+            "sum_h": np.bincount(codes, weights=h, minlength=k).astype(np.int64),
+            "sum_ch": np.bincount(codes, weights=c * h, minlength=k).astype(np.int64),
+        }
+        cols = {"event_type": enc.dictionary}
+        cols.update({s: pa.array(vals[s], pa.int64()) for s in STATS})
+        return pa.table(cols)
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    t = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    )
+    acc: dict[str, list[int]] = {}
+    for row in t.to_pylist():
+        a = acc.setdefault(row["event_type"], [0] * len(STATS))
+        for i, s in enumerate(STATS):
+            a[i] += int(row[s])  # Python ints: exact beyond int64
+    types = sorted(acc)
+    out = {"event_type": [], "n": [], "sum_c": [], "var_c2": [], "cov_ch": []}
+    for ty in types:
+        n, sc, scc, sh, sch = acc[ty]
+        if n < 2:
+            continue
+        out["event_type"].append(ty)
+        out["n"].append(n)
+        out["sum_c"].append(sc)
+        out["var_c2"].append(_trunc_div(n * scc - sc * sc, n * (n - 1)))
+        out["cov_ch"].append(_trunc_div(n * sch - sc * sh, n * (n - 1)))
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "sum_c": pa.array(out["sum_c"], pa.int64()),
+            "var_c2": pa.array(out["var_c2"], pa.int64()),
+            "cov_ch": pa.array(out["cov_ch"], pa.int64()),
+        }
+    )
+
+
+VALUE_DISPERSION_SQL = """
+WITH b AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS c,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(c) AS HUGEINT) AS sc,
+         CAST(SUM(c * c) AS HUGEINT) AS scc,
+         CAST(SUM(h) AS HUGEINT) AS sh,
+         CAST(SUM(c * h) AS HUGEINT) AS sch
+  FROM b GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(sc AS BIGINT) AS sum_c,
+       CAST((n * scc - sc * sc) // (n * (n - 1)) AS BIGINT) AS var_c2,
+       CAST((n * sch - sc * sh) // (n * (n - 1)) AS BIGINT) AS cov_ch
+FROM s
+WHERE n >= 2
+"""
