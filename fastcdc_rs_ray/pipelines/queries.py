@@ -1575,6 +1575,31 @@ def q_pair_edit_distance(sf_dir: str):
     return pair_edit_distances(_documents(sf_dir, ["doc_id", "text"]), pairs)
 
 
+def q_waiting_suppliers(sf_dir: str):
+    """TPC-H-Q21-shape multi-correlated existence join: suppliers who were
+    the sole late shipper in finished multi-supplier orders; fact sides
+    pre-reduce per block, one tag-union keyed exchange, group-local
+    EXISTS/NOT-EXISTS, driver-resident supplier name attach."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.joins import waiting_suppliers
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderdate"],
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    return waiting_suppliers(orders, lineitem, supplier,
+                             late_days=60, num_partitions=8)
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -1634,6 +1659,7 @@ QUERIES = {
     "neardup_keep": q_neardup_keep,
     "pricing_rollup": q_pricing_rollup,
     "large_orders": q_large_orders,
+    "waiting_suppliers": q_waiting_suppliers,
     "moving_sums": q_moving_sums,
     "events_pivot": q_events_pivot,
     "stratified_sample": q_stratified_sample,
@@ -1719,6 +1745,7 @@ from ..stages.joins import (
     INACTIVE_CUSTOMERS_SQL,
     LARGE_ORDERS_SQL,
     ORDER_REVENUE_TOPK_SQL,
+    WAITING_SUPPLIERS_SQL,
 )
 from ..stages.sample import SAMPLE_DOCS_SQL, STRATIFIED_SAMPLE_SQL
 from ..stages.vecagg import EMBEDDING_CENTROIDS_SQL
@@ -1780,6 +1807,7 @@ ORACLE_SQL = {
     "heavy_users": HEAVY_USERS_SQL,
     "pricing_rollup": PRICING_ROLLUP_SQL,
     "large_orders": LARGE_ORDERS_SQL,
+    "waiting_suppliers": WAITING_SUPPLIERS_SQL,
     "moving_sums": MOVING_SUMS_SQL,
     "events_pivot": EVENTS_PIVOT_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,

@@ -841,3 +841,177 @@ FULL OUTER JOIN
       WHERE event_type = 'purchase' GROUP BY 1) e
 ON o.k = e.k
 """
+
+
+def waiting_suppliers(orders_ds, lineitem_ds, supplier_tbl: pa.Table, *,
+                      late_days: int = 60, num_partitions: int = 8):
+    """TPC-H-Q21-shape multi-correlated existence join: per supplier, how
+    many finished ('F') multi-supplier orders that supplier alone shipped
+    late (last shipment more than ``late_days`` after the order date).
+
+    The shape the engine lacked: EXISTS *and* NOT-EXISTS predicates
+    correlated on the SAME fact table, decided per order group.  Plan:
+
+    - lineitem blocks pre-reduce to one row per (block, orderkey,
+      suppkey) carrying the mergeable MAX(l_shipdate) partial — "this
+      supplier shipped anything late in this order" is
+      ``max_ship > o_orderdate + late_days``, so ANY() folds into MAX().
+    - orders blocks filter to status 'F' and project (orderkey,
+      orderdate).
+    - ONE tag-union keyed exchange on orderkey co-locates each order's
+      supplier partials with its orders row; the per-block combine merges
+      duplicate (orderkey, suppkey) partials (max again — commutative,
+      idempotent), counts suppliers and late suppliers per order with
+      one reduceat pass, and keeps the (order, supplier) pairs where the
+      supplier is late, the order has >= 2 suppliers, and exactly one
+      late supplier (the EXISTS + NOT-EXISTS pair evaluated group-local).
+    - survivors collapse to (suppkey, numwait) partials — at most
+      |suppliers| rows per partition — and the driver merges them and
+      attaches s_name from the driver-resident supplier dimension (the
+      fact tables never shuffle a string).
+
+    Exact integer microsecond timestamps throughout; bit-identical under
+    any partitioning.  Reference has no joins (SURVEY.md §2.4); this is
+    the group-local existence class beside anti_join (Q22) and
+    exists_order_counts (Q4).
+    """
+    schema = pa.schema([
+        ("jkey", pa.int64()), ("tag", pa.int8()), ("skey", pa.int64()),
+        ("ship_us", pa.int64()), ("odate_us", pa.int64()),
+    ])
+
+    def lineitem_partial(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["l_orderkey"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        s = pc.cast(t["l_suppkey"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        ship = pc.cast(t["l_shipdate"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, k))
+        k, s, ship = k[order], s[order], ship[order]
+        if len(k):
+            new = (k[1:] != k[:-1]) | (s[1:] != s[:-1])
+            starts = np.concatenate([[0], np.flatnonzero(new) + 1])
+            mx = np.maximum.reduceat(ship, starts)
+        else:
+            starts = np.empty(0, np.int64)
+            mx = np.empty(0, np.int64)
+        n = len(starts)
+        return pa.table({
+            "jkey": pa.array(k[starts] if n else [], pa.int64()),
+            "tag": pa.array(np.ones(n, np.int8), pa.int8()),
+            "skey": pa.array(s[starts] if n else [], pa.int64()),
+            "ship_us": pa.array(mx, pa.int64()),
+            "odate_us": pa.nulls(n, pa.int64()),
+        }).cast(schema)
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        n = len(t)
+        return pa.table({
+            "jkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "tag": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "skey": pa.nulls(n, pa.int64()),
+            "ship_us": pa.nulls(n, pa.int64()),
+            "odate_us": pc.cast(t["o_orderdate"], pa.int64()),
+        }).cast(schema)
+
+    mixed = lineitem_ds.map_batches(lineitem_partial, batch_format="pyarrow").union(
+        orders_ds.map_batches(orders_side, batch_format="pyarrow")
+    )
+    mixed = mixed.repartition(num_blocks=num_partitions, keys=["jkey"])
+
+    late_us = np.int64(late_days) * np.int64(86_400_000_000)
+    part_schema = pa.schema([("skey", pa.int64()), ("numwait", pa.int64())])
+
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return part_schema.empty_table()
+        tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["jkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        lin = tag == 1
+        if not lin.any():
+            return part_schema.empty_table()
+        lk = k[lin]
+        ls = t["skey"].combine_chunks().to_numpy(zero_copy_only=False)[lin]
+        lship = t["ship_us"].combine_chunks().to_numpy(zero_copy_only=False)[lin]
+        # merge duplicate (orderkey, suppkey) partials from different
+        # source blocks: max is the same fold the block partial used
+        order = np.lexsort((ls, lk))
+        lk, ls, lship = lk[order], ls[order], lship[order]
+        new = (lk[1:] != lk[:-1]) | (ls[1:] != ls[:-1])
+        starts = np.concatenate([[0], np.flatnonzero(new) + 1])
+        gk = lk[starts]
+        gs = ls[starts]
+        gship = np.maximum.reduceat(lship, starts)
+        # attach the order date of 'F' orders (absent key = not-F order)
+        osel = np.flatnonzero(tag == 0)
+        if len(osel) == 0:
+            return part_schema.empty_table()
+        ok = k[osel]
+        od = t["odate_us"].combine_chunks().to_numpy(zero_copy_only=False)[osel]
+        oorder = np.argsort(ok, kind="stable")
+        ok, od = ok[oorder], od[oorder]
+        pos = np.searchsorted(ok, gk)
+        pos_c = np.minimum(pos, len(ok) - 1)
+        isf = ok[pos_c] == gk
+        gk, gs, gship, pos_c = gk[isf], gs[isf], gship[isf], pos_c[isf]
+        if len(gk) == 0:
+            return part_schema.empty_table()
+        late = gship > od[pos_c] + late_us
+        # per-order supplier / late-supplier counts, broadcast to rows
+        ostarts = np.concatenate([[0], np.flatnonzero(gk[1:] != gk[:-1]) + 1])
+        sizes = np.diff(np.concatenate([ostarts, [len(gk)]]))
+        n_supp = np.repeat(sizes, sizes)
+        n_late = np.repeat(np.add.reduceat(late.astype(np.int64), ostarts), sizes)
+        qual = late & (n_supp >= 2) & (n_late == 1)
+        if not qual.any():
+            return part_schema.empty_table()
+        sk, cnt = np.unique(gs[qual], return_counts=True)
+        return pa.table({
+            "skey": pa.array(sk, pa.int64()),
+            "numwait": pa.array(cnt.astype(np.int64), pa.int64()),
+        }).cast(part_schema)
+
+    partials = mixed.map_batches(combine, batch_format="pyarrow",
+                                 batch_size=None)
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs) if tabs else part_schema.empty_table()
+    sk = t["skey"].to_numpy(zero_copy_only=False) if len(t) else np.empty(0, np.int64)
+    nw = t["numwait"].to_numpy(zero_copy_only=False) if len(t) else np.empty(0, np.int64)
+    uk, inv = np.unique(sk, return_inverse=True)
+    tot = np.zeros(len(uk), np.int64)
+    np.add.at(tot, inv, nw)
+    dim_k = pc.cast(supplier_tbl["s_suppkey"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+    dim_order = np.argsort(dim_k, kind="stable")
+    pos = dim_order[np.searchsorted(dim_k[dim_order], uk)]
+    names = supplier_tbl["s_name"].combine_chunks().take(pa.array(pos, pa.int64()))
+    out = pa.table({
+        "s_name": names,
+        "numwait": pa.array(tot, pa.int64()),
+    })
+    return out.sort_by([("numwait", "descending"), ("s_name", "ascending")])
+
+
+WAITING_SUPPLIERS_SQL = """
+WITH lo AS (
+  SELECT l_orderkey AS okey, l_suppkey AS skey, MAX(l_shipdate) AS max_ship
+  FROM lineitem GROUP BY 1, 2
+), j AS (
+  SELECT lo.okey, lo.skey,
+         (lo.max_ship > o.o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lo JOIN orders o ON o.o_orderkey = lo.okey
+  WHERE o.o_orderstatus = 'F'
+), w AS (
+  SELECT okey, skey, late,
+         COUNT(*) OVER (PARTITION BY okey) AS n_supp,
+         SUM(CASE WHEN late THEN 1 ELSE 0 END) OVER (PARTITION BY okey)
+           AS n_late
+  FROM j
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM w JOIN supplier ON s_suppkey = skey
+WHERE late AND n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
