@@ -588,6 +588,36 @@ def q_supplier_nation_revenue(sf_dir: str):
     return supplier_nation_revenue(lineitem, supplier, nation)
 
 
+def q_nation_pair_volume(sf_dir: str):
+    """TPC-H-Q7-shape nation-pair trade volume: group attributes from
+    BOTH sides of the orders x lineitem join — dims broadcast dense,
+    both fact sides pre-reduce, one tag-union keyed exchange."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.aggregate import nation_pair_volume
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    )
+    customer = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    return nation_pair_volume(orders, lineitem, customer, supplier, nation,
+                              num_partitions=8)
+
+
 def q_neardup_keep(sf_dir: str):
     """The near-dup tier's dedup action: one representative conversation
     per cluster (min conv_id) with cluster size — flagship clusters
@@ -1646,6 +1676,7 @@ QUERIES = {
     "distinct_users_per_type": q_distinct_users_per_type,
     "promo_revenue": q_promo_revenue,
     "supplier_nation_revenue": q_supplier_nation_revenue,
+    "nation_pair_volume": q_nation_pair_volume,
     "ndv_users_hll": q_ndv_users_hll,
     "quantity_bands": q_quantity_bands,
     "running_totals": q_running_totals,
@@ -1736,6 +1767,7 @@ from ..stages.aggregate import (
     QUANTITY_BANDS_SQL,
     REGION_CUSTOMER_STATS_SQL,
     SUPPLIER_NATION_REVENUE_SQL,
+    NATION_PAIR_VOLUME_SQL,
 )
 from ..stages.joins import (
     BELOW_AVG_REVENUE_SQL,
@@ -1789,6 +1821,7 @@ ORACLE_SQL = {
     "distinct_users_per_type": DISTINCT_USERS_PER_TYPE_SQL,
     "promo_revenue": PROMO_REVENUE_SQL,
     "supplier_nation_revenue": SUPPLIER_NATION_REVENUE_SQL,
+    "nation_pair_volume": NATION_PAIR_VOLUME_SQL,
     "running_totals": RUNNING_TOTALS_SQL,
     "user_event_paths": USER_EVENT_PATHS_SQL,
     "monthly_revenue": MONTHLY_REVENUE_SQL,

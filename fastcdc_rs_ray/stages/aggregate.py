@@ -1169,3 +1169,203 @@ SELECT event_type,
 FROM s
 WHERE n >= 2
 """
+
+
+# --------------------------------------------------------------------------
+# Q7 shape: nation-pair trade volume (group attributes from BOTH sides of a
+# wide-wide join)
+# --------------------------------------------------------------------------
+
+def nation_pair_volume(orders_ds, lineitem_ds, customer_tbl: pa.Table,
+                       supplier_tbl: pa.Table, nation_tbl: pa.Table,
+                       num_partitions: int = 8):
+    """TPC-H-Q7-shape volume-shipping rollup: revenue per (supplier
+    nation, customer nation, ship year) — the join class where the
+    GROUP BY draws attributes from BOTH sides of a wide-wide join.
+
+    Discipline: each dimension folds driver-side into a dense
+    key -> nationkey array broadcast once via ``ray.put`` (the star-schema
+    rule); the lineitem side attaches its supplier nation + ship year
+    block-locally and pre-reduces to one row per (block, orderkey,
+    supp_nation, year); the orders side ships one (orderkey, cust_nation)
+    row.  ONE tag-union keyed exchange on orderkey joins them, the
+    combine re-reduces to (supp_nation, cust_nation, year) partials —
+    at most 25 x 25 x |years| rows per partition — and the driver merges.
+    Revenue in the engine's exact u4 integer units (cents x discount
+    cents), so the rollup is bit-identical under any partitioning.
+    Reference has no joins/aggregates (SURVEY.md §2.4/2.5).
+    """
+    import ray
+
+    ck = customer_tbl["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnk = customer_tbl["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cust_nation = np.full(int(ck.max()) + 1 if len(ck) else 0, -1, np.int16)
+    cust_nation[ck] = cnk.astype(np.int16)
+    sk = supplier_tbl["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    snk = supplier_tbl["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    supp_nation = np.full(int(sk.max()) + 1 if len(sk) else 0, -1, np.int16)
+    supp_nation[sk] = snk.astype(np.int16)
+    nk = nation_tbl["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nnames = np.empty(int(nk.max()) + 1 if len(nk) else 0, dtype=object)
+    nnames[nk] = np.asarray(nation_tbl["n_name"].to_pylist(), dtype=object)
+    cust_ref = ray.put(cust_nation)
+    supp_ref = ray.put(supp_nation)
+
+    schema = pa.schema([
+        ("jkey", pa.int64()), ("tag", pa.int8()), ("sn", pa.int64()),
+        ("yr", pa.int64()), ("rev_u4", pa.int64()), ("n", pa.int64()),
+        ("cn", pa.int64()),
+    ])
+
+    def lineitem_partial(t: pa.Table) -> pa.Table:
+        sn_map = ray.get(supp_ref)
+        k = pc.cast(t["l_orderkey"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        lsk = pc.cast(t["l_suppkey"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        ship = pc.cast(t["l_shipdate"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = np.round(price * 100).astype(np.int64) * (
+            100 - np.round(disc * 100).astype(np.int64)
+        )
+        sn = sn_map[lsk].astype(np.int64)
+        yr = ship.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64) + 1970
+        order = np.lexsort((yr, sn, k))
+        k, sn, yr, rev = k[order], sn[order], yr[order], rev[order]
+        if len(k):
+            new = (k[1:] != k[:-1]) | (sn[1:] != sn[:-1]) | (yr[1:] != yr[:-1])
+            starts = np.concatenate([[0], np.flatnonzero(new) + 1])
+            sums = np.add.reduceat(rev, starts)
+            cnts = np.diff(np.concatenate([starts, [len(k)]]))
+        else:
+            starts = np.empty(0, np.int64)
+            sums = cnts = np.empty(0, np.int64)
+        m = len(starts)
+        return pa.table({
+            "jkey": pa.array(k[starts] if m else [], pa.int64()),
+            "tag": pa.array(np.ones(m, np.int8), pa.int8()),
+            "sn": pa.array(sn[starts] if m else [], pa.int64()),
+            "yr": pa.array(yr[starts] if m else [], pa.int64()),
+            "rev_u4": pa.array(sums, pa.int64()),
+            "n": pa.array(cnts.astype(np.int64), pa.int64()),
+            "cn": pa.nulls(m, pa.int64()),
+        }).cast(schema)
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        cn_map = ray.get(cust_ref)
+        cust = pc.cast(t["o_custkey"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        m = len(t)
+        return pa.table({
+            "jkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "tag": pa.array(np.zeros(m, np.int8), pa.int8()),
+            "sn": pa.nulls(m, pa.int64()),
+            "yr": pa.nulls(m, pa.int64()),
+            "rev_u4": pa.nulls(m, pa.int64()),
+            "n": pa.nulls(m, pa.int64()),
+            "cn": pa.array(cn_map[cust].astype(np.int64), pa.int64()),
+        }).cast(schema)
+
+    mixed = lineitem_ds.map_batches(lineitem_partial, batch_format="pyarrow").union(
+        orders_ds.map_batches(orders_side, batch_format="pyarrow")
+    )
+    mixed = mixed.repartition(num_blocks=num_partitions, keys=["jkey"])
+
+    part_schema = pa.schema([
+        ("sn", pa.int64()), ("cn", pa.int64()), ("yr", pa.int64()),
+        ("rev_u4", pa.int64()), ("n", pa.int64()),
+    ])
+
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return part_schema.empty_table()
+        tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["jkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        lin = tag == 1
+        osel = np.flatnonzero(tag == 0)
+        if not lin.any() or len(osel) == 0:
+            return part_schema.empty_table()
+        ok = k[osel]
+        ocn = pc.fill_null(t["cn"].combine_chunks(), 0).to_numpy(zero_copy_only=False).astype(np.int64)[osel]
+        oorder = np.argsort(ok, kind="stable")
+        ok, ocn = ok[oorder], ocn[oorder]
+        lk = k[lin]
+        pos = np.searchsorted(ok, lk)
+        pos_c = np.minimum(pos, len(ok) - 1)
+        hit = ok[pos_c] == lk
+        if not hit.any():
+            return part_schema.empty_table()
+        # the union'd columns carry nulls from the other tag; fill_null
+        # keeps the numpy view int64 (a float64 lane would cap exact
+        # integers at 2^53)
+        def _i64(col):
+            return pc.fill_null(t[col].combine_chunks(), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+
+        sn = _i64("sn")[lin][hit]
+        yr = _i64("yr")[lin][hit]
+        rev = _i64("rev_u4")[lin][hit]
+        cnt = _i64("n")[lin][hit]
+        cn = ocn[pos_c[hit]].astype(np.int64)
+        # pack (sn, cn, yr) into one int64 group key: nations < 2^15,
+        # years < 2^15
+        key = (sn << 32) | (cn << 16) | (yr - 1970)
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        c = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, rev)
+        np.add.at(c, inv, cnt)
+        return pa.table({
+            "sn": pa.array(uk >> 32, pa.int64()),
+            "cn": pa.array((uk >> 16) & 0xFFFF, pa.int64()),
+            "yr": pa.array((uk & 0xFFFF) + 1970, pa.int64()),
+            "rev_u4": pa.array(s, pa.int64()),
+            "n": pa.array(c, pa.int64()),
+        }).cast(part_schema)
+
+    partials = mixed.map_batches(combine, batch_format="pyarrow",
+                                 batch_size=None)
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs) if tabs else part_schema.empty_table()
+    if len(t) == 0:
+        return pa.table({
+            "supp_nation": pa.array([], pa.string()),
+            "cust_nation": pa.array([], pa.string()),
+            "l_year": pa.array([], pa.int64()),
+            "n_items": pa.array([], pa.int64()),
+            "revenue_u4": pa.array([], pa.int64()),
+        })
+    sn = t["sn"].to_numpy(zero_copy_only=False)
+    cn = t["cn"].to_numpy(zero_copy_only=False)
+    yr = t["yr"].to_numpy(zero_copy_only=False)
+    key = (sn << 32) | (cn << 16) | (yr - 1970)
+    uk, inv = np.unique(key, return_inverse=True)
+    s = np.zeros(len(uk), np.int64)
+    c = np.zeros(len(uk), np.int64)
+    np.add.at(s, inv, t["rev_u4"].to_numpy(zero_copy_only=False))
+    np.add.at(c, inv, t["n"].to_numpy(zero_copy_only=False))
+    usn, ucn, uyr = uk >> 32, (uk >> 16) & 0xFFFF, (uk & 0xFFFF) + 1970
+    return pa.table({
+        "supp_nation": pa.array(nnames[usn].tolist(), pa.string()),
+        "cust_nation": pa.array(nnames[ucn].tolist(), pa.string()),
+        "l_year": pa.array(uyr, pa.int64()),
+        "n_items": pa.array(c, pa.int64()),
+        "revenue_u4": pa.array(s, pa.int64()),
+    })
+
+
+NATION_PAIR_VOLUME_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_u4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN supplier s ON l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+GROUP BY 1, 2, 3
+"""

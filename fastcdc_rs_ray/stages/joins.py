@@ -930,8 +930,10 @@ def waiting_suppliers(orders_ds, lineitem_ds, supplier_tbl: pa.Table, *,
         if not lin.any():
             return part_schema.empty_table()
         lk = k[lin]
-        ls = t["skey"].combine_chunks().to_numpy(zero_copy_only=False)[lin]
-        lship = t["ship_us"].combine_chunks().to_numpy(zero_copy_only=False)[lin]
+        # union'd columns carry the other tag's nulls; fill_null keeps the
+        # numpy lane int64 (float64 would cap exact integers at 2^53)
+        ls = pc.fill_null(t["skey"].combine_chunks(), 0).to_numpy(zero_copy_only=False).astype(np.int64)[lin]
+        lship = pc.fill_null(t["ship_us"].combine_chunks(), 0).to_numpy(zero_copy_only=False).astype(np.int64)[lin]
         # merge duplicate (orderkey, suppkey) partials from different
         # source blocks: max is the same fold the block partial used
         order = np.lexsort((ls, lk))
@@ -946,7 +948,7 @@ def waiting_suppliers(orders_ds, lineitem_ds, supplier_tbl: pa.Table, *,
         if len(osel) == 0:
             return part_schema.empty_table()
         ok = k[osel]
-        od = t["odate_us"].combine_chunks().to_numpy(zero_copy_only=False)[osel]
+        od = pc.fill_null(t["odate_us"].combine_chunks(), 0).to_numpy(zero_copy_only=False).astype(np.int64)[osel]
         oorder = np.argsort(ok, kind="stable")
         ok, od = ok[oorder], od[oorder]
         pos = np.searchsorted(ok, gk)
