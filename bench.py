@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "snapshot_chunk_delta",
     "curate_docs",
     "login_streaks",
+    "waiting_suppliers",
+    "nation_pair_volume",
 ]
 
 
