@@ -588,6 +588,14 @@ def q_supplier_nation_revenue(sf_dir: str):
     return supplier_nation_revenue(lineitem, supplier, nation)
 
 
+def q_train_val_split(sf_dir: str):
+    """Deterministic hash-bucket train/val/test split audit rollup —
+    zero shuffle, 3-row partials per block."""
+    from ..stages.sample import train_val_split
+
+    return train_val_split(_documents(sf_dir, ["doc_id", "text"]))
+
+
 def q_nation_pair_volume(sf_dir: str):
     """TPC-H-Q7-shape nation-pair trade volume: group attributes from
     BOTH sides of the orders x lineitem join — dims broadcast dense,
@@ -1677,6 +1685,7 @@ QUERIES = {
     "promo_revenue": q_promo_revenue,
     "supplier_nation_revenue": q_supplier_nation_revenue,
     "nation_pair_volume": q_nation_pair_volume,
+    "train_val_split": q_train_val_split,
     "ndv_users_hll": q_ndv_users_hll,
     "quantity_bands": q_quantity_bands,
     "running_totals": q_running_totals,
@@ -1779,7 +1788,11 @@ from ..stages.joins import (
     ORDER_REVENUE_TOPK_SQL,
     WAITING_SUPPLIERS_SQL,
 )
-from ..stages.sample import SAMPLE_DOCS_SQL, STRATIFIED_SAMPLE_SQL
+from ..stages.sample import (
+    SAMPLE_DOCS_SQL,
+    STRATIFIED_SAMPLE_SQL,
+    TRAIN_VAL_SPLIT_SQL,
+)
 from ..stages.vecagg import EMBEDDING_CENTROIDS_SQL
 from ..stages.funnel import FUNNEL_CONVERSIONS_SQL
 from ..stages.tfidf import TFIDF_TERMS_SQL
@@ -1822,6 +1835,7 @@ ORACLE_SQL = {
     "promo_revenue": PROMO_REVENUE_SQL,
     "supplier_nation_revenue": SUPPLIER_NATION_REVENUE_SQL,
     "nation_pair_volume": NATION_PAIR_VOLUME_SQL,
+    "train_val_split": TRAIN_VAL_SPLIT_SQL,
     "running_totals": RUNNING_TOTALS_SQL,
     "user_event_paths": USER_EVENT_PATHS_SQL,
     "monthly_revenue": MONTHLY_REVENUE_SQL,

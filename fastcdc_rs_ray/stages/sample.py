@@ -112,3 +112,70 @@ SELECT event_type, event_id, user_id FROM (
                     % 18446744073709551616) AS rk
   FROM events) WHERE rk <= {STRATA_N}
 """
+
+
+TRAIN_PM, VAL_PM = 980, 10  # per-mille split thresholds
+
+
+def train_val_split(documents_ds, train_pm: int = TRAIN_PM,
+                    val_pm: int = VAL_PM):
+    """Deterministic train/val/test corpus split — the sample-construction
+    step downstream of the dedup tiers: each doc routes to a split by a
+    bijective multiplicative hash bucket of ``doc_id`` (per-mille
+    thresholds), so membership is reproducible across runs, block retries,
+    and re-partitioning, and adding new docs never moves old ones between
+    splits.  Returns the per-split audit rollup (doc count + char volume);
+    the split column itself is a free ``add_column`` on the same hash for
+    pipelines that write the three corpora.  Zero shuffle: 3-row partials
+    per block, driver merge.  No reference counterpart (SURVEY.md §2.6)."""
+    splits = np.array(["train", "val", "test"], dtype=object)
+
+    def partial(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        bucket = (did.astype(np.uint64) * np.uint64(SAMPLE_MULT)) % np.uint64(1000)
+        sid = np.where(bucket < train_pm, 0,
+                       np.where(bucket < train_pm + val_pm, 1, 2))
+        chars = pc.cast(
+            pc.binary_length(t["text"]), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        n = np.bincount(sid, minlength=3).astype(np.int64)
+        s = np.zeros(3, np.int64)
+        np.add.at(s, sid, chars)
+        return pa.table({
+            "split_id": pa.array([0, 1, 2], pa.int64()),
+            "n_docs": pa.array(n, pa.int64()),
+            "sum_chars": pa.array(s, pa.int64()),
+        })
+
+    partials = documents_ds.map_batches(partial, batch_format="pyarrow")
+    n = np.zeros(3, np.int64)
+    s = np.zeros(3, np.int64)
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        sid = t["split_id"].to_numpy(zero_copy_only=False)
+        np.add.at(n, sid, t["n_docs"].to_numpy(zero_copy_only=False))
+        np.add.at(s, sid, t["sum_chars"].to_numpy(zero_copy_only=False))
+    keep = np.flatnonzero(n)
+    return pa.table({
+        "split": pa.array(splits[keep].tolist(), pa.string()),
+        "n_docs": pa.array(n[keep], pa.int64()),
+        "sum_chars": pa.array(s[keep], pa.int64()),
+    })
+
+
+TRAIN_VAL_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT CASE
+           WHEN (CAST(doc_id AS HUGEINT) * {SAMPLE_MULT})
+                % 18446744073709551616 % 1000 < {TRAIN_PM} THEN 'train'
+           WHEN (CAST(doc_id AS HUGEINT) * {SAMPLE_MULT})
+                % 18446744073709551616 % 1000 < {TRAIN_PM + VAL_PM} THEN 'val'
+           ELSE 'test'
+         END AS split,
+         strlen(text) AS n_chars
+  FROM documents
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY split
+"""
