@@ -588,6 +588,20 @@ def q_supplier_nation_revenue(sf_dir: str):
     return supplier_nation_revenue(lineitem, supplier, nation)
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (first-active-month x activity-month
+    distinct users): distinct (user, month) block partials, one keyed
+    exchange, per-user cohort min, tiny (cohort, month) merge."""
+    import ray.data as rd
+
+    from ..stages.sessions import cohort_retention
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return cohort_retention(ds, num_partitions=8)
+
+
 def q_train_val_split(sf_dir: str):
     """Deterministic hash-bucket train/val/test split audit rollup —
     zero shuffle, 3-row partials per block."""
@@ -1686,6 +1700,7 @@ QUERIES = {
     "supplier_nation_revenue": q_supplier_nation_revenue,
     "nation_pair_volume": q_nation_pair_volume,
     "train_val_split": q_train_val_split,
+    "cohort_retention": q_cohort_retention,
     "ndv_users_hll": q_ndv_users_hll,
     "quantity_bands": q_quantity_bands,
     "running_totals": q_running_totals,
@@ -1818,7 +1833,12 @@ from ..stages.sessions import (
     USER_EVENT_PATHS_SQL,
     VALUE_PERCENTILES_SQL,
 )
-from ..stages.sessions import EVENT_WINDOWS_SQL, SESSIONIZE_SQL, TOP_USERS_SQL
+from ..stages.sessions import (
+    COHORT_RETENTION_SQL,
+    EVENT_WINDOWS_SQL,
+    SESSIONIZE_SQL,
+    TOP_USERS_SQL,
+)
 
 ORACLE_SQL = {
     "sessionize": SESSIONIZE_SQL,
@@ -1836,6 +1856,7 @@ ORACLE_SQL = {
     "supplier_nation_revenue": SUPPLIER_NATION_REVENUE_SQL,
     "nation_pair_volume": NATION_PAIR_VOLUME_SQL,
     "train_val_split": TRAIN_VAL_SPLIT_SQL,
+    "cohort_retention": COHORT_RETENTION_SQL,
     "running_totals": RUNNING_TOTALS_SQL,
     "user_event_paths": USER_EVENT_PATHS_SQL,
     "monthly_revenue": MONTHLY_REVENUE_SQL,

@@ -1312,3 +1312,108 @@ SELECT user_id,
 FROM runs
 GROUP BY user_id
 """
+
+
+def cohort_retention(events_ds, num_partitions: int = 8):
+    """Cohort retention matrix: for each signup cohort (a user's first
+    active calendar month) x activity month, how many distinct users were
+    active — the classic retention-triangle analytics shape (needs the
+    per-user MIN attached back to every activity row, so unlike the
+    tiny-result rollups it takes one keyed exchange).
+
+    Plan: blocks pre-reduce the event log to DISTINCT (user, month)
+    pairs (months via vectorized calendar ``floor_temporal``); ONE keyed
+    exchange on user_id co-locates each user's months; the combine
+    re-dedups, takes the per-user min month as the cohort, and collapses
+    straight to (cohort, month, n_users) partials — at most
+    |months|^2/2 x partitions rows merge on the driver.  The event log
+    itself never carries the exchange: only distinct user-month pairs do
+    (bounded by |users| x |months| per block, not by events).
+    Reference has no aggregates (SURVEY.md §2.5)."""
+
+    def um_partial(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        month = pc.floor_temporal(
+            t["ts"].combine_chunks(), unit="month"
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((month, uid))
+        uid, month = uid[order], month[order]
+        if len(uid):
+            keep = np.concatenate(
+                [[True], (uid[1:] != uid[:-1]) | (month[1:] != month[:-1])]
+            )
+            uid, month = uid[keep], month[keep]
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "month_us": pa.array(month, pa.int64()),
+        })
+
+    pairs = events_ds.map_batches(um_partial, batch_format="pyarrow")
+    pairs = pairs.repartition(num_blocks=num_partitions, keys=["user_id"])
+
+    part_schema = pa.schema([
+        ("cohort_us", pa.int64()), ("month_us", pa.int64()),
+        ("n", pa.int64()),
+    ])
+
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return part_schema.empty_table()
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        month = t["month_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((month, uid))
+        uid, month = uid[order], month[order]
+        keep = np.concatenate(
+            [[True], (uid[1:] != uid[:-1]) | (month[1:] != month[:-1])]
+        )
+        uid, month = uid[keep], month[keep]
+        starts = np.concatenate([[0], np.flatnonzero(uid[1:] != uid[:-1]) + 1])
+        sizes = np.diff(np.concatenate([starts, [len(uid)]]))
+        cohort = np.repeat(month[starts], sizes)  # min = first in sorted group
+        key = np.stack([cohort, month], axis=1)
+        uk, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table({
+            "cohort_us": pa.array(uk[:, 0], pa.int64()),
+            "month_us": pa.array(uk[:, 1], pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        }).cast(part_schema)
+
+    partials = pairs.map_batches(combine, batch_format="pyarrow",
+                                 batch_size=None)
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs) if tabs else part_schema.empty_table()
+    if len(t) == 0:
+        return pa.table({
+            "cohort_us": pa.array([], pa.int64()),
+            "month_us": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+        })
+    co = t["cohort_us"].to_numpy(zero_copy_only=False)
+    mo = t["month_us"].to_numpy(zero_copy_only=False)
+    key = np.stack([co, mo], axis=1)
+    uk, inv = np.unique(key, axis=0, return_inverse=True)
+    n = np.zeros(len(uk), np.int64)
+    np.add.at(n, inv, t["n"].to_numpy(zero_copy_only=False))
+    return pa.table({
+        "cohort_us": pa.array(uk[:, 0], pa.int64()),
+        "month_us": pa.array(uk[:, 1], pa.int64()),
+        "n_users": pa.array(n, pa.int64()),
+    })
+
+
+COHORT_RETENTION_SQL = """
+WITH um AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(CAST(date_trunc('month', ts) AS TIMESTAMP)) AS BIGINT)
+             AS month_us
+  FROM events
+), c AS (
+  SELECT user_id, MIN(month_us) AS cohort_us FROM um GROUP BY 1
+)
+SELECT c.cohort_us, um.month_us, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM um JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
