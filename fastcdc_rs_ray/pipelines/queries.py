@@ -602,6 +602,36 @@ def q_cohort_retention(sf_dir: str):
     return cohort_retention(ds, num_partitions=8)
 
 
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H-Q5-shape: revenue where customer and supplier share a
+    nation — the Q7 plan plus an equality predicate between the two
+    attached dimension attributes (free on the reduced rollup)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.aggregate import local_supplier_volume
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    )
+    customer = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    return local_supplier_volume(orders, lineitem, customer, supplier,
+                                 nation, num_partitions=8)
+
+
 def q_train_val_split(sf_dir: str):
     """Deterministic hash-bucket train/val/test split audit rollup —
     zero shuffle, 3-row partials per block."""
@@ -1701,6 +1731,7 @@ QUERIES = {
     "nation_pair_volume": q_nation_pair_volume,
     "train_val_split": q_train_val_split,
     "cohort_retention": q_cohort_retention,
+    "local_supplier_volume": q_local_supplier_volume,
     "ndv_users_hll": q_ndv_users_hll,
     "quantity_bands": q_quantity_bands,
     "running_totals": q_running_totals,
@@ -1792,6 +1823,7 @@ from ..stages.aggregate import (
     REGION_CUSTOMER_STATS_SQL,
     SUPPLIER_NATION_REVENUE_SQL,
     NATION_PAIR_VOLUME_SQL,
+    LOCAL_SUPPLIER_VOLUME_SQL,
 )
 from ..stages.joins import (
     BELOW_AVG_REVENUE_SQL,
@@ -1857,6 +1889,7 @@ ORACLE_SQL = {
     "nation_pair_volume": NATION_PAIR_VOLUME_SQL,
     "train_val_split": TRAIN_VAL_SPLIT_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
+    "local_supplier_volume": LOCAL_SUPPLIER_VOLUME_SQL,
     "running_totals": RUNNING_TOTALS_SQL,
     "user_event_paths": USER_EVENT_PATHS_SQL,
     "monthly_revenue": MONTHLY_REVENUE_SQL,

@@ -1369,3 +1369,46 @@ JOIN supplier s ON l_suppkey = s.s_suppkey
 JOIN nation ns ON s.s_nationkey = ns.n_nationkey
 GROUP BY 1, 2, 3
 """
+
+
+def local_supplier_volume(orders_ds, lineitem_ds, customer_tbl: pa.Table,
+                          supplier_tbl: pa.Table, nation_tbl: pa.Table,
+                          num_partitions: int = 8):
+    """TPC-H-Q5-shape local-supplier volume: revenue where the customer
+    and the supplier share a nation, per (nation, ship year) — the join
+    predicate BETWEEN two attached dimension attributes.
+
+    Runs the exact :func:`nation_pair_volume` plan (the predicate can
+    only be evaluated where the two sides meet — at the post-exchange
+    combine); the nation-pair rollup is at most 25 x 25 x |years| rows,
+    so the Q5 equality filter + projection is a free driver-side pass on
+    that already-reduced result.  Exchange traffic is identical to Q7's.
+    """
+    t = nation_pair_volume(orders_ds, lineitem_ds, customer_tbl,
+                           supplier_tbl, nation_tbl,
+                           num_partitions=num_partitions)
+    m = pc.equal(t["supp_nation"], t["cust_nation"])
+    t = t.filter(m)
+    return pa.table({
+        "nation": t["supp_nation"],
+        "l_year": t["l_year"],
+        "n_items": t["n_items"],
+        "revenue_u4": t["revenue_u4"],
+    })
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT ns.n_name AS nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_u4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier s ON l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+WHERE c_nationkey = s.s_nationkey
+GROUP BY 1, 2
+"""
