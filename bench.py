@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "login_streaks",
     "waiting_suppliers",
     "nation_pair_volume",
+    "local_supplier_volume",
+    "train_val_split",
+    "cohort_retention",
 ]
 
 
