@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "local_supplier_volume",
     "train_val_split",
     "cohort_retention",
+    "part_supplier_counts",
 ]
 
 

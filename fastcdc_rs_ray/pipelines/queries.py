@@ -632,6 +632,28 @@ def q_local_supplier_volume(sf_dir: str):
                                  nation, num_partitions=8)
 
 
+def q_part_supplier_counts(sf_dir: str):
+    """TPC-H-Q16-shape COUNT(DISTINCT supplier) per part class with a
+    NOT-IN exclusion: dims broadcast dense, lineitem pre-reduces to
+    distinct (class, supplier) pairs, one keyed exchange."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.aggregate import part_supplier_counts
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    )
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    )
+    return part_supplier_counts(lineitem, part, supplier, num_partitions=8)
+
+
 def q_train_val_split(sf_dir: str):
     """Deterministic hash-bucket train/val/test split audit rollup —
     zero shuffle, 3-row partials per block."""
@@ -1732,6 +1754,7 @@ QUERIES = {
     "train_val_split": q_train_val_split,
     "cohort_retention": q_cohort_retention,
     "local_supplier_volume": q_local_supplier_volume,
+    "part_supplier_counts": q_part_supplier_counts,
     "ndv_users_hll": q_ndv_users_hll,
     "quantity_bands": q_quantity_bands,
     "running_totals": q_running_totals,
@@ -1824,6 +1847,7 @@ from ..stages.aggregate import (
     SUPPLIER_NATION_REVENUE_SQL,
     NATION_PAIR_VOLUME_SQL,
     LOCAL_SUPPLIER_VOLUME_SQL,
+    PART_SUPPLIER_COUNTS_SQL,
 )
 from ..stages.joins import (
     BELOW_AVG_REVENUE_SQL,
@@ -1890,6 +1914,7 @@ ORACLE_SQL = {
     "train_val_split": TRAIN_VAL_SPLIT_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
     "local_supplier_volume": LOCAL_SUPPLIER_VOLUME_SQL,
+    "part_supplier_counts": PART_SUPPLIER_COUNTS_SQL,
     "running_totals": RUNNING_TOTALS_SQL,
     "user_event_paths": USER_EVENT_PATHS_SQL,
     "monthly_revenue": MONTHLY_REVENUE_SQL,

@@ -1412,3 +1412,112 @@ JOIN nation ns ON s.s_nationkey = ns.n_nationkey
 WHERE c_nationkey = s.s_nationkey
 GROUP BY 1, 2
 """
+
+
+def part_supplier_counts(lineitem_ds, part_tbl: pa.Table,
+                         supplier_tbl: pa.Table, num_partitions: int = 8):
+    """TPC-H-Q16-shape supplier-count-per-part-class: how many DISTINCT
+    suppliers ship each (brand, type, size) class, excluding a NOT-IN
+    supplier set (here: negative account balance — Q16's complaints
+    filter).
+
+    Discipline: part attributes fold driver-side into one dense
+    partkey -> class-code array (the part table is a dimension) and the
+    exclusion set is a tiny broadcast array; lineitem blocks filter the
+    excluded suppliers vectorized, attach class codes, and pre-reduce to
+    DISTINCT (class, suppkey) pairs; ONE keyed exchange on class code
+    co-locates each class, and the combine's distinct-count is final
+    because KR fully co-locates equal keys — partitions concat, never
+    re-merge.  COUNT(DISTINCT) over a join with NOT-IN, bit-identical
+    under any partitioning (reference has no aggregates, SURVEY.md §2.5).
+    """
+    import ray
+
+    pk = part_tbl["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cls = np.array([
+        f"{b}\x1f{t}\x1f{s}"
+        for b, t, s in zip(part_tbl["p_brand"].to_pylist(),
+                           part_tbl["p_type"].to_pylist(),
+                           part_tbl["p_size"].to_pylist())
+    ], dtype=object)
+    ucls, codes = np.unique(cls, return_inverse=True)
+    pmap = np.full(int(pk.max()) + 1 if len(pk) else 0, -1, np.int32)
+    pmap[pk] = codes.astype(np.int32)
+    excl = np.sort(
+        supplier_tbl.filter(pc.less(supplier_tbl["s_acctbal"], 0.0))
+        ["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    pref = ray.put(pmap)
+
+    def partial(t: pa.Table) -> pa.Table:
+        pm = ray.get(pref)
+        lpk = pc.cast(t["l_partkey"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        lsk = pc.cast(t["l_suppkey"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        keep = ~np.isin(lsk, excl)
+        g = pm[lpk[keep]].astype(np.int64)
+        s = lsk[keep]
+        order = np.lexsort((s, g))
+        g, s = g[order], s[order]
+        if len(g):
+            first = np.concatenate([[True], (g[1:] != g[:-1]) | (s[1:] != s[:-1])])
+            g, s = g[first], s[first]
+        return pa.table({
+            "gcode": pa.array(g, pa.int64()),
+            "suppkey": pa.array(s, pa.int64()),
+        })
+
+    pairs = lineitem_ds.map_batches(partial, batch_format="pyarrow")
+    pairs = pairs.repartition(num_blocks=num_partitions, keys=["gcode"])
+
+    def count_distinct(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({
+                "gcode": pa.array([], pa.int64()),
+                "supplier_cnt": pa.array([], pa.int64()),
+            })
+        g = t["gcode"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = t["suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, g))
+        g, s = g[order], s[order]
+        first = np.concatenate([[True], (g[1:] != g[:-1]) | (s[1:] != s[:-1])])
+        g = g[first]
+        starts = np.concatenate([[0], np.flatnonzero(g[1:] != g[:-1]) + 1])
+        cnt = np.diff(np.concatenate([starts, [len(g)]]))
+        return pa.table({
+            "gcode": pa.array(g[starts], pa.int64()),
+            "supplier_cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    finals = pairs.map_batches(count_distinct, batch_format="pyarrow",
+                               batch_size=None)
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in finals.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs) if tabs else None
+    if t is None or len(t) == 0:
+        return pa.table({
+            "p_brand": pa.array([], pa.string()),
+            "p_type": pa.array([], pa.string()),
+            "p_size": pa.array([], pa.int64()),
+            "supplier_cnt": pa.array([], pa.int64()),
+        })
+    g = t["gcode"].to_numpy(zero_copy_only=False)
+    parts = [c.split("\x1f") for c in ucls[g]]
+    return pa.table({
+        "p_brand": pa.array([p[0] for p in parts], pa.string()),
+        "p_type": pa.array([p[1] for p in parts], pa.string()),
+        "p_size": pa.array([int(p[2]) for p in parts], pa.int64()),
+        "supplier_cnt": t["supplier_cnt"],
+    })
+
+
+PART_SUPPLIER_COUNTS_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_suppkey NOT IN (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+GROUP BY 1, 2, 3
+"""
