@@ -67,6 +67,12 @@ BENCH_QUERIES = [
     "train_val_split",
     "cohort_retention",
     "part_supplier_counts",
+    "small_qty_revenue",
+    "product_profit",
+    "surplus_suppliers",
+    "market_share",
+    "min_cost_supplier",
+    "idle_balance_by_segment",
 ]
 
 

@@ -1704,6 +1704,155 @@ def q_waiting_suppliers(sf_dir: str):
                              late_days=60, num_partitions=8)
 
 
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H-Q17-shape: revenue of below-20%-of-part-avg-quantity
+    lineitems — correlated per-group average via two streaming passes
+    (dim-sized partials + re-broadcast threshold), zero exchange."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.aggregate import small_qty_revenue
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    return small_qty_revenue(lineitem, part)
+
+
+def q_product_profit(sf_dir: str):
+    """TPC-H-Q9-shape profit rollup per (supplier nation, ship year)
+    over token-named parts — dense dim broadcast, grid-sized bincount
+    partials, zero exchange."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.aggregate import product_profit
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_shipdate", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    )
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    return product_profit(lineitem, part, supplier, nation)
+
+
+def q_surplus_suppliers(sf_dir: str):
+    """TPC-H-Q20-shape correlated two-aggregate comparison: suppliers
+    whose one-year shipped quantity of prefix-named parts exceeds half
+    their all-time total — dual dense bincount, zero exchange."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.aggregate import surplus_suppliers
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_shipdate", "l_quantity"],
+    )
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    return surplus_suppliers(lineitem, part, supplier, nation)
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H-Q8-shape per-year market share as exact integer
+    numerator/denominator — the Q7 exchange plan with a conditional
+    measure and an early in-region orders filter."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.aggregate import market_share
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    customer = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    return market_share(orders, lineitem, customer, supplier, nation,
+                        region, part, num_partitions=8)
+
+
+def q_min_cost_supplier(sf_dir: str):
+    """TPC-H-Q2-shape min-per-part best-price supplier with equality
+    join-back: pair-sized MIN partials, one keyed exchange on partkey."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.joins import min_cost_supplier
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"]
+    )
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    return min_cost_supplier(lineitem, part, supplier, nation,
+                             num_partitions=8)
+
+
+def q_idle_balance_by_segment(sf_dir: str):
+    """TPC-H-Q22-shape: above-average-balance customers with no orders,
+    rolled up per market segment — scalar-subquery threshold + sorted-
+    array anti membership, zero keyed exchange."""
+    import ray.data as rd
+
+    from ..stages.joins import idle_balance_by_segment
+
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    return idle_balance_by_segment(customer, orders)
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -1819,6 +1968,12 @@ QUERIES = {
     "login_streaks": q_login_streaks,
     "snapshot_chunk_delta": q_snapshot_chunk_delta,
     "chunk_size_histogram": q_chunk_size_histogram,
+    "small_qty_revenue": q_small_qty_revenue,
+    "product_profit": q_product_profit,
+    "surplus_suppliers": q_surplus_suppliers,
+    "market_share": q_market_share,
+    "min_cost_supplier": q_min_cost_supplier,
+    "idle_balance_by_segment": q_idle_balance_by_segment,
 }
 
 
@@ -1848,6 +2003,10 @@ from ..stages.aggregate import (
     NATION_PAIR_VOLUME_SQL,
     LOCAL_SUPPLIER_VOLUME_SQL,
     PART_SUPPLIER_COUNTS_SQL,
+    SMALL_QTY_REVENUE_SQL,
+    PRODUCT_PROFIT_SQL,
+    SURPLUS_SUPPLIERS_SQL,
+    MARKET_SHARE_SQL,
 )
 from ..stages.joins import (
     BELOW_AVG_REVENUE_SQL,
@@ -1858,6 +2017,8 @@ from ..stages.joins import (
     LARGE_ORDERS_SQL,
     ORDER_REVENUE_TOPK_SQL,
     WAITING_SUPPLIERS_SQL,
+    MIN_COST_SUPPLIER_SQL,
+    IDLE_BALANCE_BY_SEGMENT_SQL,
 )
 from ..stages.sample import (
     SAMPLE_DOCS_SQL,
@@ -1915,6 +2076,12 @@ ORACLE_SQL = {
     "cohort_retention": COHORT_RETENTION_SQL,
     "local_supplier_volume": LOCAL_SUPPLIER_VOLUME_SQL,
     "part_supplier_counts": PART_SUPPLIER_COUNTS_SQL,
+    "small_qty_revenue": SMALL_QTY_REVENUE_SQL,
+    "product_profit": PRODUCT_PROFIT_SQL,
+    "surplus_suppliers": SURPLUS_SUPPLIERS_SQL,
+    "market_share": MARKET_SHARE_SQL,
+    "min_cost_supplier": MIN_COST_SUPPLIER_SQL,
+    "idle_balance_by_segment": IDLE_BALANCE_BY_SEGMENT_SQL,
     "running_totals": RUNNING_TOTALS_SQL,
     "user_event_paths": USER_EVENT_PATHS_SQL,
     "monthly_revenue": MONTHLY_REVENUE_SQL,

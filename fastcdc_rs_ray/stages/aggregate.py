@@ -1521,3 +1521,558 @@ WHERE l_suppkey NOT IN (
 )
 GROUP BY 1, 2, 3
 """
+
+
+# --------------------------------------------------------------------------
+# Q17 shape: predicate against a correlated per-group aggregate
+# --------------------------------------------------------------------------
+
+SMALL_QTY_BRAND = "Brand#4"
+
+
+def small_qty_revenue(lineitem_ds, part_tbl: pa.Table,
+                      brand: str = SMALL_QTY_BRAND):
+    """TPC-H-Q17 shape: revenue of lineitems whose quantity is below
+    20% of the AVG quantity for their part — a predicate against a
+    correlated per-group aggregate (the reference has no aggregation at
+    all — SURVEY.md §2.5).
+
+    Discipline: two streaming passes instead of one all-to-all exchange.
+    Pass 1 bincounts (sum_qty, cnt) per partkey into dense
+    |parts|-sized int64 vectors (parts are dimension-sized) and the
+    driver merges blocks — output is dim-sized, never fact-sized.  The
+    merged per-part threshold re-broadcasts via ``ray.put`` and pass 2
+    filters + sums block-locally; the driver adds |blocks| scalars.
+    The 20%-of-avg comparison stays in integers:
+    ``qty < avg/5  <=>  5*qty_u2*cnt < sum_qty_u2`` — bit-exact under
+    any partitioning, no float avg in the predicate.
+    """
+    import ray
+
+    pk = part_tbl["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_part = int(pk.max()) + 1 if len(pk) else 0
+    in_brand = np.zeros(n_part, bool)
+    in_brand[pk] = np.asarray(
+        pc.equal(part_tbl["p_brand"], brand).to_numpy(zero_copy_only=False))
+    brand_ref = ray.put(in_brand)
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        mask = ray.get(brand_ref)
+        lpk = t["l_partkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = mask[lpk]
+        lpk = lpk[keep]
+        qty = np.round(t["l_quantity"].combine_chunks().to_numpy(
+            zero_copy_only=False)[keep] * 100).astype(np.int64)
+        s = np.zeros(n_part, np.int64)
+        c = np.zeros(n_part, np.int64)
+        np.add.at(s, lpk, qty)
+        np.add.at(c, lpk, 1)
+        nz = np.flatnonzero(c)
+        return pa.table({
+            "pk": pa.array(nz, pa.int64()),
+            "sum_qty_u2": pa.array(s[nz], pa.int64()),
+            "cnt": pa.array(c[nz], pa.int64()),
+        })
+
+    sum_qty = np.zeros(n_part, np.int64)
+    cnt = np.zeros(n_part, np.int64)
+    for b in lineitem_ds.map_batches(
+            qty_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        idx = t["pk"].to_numpy(zero_copy_only=False)
+        np.add.at(sum_qty, idx, t["sum_qty_u2"].to_numpy(zero_copy_only=False))
+        np.add.at(cnt, idx, t["cnt"].to_numpy(zero_copy_only=False))
+    sum_ref = ray.put(sum_qty)
+    cnt_ref = ray.put(cnt)
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        mask = ray.get(brand_ref)
+        s_map = ray.get(sum_ref)
+        c_map = ray.get(cnt_ref)
+        lpk = t["l_partkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = mask[lpk]
+        lpk = lpk[keep]
+        qty = np.round(t["l_quantity"].combine_chunks().to_numpy(
+            zero_copy_only=False)[keep] * 100).astype(np.int64)
+        price = np.round(t["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False)[keep] * 100).astype(np.int64)
+        low = 5 * qty * c_map[lpk] < s_map[lpk]
+        return pa.table({
+            "total_price_u2": pa.array([int(price[low].sum())], pa.int64()),
+            "n_items": pa.array([int(low.sum())], pa.int64()),
+        })
+
+    tot = np.int64(0)
+    n = np.int64(0)
+    for b in lineitem_ds.map_batches(
+            rev_partial, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        tot += t["total_price_u2"].to_numpy(zero_copy_only=False).sum()
+        n += t["n_items"].to_numpy(zero_copy_only=False).sum()
+    return pa.table({
+        "total_price_u2": pa.array([int(tot)], pa.int64()),
+        "n_items": pa.array([int(n)], pa.int64()),
+    })
+
+
+SMALL_QTY_REVENUE_SQL = f"""
+WITH pavg AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_u2,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = '{SMALL_QTY_BRAND}'
+  GROUP BY 1
+)
+SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)), 0)
+        AS BIGINT) AS total_price_u2,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+  JOIN pavg ON pk = l_partkey
+WHERE p_brand = '{SMALL_QTY_BRAND}'
+  AND 5 * CAST(ROUND(l_quantity * 100) AS BIGINT) * cnt < sum_qty_u2
+"""
+
+
+# --------------------------------------------------------------------------
+# Q9 shape: profit rollup grouped by attached dim attr x derived year
+# --------------------------------------------------------------------------
+
+PRODUCT_PROFIT_TOKEN = "red"
+
+
+def product_profit(lineitem_ds, part_tbl: pa.Table, supplier_tbl: pa.Table,
+                   nation_tbl: pa.Table, token: str = PRODUCT_PROFIT_TOKEN):
+    """TPC-H-Q9 shape: profit per (supplier nation, ship year) over
+    lineitems of parts whose name contains a token.  Profit is revenue
+    minus retail cost, both in exact 1e-4-dollar integer units:
+    ``amount_u4 = price_u2*(100-disc_u2) - retail_u2*qty_u2`` (no
+    partsupp table in the corpus, so p_retailprice stands in for
+    ps_supplycost; same plan shape).
+
+    Discipline: part-name predicate and both dim attrs fold driver-side
+    into dense broadcast arrays; each lineitem block bincounts amount
+    into a (nation x year) grid — partials are grid-sized, the fact
+    table never shuffles, zero exchange.
+    """
+    import ray
+
+    pk = part_tbl["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_part = int(pk.max()) + 1 if len(pk) else 0
+    match = np.zeros(n_part, bool)
+    match[pk] = np.asarray(pc.match_substring(
+        part_tbl["p_name"], token).to_numpy(zero_copy_only=False))
+    retail = np.zeros(n_part, np.int64)
+    retail[pk] = np.round(part_tbl["p_retailprice"].to_numpy(
+        zero_copy_only=False) * 100).astype(np.int64)
+    sk = supplier_tbl["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    snk = supplier_tbl["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    supp_nation = np.full(int(sk.max()) + 1 if len(sk) else 0, -1, np.int16)
+    supp_nation[sk] = snk.astype(np.int16)
+    nk = nation_tbl["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_nation = int(nk.max()) + 1 if len(nk) else 0
+    nnames = np.empty(n_nation, dtype=object)
+    nnames[nk] = np.asarray(nation_tbl["n_name"].to_pylist(), dtype=object)
+    match_ref = ray.put(match)
+    retail_ref = ray.put(retail)
+    supp_ref = ray.put(supp_nation)
+    yr0, yr1 = 1970, 2100
+    n_yr = yr1 - yr0
+
+    def partial(t: pa.Table) -> pa.Table:
+        m_map = ray.get(match_ref)
+        r_map = ray.get(retail_ref)
+        sn_map = ray.get(supp_ref)
+        lpk = t["l_partkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = m_map[lpk]
+        lpk = lpk[keep]
+        lsk = t["l_suppkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)[keep]
+        ship = t["l_shipdate"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[keep]
+        qty = np.round(t["l_quantity"].combine_chunks().to_numpy(
+            zero_copy_only=False)[keep] * 100).astype(np.int64)
+        price = np.round(t["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False)[keep] * 100).astype(np.int64)
+        disc = np.round(t["l_discount"].combine_chunks().to_numpy(
+            zero_copy_only=False)[keep] * 100).astype(np.int64)
+        amount = price * (100 - disc) - r_map[lpk] * qty
+        yr = ship.astype("datetime64[us]").astype(
+            "datetime64[Y]").astype(np.int64) + 1970
+        cell = sn_map[lsk].astype(np.int64) * n_yr + (yr - yr0)
+        s = np.zeros(n_nation * n_yr, np.int64)
+        c = np.zeros(n_nation * n_yr, np.int64)
+        np.add.at(s, cell, amount)
+        np.add.at(c, cell, 1)
+        nz = np.flatnonzero(c)
+        return pa.table({
+            "cell": pa.array(nz, pa.int64()),
+            "amount_u4": pa.array(s[nz], pa.int64()),
+            "n": pa.array(c[nz], pa.int64()),
+        })
+
+    s = np.zeros(n_nation * n_yr, np.int64)
+    c = np.zeros(n_nation * n_yr, np.int64)
+    for b in lineitem_ds.map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        idx = t["cell"].to_numpy(zero_copy_only=False)
+        np.add.at(s, idx, t["amount_u4"].to_numpy(zero_copy_only=False))
+        np.add.at(c, idx, t["n"].to_numpy(zero_copy_only=False))
+    nz = np.flatnonzero(c)
+    return pa.table({
+        "nation": pa.array(nnames[nz // n_yr].tolist(), pa.string()),
+        "o_year": pa.array(nz % n_yr + yr0, pa.int64()),
+        "amount_u4": pa.array(s[nz], pa.int64()),
+        "n_items": pa.array(c[nz], pa.int64()),
+    })
+
+
+PRODUCT_PROFIT_SQL = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+            - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+              * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS amount_u4,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%{PRODUCT_PROFIT_TOKEN}%'
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Q20 shape: correlated comparison between two aggregates of the same group
+# --------------------------------------------------------------------------
+
+SURPLUS_PREFIX = "red"
+SURPLUS_YEAR = 1997
+# keep suppliers whose window share exceeds 1/SURPLUS_MULT of all-time
+# (the corpus spans 7 ship years, so >1/5 is a meaningfully hot year)
+SURPLUS_MULT = 5
+
+
+def surplus_suppliers(lineitem_ds, part_tbl: pa.Table,
+                      supplier_tbl: pa.Table, nation_tbl: pa.Table,
+                      prefix: str = SURPLUS_PREFIX,
+                      year: int = SURPLUS_YEAR,
+                      mult: int = SURPLUS_MULT):
+    """TPC-H-Q20 shape: suppliers whose shipped quantity of name-prefixed
+    parts in one year exceeds 1/``mult`` of their all-time shipped
+    quantity of those parts — a correlated comparison between two
+    aggregates of the same group (no partsupp/availqty in the corpus, so
+    the all-time sum stands in for ps_availqty; same correlated shape).
+
+    Discipline: part predicate broadcast dense; each lineitem block
+    bincounts the windowed and the all-time quantity into two dense
+    |suppliers| vectors; the driver merges and evaluates
+    ``mult*win_u2 > tot_u2`` exactly in integer quantity units.  Zero
+    exchange — partials are dimension-sized.
+    """
+    import ray
+
+    pk = part_tbl["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_part = int(pk.max()) + 1 if len(pk) else 0
+    match = np.zeros(n_part, bool)
+    match[pk] = np.asarray(pc.starts_with(
+        part_tbl["p_name"], prefix).to_numpy(zero_copy_only=False))
+    sk = supplier_tbl["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_supp = int(sk.max()) + 1 if len(sk) else 0
+    names = np.empty(n_supp, dtype=object)
+    names[sk] = np.asarray(supplier_tbl["s_name"].to_pylist(), dtype=object)
+    snk = supplier_tbl["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    supp_nation = np.full(n_supp, -1, np.int16)
+    supp_nation[sk] = snk.astype(np.int16)
+    nk = nation_tbl["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nnames = np.empty(int(nk.max()) + 1 if len(nk) else 0, dtype=object)
+    nnames[nk] = np.asarray(nation_tbl["n_name"].to_pylist(), dtype=object)
+    match_ref = ray.put(match)
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m_map = ray.get(match_ref)
+        lpk = t["l_partkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = m_map[lpk]
+        lsk = t["l_suppkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)[keep]
+        ship = t["l_shipdate"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[keep]
+        qty = np.round(t["l_quantity"].combine_chunks().to_numpy(
+            zero_copy_only=False)[keep] * 100).astype(np.int64)
+        tot = np.zeros(n_supp, np.int64)
+        win = np.zeros(n_supp, np.int64)
+        np.add.at(tot, lsk, qty)
+        inwin = (ship >= lo) & (ship < hi)
+        np.add.at(win, lsk[inwin], qty[inwin])
+        nz = np.flatnonzero(tot)
+        return pa.table({
+            "suppkey": pa.array(nz, pa.int64()),
+            "tot_u2": pa.array(tot[nz], pa.int64()),
+            "win_u2": pa.array(win[nz], pa.int64()),
+        })
+
+    tot = np.zeros(n_supp, np.int64)
+    win = np.zeros(n_supp, np.int64)
+    for b in lineitem_ds.map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        idx = t["suppkey"].to_numpy(zero_copy_only=False)
+        np.add.at(tot, idx, t["tot_u2"].to_numpy(zero_copy_only=False))
+        np.add.at(win, idx, t["win_u2"].to_numpy(zero_copy_only=False))
+    sel = np.flatnonzero((tot > 0) & (mult * win > tot))
+    order = np.argsort(sel)
+    sel = sel[order]
+    return pa.table({
+        "s_suppkey": pa.array(sel, pa.int64()),
+        "s_name": pa.array(names[sel].tolist(), pa.string()),
+        "s_nation": pa.array(nnames[supp_nation[sel]].tolist(), pa.string()),
+        "win_qty_u2": pa.array(win[sel], pa.int64()),
+        "tot_qty_u2": pa.array(tot[sel], pa.int64()),
+    })
+
+
+SURPLUS_SUPPLIERS_SQL = f"""
+WITH q AS (
+  SELECT l_suppkey AS sk,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS tot_u2,
+         CAST(COALESCE(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+             FILTER (WHERE l_shipdate >= TIMESTAMP '{SURPLUS_YEAR}-01-01'
+                       AND l_shipdate <  TIMESTAMP '{SURPLUS_YEAR + 1}-01-01'),
+             0) AS BIGINT) AS win_u2
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '{SURPLUS_PREFIX}%'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, n_name AS s_nation,
+       win_u2 AS win_qty_u2, tot_u2 AS tot_qty_u2
+FROM q
+JOIN supplier ON s_suppkey = sk
+JOIN nation ON n_nationkey = s_nationkey
+WHERE tot_u2 > 0 AND {SURPLUS_MULT} * win_u2 > tot_u2
+"""
+
+
+# --------------------------------------------------------------------------
+# Q8 shape: conditional share of a rollup (numerator/denominator per group)
+# --------------------------------------------------------------------------
+
+MARKET_TYPE = "MEDIUM"
+MARKET_NATION = "NATION_3"
+MARKET_REGION = "ASIA"
+
+
+def market_share(orders_ds, lineitem_ds, customer_tbl: pa.Table,
+                 supplier_tbl: pa.Table, nation_tbl: pa.Table,
+                 region_tbl: pa.Table, part_tbl: pa.Table,
+                 p_type: str = MARKET_TYPE, target_nation: str = MARKET_NATION,
+                 cust_region: str = MARKET_REGION, num_partitions: int = 8):
+    """TPC-H-Q8 shape: per order-year market share — the fraction of
+    revenue supplied by one nation among lineitems of one part type sold
+    to customers of one region.  Share is reported as exact integer
+    numerator/denominator (``share_num_u4 / share_den_u4``) so the
+    result is bit-identical under any partitioning — no float division
+    inside the engine.
+
+    Discipline (the Q7 plan with a conditional measure): part-type and
+    customer-region predicates and the supplier->is-target-nation flag
+    fold driver-side into dense broadcast arrays; the lineitem side
+    filters by part type and pre-reduces to one (orderkey, rev, tgt_rev)
+    row per block-order; the orders side filters to in-region customers
+    (shrinking the exchange) and ships (orderkey, year).  ONE tag-union
+    keyed exchange on orderkey, per-partition year rollup, tiny driver
+    merge.  Reference has no joins/aggregates (SURVEY.md §2.4/2.5).
+    """
+    import ray
+
+    # dense part-type mask
+    pk = part_tbl["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_part = int(pk.max()) + 1 if len(pk) else 0
+    type_mask = np.zeros(n_part, bool)
+    type_mask[pk] = np.asarray(
+        pc.equal(part_tbl["p_type"], p_type).to_numpy(zero_copy_only=False))
+    # nation name -> key; region name -> set of nation keys
+    nk = nation_tbl["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_nation = int(nk.max()) + 1 if len(nk) else 0
+    nname = np.asarray(nation_tbl["n_name"].to_pylist(), dtype=object)
+    nregion = nation_tbl["n_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rk = region_tbl["r_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rname = np.asarray(region_tbl["r_name"].to_pylist(), dtype=object)
+    target_nk = {n: k for k, n in zip(nk, nname)}[target_nation]
+    region_key = {n: k for k, n in zip(rk, rname)}[cust_region]
+    nation_in_region = np.zeros(n_nation, bool)
+    nation_in_region[nk[nregion == region_key]] = True
+    # supplier -> is-target flag; customer -> in-region flag
+    sk = supplier_tbl["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    snk = supplier_tbl["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    supp_target = np.zeros(int(sk.max()) + 1 if len(sk) else 0, bool)
+    supp_target[sk] = snk == target_nk
+    ck = customer_tbl["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnk = customer_tbl["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cust_in = np.zeros(int(ck.max()) + 1 if len(ck) else 0, bool)
+    cust_in[ck] = nation_in_region[cnk]
+    type_ref = ray.put(type_mask)
+    supp_ref = ray.put(supp_target)
+    cust_ref = ray.put(cust_in)
+
+    schema = pa.schema([
+        ("jkey", pa.int64()), ("tag", pa.int8()), ("rev_u4", pa.int64()),
+        ("tgt_u4", pa.int64()), ("yr", pa.int64()),
+    ])
+
+    def lineitem_partial(t: pa.Table) -> pa.Table:
+        t_map = ray.get(type_ref)
+        s_map = ray.get(supp_ref)
+        lpk = t["l_partkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = t_map[lpk]
+        k = t["l_orderkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)[keep]
+        lsk = t["l_suppkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)[keep]
+        price = t["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False)[keep]
+        disc = t["l_discount"].combine_chunks().to_numpy(
+            zero_copy_only=False)[keep]
+        rev = np.round(price * 100).astype(np.int64) * (
+            100 - np.round(disc * 100).astype(np.int64))
+        tgt = np.where(s_map[lsk], rev, 0)
+        order = np.argsort(k, kind="stable")
+        k, rev, tgt = k[order], rev[order], tgt[order]
+        if len(k):
+            new = k[1:] != k[:-1]
+            starts = np.concatenate([[0], np.flatnonzero(new) + 1])
+            rsum = np.add.reduceat(rev, starts)
+            tsum = np.add.reduceat(tgt, starts)
+        else:
+            starts = np.empty(0, np.int64)
+            rsum = tsum = np.empty(0, np.int64)
+        m = len(starts)
+        return pa.table({
+            "jkey": pa.array(k[starts] if m else [], pa.int64()),
+            "tag": pa.array(np.ones(m, np.int8), pa.int8()),
+            "rev_u4": pa.array(rsum, pa.int64()),
+            "tgt_u4": pa.array(tsum, pa.int64()),
+            "yr": pa.nulls(m, pa.int64()),
+        }).cast(schema)
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        c_map = ray.get(cust_ref)
+        cust = t["o_custkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = c_map[cust]
+        k = t["o_orderkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)[keep]
+        od = t["o_orderdate"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[keep]
+        yr = od.astype("datetime64[us]").astype(
+            "datetime64[Y]").astype(np.int64) + 1970
+        m = len(k)
+        return pa.table({
+            "jkey": pa.array(k, pa.int64()),
+            "tag": pa.array(np.zeros(m, np.int8), pa.int8()),
+            "rev_u4": pa.nulls(m, pa.int64()),
+            "tgt_u4": pa.nulls(m, pa.int64()),
+            "yr": pa.array(yr, pa.int64()),
+        }).cast(schema)
+
+    mixed = lineitem_ds.map_batches(lineitem_partial, batch_format="pyarrow").union(
+        orders_ds.map_batches(orders_side, batch_format="pyarrow")
+    )
+    mixed = mixed.repartition(num_blocks=num_partitions, keys=["jkey"])
+
+    part_schema = pa.schema([
+        ("yr", pa.int64()), ("num_u4", pa.int64()), ("den_u4", pa.int64()),
+    ])
+
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return part_schema.empty_table()
+        tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["jkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        lin = tag == 1
+        osel = np.flatnonzero(tag == 0)
+        if not lin.any() or len(osel) == 0:
+            return part_schema.empty_table()
+
+        def _i64(col):
+            # fill the other tag's union-nulls so the lane stays int64
+            return pc.fill_null(t[col].combine_chunks(), 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+
+        ok = k[osel]
+        oyr = _i64("yr")[osel]
+        oorder = np.argsort(ok, kind="stable")
+        ok, oyr = ok[oorder], oyr[oorder]
+        lk = k[lin]
+        pos = np.searchsorted(ok, lk)
+        pos_c = np.minimum(pos, len(ok) - 1)
+        hit = ok[pos_c] == lk
+        if not hit.any():
+            return part_schema.empty_table()
+        rev = _i64("rev_u4")[lin][hit]
+        tgt = _i64("tgt_u4")[lin][hit]
+        yr = oyr[pos_c[hit]]
+        uy, inv = np.unique(yr, return_inverse=True)
+        num = np.zeros(len(uy), np.int64)
+        den = np.zeros(len(uy), np.int64)
+        np.add.at(num, inv, tgt)
+        np.add.at(den, inv, rev)
+        return pa.table({
+            "yr": pa.array(uy, pa.int64()),
+            "num_u4": pa.array(num, pa.int64()),
+            "den_u4": pa.array(den, pa.int64()),
+        }).cast(part_schema)
+
+    partials = mixed.map_batches(combine, batch_format="pyarrow",
+                                 batch_size=None)
+    acc: dict[int, list[int]] = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for yr, nu, de in zip(t["yr"].to_pylist(), t["num_u4"].to_pylist(),
+                              t["den_u4"].to_pylist()):
+            e = acc.setdefault(yr, [0, 0])
+            e[0] += nu
+            e[1] += de
+    years = sorted(acc)
+    return pa.table({
+        "o_year": pa.array(years, pa.int64()),
+        "share_num_u4": pa.array([acc[y][0] for y in years], pa.int64()),
+        "share_den_u4": pa.array([acc[y][1] for y in years], pa.int64()),
+    })
+
+
+MARKET_SHARE_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN nation.n_name = '{MARKET_NATION}'
+                THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                ELSE 0 END) AS BIGINT) AS share_num_u4,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS share_den_u4
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation nc ON nc.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = nc.n_regionkey
+WHERE p_type = '{MARKET_TYPE}' AND r_name = '{MARKET_REGION}'
+GROUP BY 1
+"""

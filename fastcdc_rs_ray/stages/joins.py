@@ -1017,3 +1017,273 @@ WHERE late AND n_supp >= 2 AND n_late = 1
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
 """
+
+
+# --------------------------------------------------------------------------
+# Q2 shape: min-per-group over pair aggregates + equality join-back
+# --------------------------------------------------------------------------
+
+MIN_COST_SIZE = 25
+
+
+def min_cost_supplier(lineitem_ds, part_tbl: pa.Table,
+                      supplier_tbl: pa.Table, nation_tbl: pa.Table,
+                      p_size: int = MIN_COST_SIZE, num_partitions: int = 8):
+    """TPC-H-Q2 shape: for every part of one size, the supplier(s) whose
+    best (minimum) observed sale price equals the part's global minimum —
+    the min-over-a-correlated-view + equality-join-back shape (no
+    partsupp table in the corpus, so min lineitem extendedprice stands in
+    for ps_supplycost; same plan).
+
+    Discipline: the part-size predicate, supplier names and nations fold
+    driver-side into dense broadcast arrays; each lineitem block
+    pre-reduces to one MIN-price row per (partkey, suppkey) pair —
+    pair-sized, not fact-sized; ONE keyed exchange on partkey co-locates
+    each part's pairs; the per-partition combine re-mins pairs, takes the
+    per-part min and keeps pairs achieving it.  Prices in exact int64
+    cents so ties and the min are exact.
+    """
+    import ray
+
+    pk = part_tbl["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_part = int(pk.max()) + 1 if len(pk) else 0
+    size_mask = np.zeros(n_part, bool)
+    size_mask[pk] = part_tbl["p_size"].to_numpy(
+        zero_copy_only=False).astype(np.int64) == p_size
+    sk = supplier_tbl["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_supp = int(sk.max()) + 1 if len(sk) else 0
+    names = np.empty(n_supp, dtype=object)
+    names[sk] = np.asarray(supplier_tbl["s_name"].to_pylist(), dtype=object)
+    snk = supplier_tbl["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    supp_nation = np.full(n_supp, -1, np.int16)
+    supp_nation[sk] = snk.astype(np.int16)
+    nk = nation_tbl["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nnames = np.empty(int(nk.max()) + 1 if len(nk) else 0, dtype=object)
+    nnames[nk] = np.asarray(nation_tbl["n_name"].to_pylist(), dtype=object)
+    mask_ref = ray.put(size_mask)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        m_map = ray.get(mask_ref)
+        lpk = t["l_partkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = m_map[lpk]
+        lpk = lpk[keep]
+        lsk = t["l_suppkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)[keep]
+        price = np.round(t["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False)[keep] * 100).astype(np.int64)
+        order = np.lexsort((lsk, lpk))
+        lpk, lsk, price = lpk[order], lsk[order], price[order]
+        if len(lpk):
+            new = (lpk[1:] != lpk[:-1]) | (lsk[1:] != lsk[:-1])
+            starts = np.concatenate([[0], np.flatnonzero(new) + 1])
+            mins = np.minimum.reduceat(price, starts)
+        else:
+            starts = np.empty(0, np.int64)
+            mins = np.empty(0, np.int64)
+        return pa.table({
+            "pk": pa.array(lpk[starts] if len(starts) else [], pa.int64()),
+            "sk": pa.array(lsk[starts] if len(starts) else [], pa.int64()),
+            "min_u2": pa.array(mins, pa.int64()),
+        })
+
+    pairs = lineitem_ds.map_batches(pair_partial, batch_format="pyarrow")
+    pairs = pairs.repartition(num_blocks=num_partitions, keys=["pk"])
+
+    out_schema = pa.schema([
+        ("p_partkey", pa.int64()), ("s_suppkey", pa.int64()),
+        ("s_name", pa.string()), ("s_nation", pa.string()),
+        ("min_price_u2", pa.int64()),
+    ])
+
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        pkk = t["pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        skk = t["sk"].combine_chunks().to_numpy(zero_copy_only=False)
+        mn = t["min_u2"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((skk, pkk))
+        pkk, skk, mn = pkk[order], skk[order], mn[order]
+        new = np.concatenate([[True], (pkk[1:] != pkk[:-1])
+                              | (skk[1:] != skk[:-1])])
+        starts = np.flatnonzero(new)
+        pair_min = np.minimum.reduceat(mn, starts)
+        ppk, psk = pkk[starts], skk[starts]
+        pnew = np.concatenate([[True], ppk[1:] != ppk[:-1]])
+        pstarts = np.flatnonzero(pnew)
+        part_min = np.minimum.reduceat(pair_min, pstarts)
+        gid = np.cumsum(pnew) - 1
+        keep = pair_min == part_min[gid]
+        ppk, psk, pair_min = ppk[keep], psk[keep], pair_min[keep]
+        return pa.table({
+            "p_partkey": pa.array(ppk, pa.int64()),
+            "s_suppkey": pa.array(psk, pa.int64()),
+            "s_name": pa.array(names[psk].tolist(), pa.string()),
+            "s_nation": pa.array(
+                nnames[supp_nation[psk]].tolist(), pa.string()),
+            "min_price_u2": pa.array(pair_min, pa.int64()),
+        }).cast(out_schema)
+
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in pairs.map_batches(
+            combine, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs) if tabs else out_schema.empty_table()
+    return t.sort_by([("p_partkey", "ascending"), ("s_suppkey", "ascending")])
+
+
+MIN_COST_SUPPLIER_SQL = f"""
+WITH pairs AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS min_u2
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_size = {MIN_COST_SIZE}
+  GROUP BY 1, 2
+)
+SELECT pk AS p_partkey, s_suppkey, s_name, n_name AS s_nation,
+       min_u2 AS min_price_u2
+FROM pairs
+JOIN supplier ON s_suppkey = sk
+JOIN nation ON n_nationkey = s_nationkey
+WHERE min_u2 = (SELECT MIN(min_u2) FROM pairs p2 WHERE p2.pk = pairs.pk)
+ORDER BY p_partkey, s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Q22 shape: scalar-subquery threshold + anti-join + segment rollup
+# --------------------------------------------------------------------------
+
+# no orders on/after this date = "idle"; every corpus customer has at
+# least one order overall, so the never-ordered predicate would be empty
+IDLE_CUTOFF = "2000-01-01"
+
+
+def idle_balance_by_segment(customer_ds, orders_ds,
+                            cutoff: str = IDLE_CUTOFF):
+    """TPC-H-Q22 shape: count + total balance per market segment of
+    customers whose balance is above the average positive balance AND
+    who have placed no order since ``cutoff`` — a scalar correlated
+    subquery plus a windowed anti-join feeding a rollup (every customer
+    in the corpus has *some* order, so the window keeps the anti-join
+    non-trivial; same plan as the never-ordered Q22 original).
+
+    Discipline: pass 1 streams customer blocks into a 2-scalar partial
+    (sum of positive balances, count) — the above-average predicate
+    then evaluates exactly in integers: ``bal_u2 * cnt_pos >
+    sum_pos_u2``.  Pass 2 streams orders blocks into per-block distinct
+    recent-custkey partials, merged driver-side into one sorted key
+    array (customer-dimension-sized) and re-broadcast.  Pass 3 filters
+    customer blocks against both (threshold + ``searchsorted`` anti
+    membership) and pre-reduces per segment; the driver merges a
+    |segments|-row dict.  Zero keyed exchange — every partial is
+    scalar-, dim- or segment-sized.
+    """
+    import ray
+
+    cut_us = np.datetime64(cutoff, "us").astype(np.int64)
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        bal = np.round(t["c_acctbal"].combine_chunks().to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        pos = bal > 0
+        return pa.table({
+            "sum_pos_u2": pa.array([int(bal[pos].sum())], pa.int64()),
+            "cnt_pos": pa.array([int(pos.sum())], pa.int64()),
+        })
+
+    sum_pos = 0
+    cnt_pos = 0
+    for b in customer_ds.map_batches(
+            bal_partial, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        # iter_batches may coalesce several 1-row block partials into one
+        # batch — sum the column, never read just row 0
+        sum_pos += int(t["sum_pos_u2"].to_numpy(zero_copy_only=False).sum())
+        cnt_pos += int(t["cnt_pos"].to_numpy(zero_copy_only=False).sum())
+
+    def custkey_partial(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ck = t["o_custkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        k = np.unique(ck[od >= cut_us])
+        return pa.table({"ck": pa.array(k, pa.int64())})
+
+    chunks = [
+        (b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
+        ["ck"].to_numpy(zero_copy_only=False)
+        for b in orders_ds.map_batches(
+            custkey_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow")
+    ]
+    have_orders = np.unique(np.concatenate(chunks)) if chunks else np.empty(
+        0, np.int64)
+    ord_ref = ray.put(have_orders)
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(ord_ref)
+        bal = np.round(t["c_acctbal"].combine_chunks().to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        ck = t["c_custkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rich = bal * cnt_pos > sum_pos
+        pos = np.searchsorted(keys, ck)
+        pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+        noorder = (len(keys) == 0) | (keys[pos_c] != ck) if len(keys) else \
+            np.ones(len(ck), bool)
+        sel = rich & noorder
+        seg = t["c_mktsegment"].combine_chunks()
+        segs = np.asarray(seg.to_pylist(), dtype=object)[sel]
+        balf = bal[sel]
+        us, inv = np.unique(segs, return_inverse=True)
+        cnt = np.zeros(len(us), np.int64)
+        tot = np.zeros(len(us), np.int64)
+        np.add.at(cnt, inv, 1)
+        np.add.at(tot, inv, balf)
+        return pa.table({
+            "c_mktsegment": pa.array(us.tolist(), pa.string()),
+            "numcust": pa.array(cnt, pa.int64()),
+            "totacctbal_u2": pa.array(tot, pa.int64()),
+        })
+
+    acc: dict[str, list[int]] = {}
+    for b in customer_ds.map_batches(
+            seg_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for s, n, v in zip(t["c_mktsegment"].to_pylist(),
+                           t["numcust"].to_pylist(),
+                           t["totacctbal_u2"].to_pylist()):
+            e = acc.setdefault(s, [0, 0])
+            e[0] += n
+            e[1] += v
+    segs = sorted(acc)
+    return pa.table({
+        "c_mktsegment": pa.array(segs, pa.string()),
+        "numcust": pa.array([acc[s][0] for s in segs], pa.int64()),
+        "totacctbal_u2": pa.array([acc[s][1] for s in segs], pa.int64()),
+    })
+
+
+IDLE_BALANCE_BY_SEGMENT_SQL = f"""
+WITH posavg AS (
+  SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_pos_u2,
+         CAST(COUNT(*) AS BIGINT) AS cnt_pos
+  FROM customer WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > 0
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS totacctbal_u2
+FROM customer, posavg
+WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * cnt_pos > sum_pos_u2
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{IDLE_CUTOFF}')
+GROUP BY 1
+ORDER BY 1
+"""
