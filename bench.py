@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "market_share",
     "min_cost_supplier",
     "idle_balance_by_segment",
+    "forecast_revenue",
+    "part_value_share",
+    "line_priority_counts",
+    "returned_item_revenue",
 ]
 
 

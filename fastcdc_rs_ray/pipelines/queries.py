@@ -1853,6 +1853,82 @@ def q_idle_balance_by_segment(sf_dir: str):
     return idle_balance_by_segment(customer, orders)
 
 
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H-Q6-shape: pure filter + ungrouped global SUM — two-scalar
+    block partials, zero shuffle."""
+    import ray.data as rd
+
+    from ..stages.aggregate import forecast_revenue
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"],
+    )
+    return forecast_revenue(lineitem)
+
+
+def q_part_value_share(sf_dir: str):
+    """TPC-H-Q11-shape: per-part traded value above a fraction of the
+    global total — dense dim-sized bincount partials, zero exchange."""
+    import ray.data as rd
+
+    from ..stages.aggregate import part_value_share
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    return part_value_share(lineitem)
+
+
+def q_line_priority_counts(sf_dir: str):
+    """TPC-H-Q12-shape: high/low-priority lineitem counts per line
+    status — pre-reduced tag-union exchange on orderkey, 4-cell grid."""
+    import ray.data as rd
+
+    from ..stages.joins import line_priority_counts
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+    )
+    return line_priority_counts(orders, lineitem, num_partitions=8)
+
+
+def q_returned_item_revenue(sf_dir: str):
+    """TPC-H-Q10-shape: top-k customers by returned-item revenue in an
+    order window, customer/nation attributes joined back — one keyed
+    exchange, dim-sized combine, driver top-k."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.joins import returned_item_revenue
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+    )
+    customer = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    return returned_item_revenue(orders, lineitem, customer, nation,
+                                 num_partitions=8)
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -1974,6 +2050,10 @@ QUERIES = {
     "market_share": q_market_share,
     "min_cost_supplier": q_min_cost_supplier,
     "idle_balance_by_segment": q_idle_balance_by_segment,
+    "forecast_revenue": q_forecast_revenue,
+    "part_value_share": q_part_value_share,
+    "line_priority_counts": q_line_priority_counts,
+    "returned_item_revenue": q_returned_item_revenue,
 }
 
 
@@ -2007,6 +2087,8 @@ from ..stages.aggregate import (
     PRODUCT_PROFIT_SQL,
     SURPLUS_SUPPLIERS_SQL,
     MARKET_SHARE_SQL,
+    FORECAST_REVENUE_SQL,
+    PART_VALUE_SHARE_SQL,
 )
 from ..stages.joins import (
     BELOW_AVG_REVENUE_SQL,
@@ -2019,6 +2101,8 @@ from ..stages.joins import (
     WAITING_SUPPLIERS_SQL,
     MIN_COST_SUPPLIER_SQL,
     IDLE_BALANCE_BY_SEGMENT_SQL,
+    LINE_PRIORITY_COUNTS_SQL,
+    RETURNED_ITEM_REVENUE_SQL,
 )
 from ..stages.sample import (
     SAMPLE_DOCS_SQL,
@@ -2082,6 +2166,10 @@ ORACLE_SQL = {
     "market_share": MARKET_SHARE_SQL,
     "min_cost_supplier": MIN_COST_SUPPLIER_SQL,
     "idle_balance_by_segment": IDLE_BALANCE_BY_SEGMENT_SQL,
+    "forecast_revenue": FORECAST_REVENUE_SQL,
+    "part_value_share": PART_VALUE_SHARE_SQL,
+    "line_priority_counts": LINE_PRIORITY_COUNTS_SQL,
+    "returned_item_revenue": RETURNED_ITEM_REVENUE_SQL,
     "running_totals": RUNNING_TOTALS_SQL,
     "user_event_paths": USER_EVENT_PATHS_SQL,
     "monthly_revenue": MONTHLY_REVENUE_SQL,

@@ -2076,3 +2076,155 @@ JOIN region ON r_regionkey = nc.n_regionkey
 WHERE p_type = '{MARKET_TYPE}' AND r_name = '{MARKET_REGION}'
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Q6 shape: pure filter + global sum (no group, no join)
+# --------------------------------------------------------------------------
+
+FORECAST_YEAR = 1996
+FORECAST_DISC_LO = 5   # discount u2 units, inclusive
+FORECAST_DISC_HI = 7
+FORECAST_MAX_QTY = 24  # exclusive, whole units
+
+
+def forecast_revenue(lineitem_ds, year: int = FORECAST_YEAR,
+                     disc_lo: int = FORECAST_DISC_LO,
+                     disc_hi: int = FORECAST_DISC_HI,
+                     max_qty: int = FORECAST_MAX_QTY):
+    """TPC-H-Q6 shape: the would-be revenue increase from dropping a
+    discount band — a pure filter + ungrouped global SUM, the simplest
+    member of the aggregation family (the reference never aggregates —
+    SURVEY.md §2.5).
+
+    Discipline: every block reduces to TWO scalars (revenue, count); the
+    driver adds |blocks| rows.  Revenue is the exact int64 product
+    price_u2 * disc_u2 (1e-4-dollar units); the discount band compares
+    in integer u2 units so 0.05 <= d <= 0.07 is exact, never a float
+    BETWEEN.  Zero shuffle, zero join — the floor of the shape family.
+    """
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+    qty_hi_u2 = max_qty * 100
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        disc = np.round(t["l_discount"].combine_chunks().to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        qty = np.round(t["l_quantity"].combine_chunks().to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        keep = ((ship >= lo) & (ship < hi)
+                & (disc >= disc_lo) & (disc <= disc_hi)
+                & (qty < qty_hi_u2))
+        price = np.round(t["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False)[keep] * 100).astype(np.int64)
+        rev = int((price * disc[keep]).sum())
+        return pa.table({
+            "revenue_u4": pa.array([rev], pa.int64()),
+            "n_items": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    rev = 0
+    n = 0
+    for b in lineitem_ds.map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        rev += int(t["revenue_u4"].to_numpy(zero_copy_only=False).sum())
+        n += int(t["n_items"].to_numpy(zero_copy_only=False).sum())
+    return pa.table({
+        "revenue_u4": pa.array([rev], pa.int64()),
+        "n_items": pa.array([n], pa.int64()),
+    })
+
+
+FORECAST_REVENUE_SQL = f"""
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_u4,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{FORECAST_YEAR}-01-01'
+  AND l_shipdate <  TIMESTAMP '{FORECAST_YEAR + 1}-01-01'
+  AND CAST(ROUND(l_discount * 100) AS BIGINT)
+        BETWEEN {FORECAST_DISC_LO} AND {FORECAST_DISC_HI}
+  AND CAST(ROUND(l_quantity * 100) AS BIGINT) < {FORECAST_MAX_QTY * 100}
+"""
+
+
+# --------------------------------------------------------------------------
+# Q11 shape: HAVING against a scalar-subquery fraction of the global sum
+# --------------------------------------------------------------------------
+
+# keep parts whose traded value exceeds SHARE_NUM/SHARE_DEN x the average
+PART_SHARE_NUM = 5
+PART_SHARE_DEN = 4
+
+
+def part_value_share(lineitem_ds, share_num: int = PART_SHARE_NUM,
+                     share_den: int = PART_SHARE_DEN):
+    """TPC-H-Q11 shape: groups whose aggregate exceeds a scalar-subquery
+    fraction of the global aggregate (no partsupp table in the corpus, so
+    per-part traded value qty*price over lineitem stands in for
+    ps_supplycost*ps_availqty; same HAVING-vs-global shape).
+
+    Discipline: one streaming pass of dense |parts|-sized int64 bincount
+    partials (parts are dimension-sized); the driver merges blocks and
+    evaluates ``val * n_parts * den > num * total`` in Python
+    arbitrary-precision ints — the global total never rides a shuffle
+    and the threshold needs no second pass.  Zero exchange.
+    """
+    max_pk = [0]
+
+    def partial(t: pa.Table) -> pa.Table:
+        lpk = t["l_partkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        qty = np.round(t["l_quantity"].combine_chunks().to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        price = np.round(t["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        val = qty * price
+        n = int(lpk.max()) + 1 if len(lpk) else 0
+        acc = np.zeros(n, np.int64)
+        np.add.at(acc, lpk, val)
+        nz = np.flatnonzero(acc)
+        return pa.table({
+            "pk": pa.array(nz, pa.int64()),
+            "val_u4": pa.array(acc[nz], pa.int64()),
+        })
+
+    acc: dict[int, int] = {}
+    for b in lineitem_ds.map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for k, v in zip(t["pk"].to_numpy(zero_copy_only=False),
+                        t["val_u4"].to_numpy(zero_copy_only=False)):
+            acc[int(k)] = acc.get(int(k), 0) + int(v)
+    total = sum(acc.values())
+    n_parts = len(acc)
+    keep = [(v, k) for k, v in acc.items()
+            if v * n_parts * share_den > share_num * total]
+    keep.sort(key=lambda t: (-t[0], t[1]))
+    return pa.table({
+        "l_partkey": pa.array([k for _, k in keep], pa.int64()),
+        "value_u4": pa.array([v for v, _ in keep], pa.int64()),
+    })
+
+
+PART_VALUE_SHARE_SQL = f"""
+WITH v AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)
+             * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_u4
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, value_u4
+FROM v
+WHERE CAST(value_u4 AS HUGEINT) * (SELECT COUNT(*) FROM v)
+        * {PART_SHARE_DEN}
+      > {PART_SHARE_NUM} * (SELECT SUM(CAST(value_u4 AS HUGEINT)) FROM v)
+ORDER BY value_u4 DESC, l_partkey
+"""

@@ -1287,3 +1287,310 @@ WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * cnt_pos > sum_pos_u2
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Q12 shape: join + conditional two-bucket counts per group
+# --------------------------------------------------------------------------
+
+PRIORITY_YEAR = 1996
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def line_priority_counts(orders_ds, lineitem_ds,
+                         year: int = PRIORITY_YEAR,
+                         num_partitions: int = 8):
+    """TPC-H-Q12 shape: per line-status (the corpus stand-in for
+    l_shipmode), how many lineitems shipped in one year belong to
+    high- vs low-priority orders — a fact x fact join feeding two
+    CASE-summed buckets per group.
+
+    Discipline: lineitem blocks pre-reduce to per-(orderkey, status)
+    counts inside the ship window; orders blocks carry one
+    priority-class bit per orderkey; ONE tag-union keyed exchange on
+    orderkey co-locates them, and the per-partition combine collapses to
+    at most |statuses| x 2 cells — the driver merges a 4-cell grid.
+    Status and the priority bit travel as int8 codes, never strings.
+    """
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+
+    schema = pa.schema([
+        ("jkey", pa.int64()), ("tag", pa.int8()), ("st", pa.int8()),
+        ("hi", pa.int8()), ("cnt", pa.int64()),
+    ])
+    STATUSES = ("F", "O")
+
+    def lineitem_partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sel = (ship >= lo) & (ship < hi)
+        if not sel.any():
+            return schema.empty_table()
+        okey = t["l_orderkey"].combine_chunks().to_numpy(
+            zero_copy_only=False)[sel]
+        st = np.asarray(
+            pc.equal(t["l_linestatus"], "O").to_numpy(zero_copy_only=False),
+            np.int8)[sel]
+        # reduce to per-(orderkey, status) counts before the exchange
+        code = okey * 2 + st
+        code_s = np.sort(code)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(code_s[1:] != code_s[:-1]) + 1])
+        cnt = np.diff(np.append(starts, len(code_s)))
+        n = len(starts)
+        return pa.table({
+            "jkey": pa.array(code_s[starts] >> 1, pa.int64()),
+            "tag": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "st": pa.array((code_s[starts] & 1).astype(np.int8), pa.int8()),
+            "hi": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        }).cast(schema)
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        prio = t["o_orderpriority"].combine_chunks()
+        hi_bit = np.zeros(len(t), np.int8)
+        for p in HIGH_PRIORITIES:
+            hi_bit |= np.asarray(
+                pc.equal(prio, p).to_numpy(zero_copy_only=False), np.int8)
+        n = len(t)
+        return pa.table({
+            "jkey": t["o_orderkey"].combine_chunks(),
+            "tag": pa.array(np.ones(n, np.int8), pa.int8()),
+            "st": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "hi": pa.array(hi_bit, pa.int8()),
+            "cnt": pa.array(np.zeros(n, np.int64), pa.int64()),
+        }).cast(schema)
+
+    mixed = lineitem_ds.map_batches(
+        lineitem_partial, batch_format="pyarrow"
+    ).union(orders_ds.map_batches(orders_side, batch_format="pyarrow"))
+    mixed = mixed.repartition(num_blocks=num_partitions, keys=["jkey"])
+
+    grid_schema = pa.schema([("cell", pa.int8()), ("n", pa.int64())])
+
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return grid_schema.empty_table()
+        jkey = t["jkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        st = t["st"].combine_chunks().to_numpy(zero_copy_only=False)
+        hib = t["hi"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((tag, jkey))
+        jk, tg = jkey[order], tag[order]
+        starts = np.concatenate([[0], np.flatnonzero(jk[1:] != jk[:-1]) + 1])
+        ends = np.append(starts[1:], len(jk)) - 1
+        match = (tg[starts] == 0) & (tg[ends] == 1)
+        if not match.any():
+            return grid_schema.empty_table()
+        # group id per sorted row, then the group's order-row hi bit
+        gid = np.zeros(len(jk), np.int64)
+        gid[starts[1:]] = 1
+        gid = np.cumsum(gid)
+        hi_of_group = hib[order][ends]          # last row per group
+        row_hi = hi_of_group[gid]
+        row_match = match[gid]
+        li = (tg == 0) & row_match
+        cell = st[order][li] * 2 + row_hi[li]
+        grid = np.zeros(4, np.int64)
+        np.add.at(grid, cell, cnt[order][li])
+        nz = np.flatnonzero(grid)
+        return pa.table({
+            "cell": pa.array(nz.astype(np.int8), pa.int8()),
+            "n": pa.array(grid[nz], pa.int64()),
+        }).cast(grid_schema)
+
+    grid = np.zeros(4, np.int64)
+    for b in mixed.map_batches(
+            combine, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        np.add.at(grid, t["cell"].to_numpy(zero_copy_only=False),
+                  t["n"].to_numpy(zero_copy_only=False))
+    return pa.table({
+        "l_linestatus": pa.array(list(STATUSES), pa.string()),
+        "high_line_count": pa.array([grid[1], grid[3]], pa.int64()),
+        "low_line_count": pa.array([grid[0], grid[2]], pa.int64()),
+    })
+
+
+LINE_PRIORITY_COUNTS_SQL = f"""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '{PRIORITY_YEAR}-01-01'
+  AND l_shipdate <  TIMESTAMP '{PRIORITY_YEAR + 1}-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q10 shape: returned-item revenue per customer, top-k + dim join-back
+# --------------------------------------------------------------------------
+
+RETURNED_WINDOW_LO = "1996-01-01"
+RETURNED_WINDOW_HI = "1996-04-01"
+RETURNED_TOPK = 20
+
+
+def returned_item_revenue(orders_ds, lineitem_ds, customer_tbl: pa.Table,
+                          nation_tbl: pa.Table,
+                          window_lo: str = RETURNED_WINDOW_LO,
+                          window_hi: str = RETURNED_WINDOW_HI,
+                          k: int = RETURNED_TOPK,
+                          num_partitions: int = 8):
+    """TPC-H-Q10 shape: top-k customers by revenue of RETURNED lineitems
+    on orders placed in one window, with customer/nation attributes
+    joined back — fact x fact exchange + dim-sized rollup + driver top-k.
+
+    Discipline: lineitem blocks pre-reduce R-flagged revenue per
+    orderkey; window-filtered orders carry (orderkey -> custkey); ONE
+    tag-union keyed exchange on orderkey, and the per-partition combine
+    re-reduces to per-CUSTKEY revenue (dimension-sized — the exchange
+    output never exceeds |customers| rows per partition).  The driver
+    merges a dense |customers| vector, takes the top k (exact int64
+    revenue desc, custkey asc) and attaches name / balance / nation from
+    the driver-resident dimensions — the fact tables never touch a
+    second shuffle.
+    """
+    lo = np.datetime64(window_lo, "us").astype(np.int64)
+    hi = np.datetime64(window_hi, "us").astype(np.int64)
+
+    ck = customer_tbl["c_custkey"].to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_cust = int(ck.max()) + 1 if len(ck) else 0
+
+    schema = pa.schema([
+        ("jkey", pa.int64()), ("tag", pa.int8()), ("custkey", pa.int64()),
+        ("rev_u4", pa.int64()),
+    ])
+
+    def lineitem_partial(t: pa.Table) -> pa.Table:
+        flag = np.asarray(pc.equal(
+            t["l_returnflag"], "R").to_numpy(zero_copy_only=False))
+        if not flag.any():
+            return schema.empty_table()
+        okey = t["l_orderkey"].combine_chunks().to_numpy(
+            zero_copy_only=False)[flag]
+        price = np.round(t["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False)[flag] * 100).astype(np.int64)
+        disc = np.round(t["l_discount"].combine_chunks().to_numpy(
+            zero_copy_only=False)[flag] * 100).astype(np.int64)
+        rev = price * (100 - disc)
+        order = np.argsort(okey, kind="stable")
+        ok_s, rev_s = okey[order], rev[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(ok_s[1:] != ok_s[:-1]) + 1])
+        n = len(starts)
+        return pa.table({
+            "jkey": pa.array(ok_s[starts], pa.int64()),
+            "tag": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "custkey": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "rev_u4": pa.array(np.add.reduceat(rev_s, starts), pa.int64()),
+        }).cast(schema)
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        odate = t["o_orderdate"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sel = np.flatnonzero((odate >= lo) & (odate < hi))
+        if len(sel) == 0:
+            return schema.empty_table()
+        take = pa.array(sel, pa.int64())
+        n = len(sel)
+        return pa.table({
+            "jkey": t["o_orderkey"].combine_chunks().take(take),
+            "tag": pa.array(np.ones(n, np.int8), pa.int8()),
+            "custkey": t["o_custkey"].combine_chunks().take(take),
+            "rev_u4": pa.array(np.zeros(n, np.int64), pa.int64()),
+        }).cast(schema)
+
+    mixed = lineitem_ds.map_batches(
+        lineitem_partial, batch_format="pyarrow"
+    ).union(orders_ds.map_batches(orders_side, batch_format="pyarrow"))
+    mixed = mixed.repartition(num_blocks=num_partitions, keys=["jkey"])
+
+    out_schema = pa.schema([("custkey", pa.int64()), ("rev_u4", pa.int64())])
+
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        jkey = t["jkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        cust = t["custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        rev = t["rev_u4"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((tag, jkey))
+        jk, tg = jkey[order], tag[order]
+        starts = np.concatenate([[0], np.flatnonzero(jk[1:] != jk[:-1]) + 1])
+        ends = np.append(starts[1:], len(jk)) - 1
+        match = (tg[starts] == 0) & (tg[ends] == 1)
+        if not match.any():
+            return out_schema.empty_table()
+        gid = np.zeros(len(jk), np.int64)
+        gid[starts[1:]] = 1
+        gid = np.cumsum(gid)
+        cust_of_group = cust[order][ends]
+        li = (tg == 0) & match[gid]
+        acc = np.zeros(n_cust, np.int64)
+        np.add.at(acc, cust_of_group[gid[li]], rev[order][li])
+        nz = np.flatnonzero(acc)
+        return pa.table({
+            "custkey": pa.array(nz, pa.int64()),
+            "rev_u4": pa.array(acc[nz], pa.int64()),
+        }).cast(out_schema)
+
+    acc = np.zeros(n_cust, np.int64)
+    for b in mixed.map_batches(
+            combine, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        np.add.at(acc, t["custkey"].to_numpy(zero_copy_only=False),
+                  t["rev_u4"].to_numpy(zero_copy_only=False))
+    nz = np.flatnonzero(acc)
+    top = nz[np.lexsort((nz, -acc[nz]))[:k]]
+
+    names = np.empty(n_cust, dtype=object)
+    names[ck] = np.asarray(customer_tbl["c_name"].to_pylist(), dtype=object)
+    bal = np.zeros(n_cust, np.int64)
+    bal[ck] = np.round(customer_tbl["c_acctbal"].to_numpy(
+        zero_copy_only=False) * 100).astype(np.int64)
+    cnk = customer_tbl["c_nationkey"].to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    cust_nation = np.full(n_cust, -1, np.int16)
+    cust_nation[ck] = cnk.astype(np.int16)
+    nk = nation_tbl["n_nationkey"].to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    nnames = np.empty(int(nk.max()) + 1 if len(nk) else 0, dtype=object)
+    nnames[nk] = np.asarray(nation_tbl["n_name"].to_pylist(), dtype=object)
+    return pa.table({
+        "c_custkey": pa.array(top, pa.int64()),
+        "c_name": pa.array(names[top].tolist(), pa.string()),
+        "revenue_u4": pa.array(acc[top], pa.int64()),
+        "c_acctbal_u2": pa.array(bal[top], pa.int64()),
+        "n_name": pa.array(nnames[cust_nation[top]].tolist(), pa.string()),
+    })
+
+
+RETURNED_ITEM_REVENUE_SQL = f"""
+SELECT c_custkey,
+       c_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_u4,
+       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c_acctbal_u2,
+       n_name
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '{RETURNED_WINDOW_LO}'
+  AND o_orderdate <  TIMESTAMP '{RETURNED_WINDOW_HI}'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 4, 5
+ORDER BY revenue_u4 DESC, c_custkey
+LIMIT {RETURNED_TOPK}
+"""
