@@ -1503,6 +1503,27 @@ def q_ingest_csv(sf_dir: str):
     return ingest_csv_rollup(ds, _scratch_dir(sf_dir, "csv"))
 
 
+def q_ingest_arrow_ipc(sf_dir: str):
+    """Arrow-IPC source path: per-block .arrow shard dump (once) ->
+    read_binary_files + IPC decode -> per-lang rollup; the custom-source
+    idiom for a format Ray Data has no native reader for."""
+    from ..sources.columnar import ingest_arrow_ipc_rollup
+
+    return ingest_arrow_ipc_rollup(
+        _documents(sf_dir, columns=["doc_id", "text", "lang"]),
+        _scratch_dir(sf_dir, "arrowipc"))
+
+
+def q_ingest_orc(sf_dir: str):
+    """ORC source path: per-block .orc shard dump (once) ->
+    read_binary_files + pyarrow ORC decode -> per-lang rollup."""
+    from ..sources.columnar import ingest_orc_rollup
+
+    return ingest_orc_rollup(
+        _documents(sf_dir, columns=["doc_id", "text", "lang"]),
+        _scratch_dir(sf_dir, "orc"))
+
+
 def q_decontaminate(sf_dir: str):
     """Train/eval overlap removal: non-benchmark docs sharing a 30-gram
     with the benchmark slice (bloom broadcast + exact verify; training
@@ -2021,6 +2042,8 @@ QUERIES = {
     "ingest_jsonl": q_ingest_jsonl,
     "ingest_jsonl_gz": q_ingest_jsonl_gz,
     "ingest_csv": q_ingest_csv,
+    "ingest_arrow_ipc": q_ingest_arrow_ipc,
+    "ingest_orc": q_ingest_orc,
     "decontaminate": q_decontaminate,
     "token_count_bpe": q_token_count_bpe,
     "pii_redact": q_pii_redact,
@@ -2372,6 +2395,9 @@ from ..sources.textio import INGEST_CSV_SQL, INGEST_JSONL_SQL  # noqa: E402
 ORACLE_SQL["ingest_jsonl"] = INGEST_JSONL_SQL
 ORACLE_SQL["ingest_jsonl_gz"] = INGEST_JSONL_SQL
 ORACLE_SQL["ingest_csv"] = INGEST_CSV_SQL
+from ..sources.columnar import INGEST_COLUMNAR_SQL  # noqa: E402
+ORACLE_SQL["ingest_arrow_ipc"] = INGEST_COLUMNAR_SQL
+ORACLE_SQL["ingest_orc"] = INGEST_COLUMNAR_SQL
 from ..stages.decontam import DECONTAMINATE_SQL  # noqa: E402
 
 ORACLE_SQL["decontaminate"] = DECONTAMINATE_SQL
