@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "part_value_share",
     "line_priority_counts",
     "returned_item_revenue",
+    "weighted_sample",
 ]
 
 

@@ -522,6 +522,16 @@ def q_sample_docs(sf_dir: str):
     return sample_docs(_documents(sf_dir, columns=["doc_id", "text"]))
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic length-weighted sample (rational race, k smallest
+    hash/weight scores) — per-block top-k candidates, driver finalize,
+    zero shuffle; bit-exact vs the SQL oracle because IEEE division is
+    correctly rounded (unlike ln)."""
+    from ..stages.sample import weighted_sample_docs
+
+    return weighted_sample_docs(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_region_customer_stats(sf_dir: str):
     """Star-schema broadcast dimension join: customer x nation x region
     rollup; dims fold to dense arrays driver-side, facts never shuffle."""
@@ -2018,6 +2028,7 @@ QUERIES = {
     "moving_sums": q_moving_sums,
     "events_pivot": q_events_pivot,
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
     "top_tokens": q_top_tokens,
     "purchase_error_users": q_purchase_error_users,
     "signup_no_purchase_users": q_signup_no_purchase_users,
@@ -2131,6 +2142,7 @@ from ..stages.sample import (
     SAMPLE_DOCS_SQL,
     STRATIFIED_SAMPLE_SQL,
     TRAIN_VAL_SPLIT_SQL,
+    WEIGHTED_SAMPLE_SQL,
 )
 from ..stages.vecagg import EMBEDDING_CENTROIDS_SQL
 from ..stages.funnel import FUNNEL_CONVERSIONS_SQL
@@ -2215,6 +2227,7 @@ ORACLE_SQL = {
     "moving_sums": MOVING_SUMS_SQL,
     "events_pivot": EVENTS_PIVOT_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "weighted_sample": WEIGHTED_SAMPLE_SQL,
     "priority_exists_counts": EXISTS_ORDER_COUNTS_SQL,
     "customer_order_counts": CUSTOMER_ORDER_COUNTS_SQL,
     "median_value_by_type": MEDIAN_VALUE_BY_TYPE_SQL,

@@ -179,3 +179,70 @@ SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM b GROUP BY split
 """
+
+
+WEIGHTED_K = 100  # global weighted-sample size
+
+
+def weighted_sample_docs(documents_ds, k: int = WEIGHTED_K):
+    """Deterministic WEIGHTED sample without replacement: the ``k`` docs
+    with the smallest ``hash(doc_id) / weight`` score, weight =
+    ``len(text)`` — the quality/length-weighted corpus-selection step of a
+    training-data pipeline (heavier docs win proportionally more of the
+    race).
+
+    Scheme note: this is the rational-race variant of weighted sampling,
+    not Efraimidis-Spirakis's exponential race (that needs ``ln(u)``, and
+    libm logs differ by 1 ulp across engines, which can flip ranks at the
+    boundary).  IEEE double DIVISION is correctly rounded, and u64->double
+    conversion is too, so ``double(h)/double(w)`` is bit-identical in
+    numpy and DuckDB — the score is exactly SQL-checkable.  Inclusion
+    still rises monotonically with weight; determinism, mergeability and
+    an exact oracle are what the engine trades the exact E-S inclusion
+    probabilities for.
+
+    Combiner shape: each block keeps its local k smallest scores (the
+    data never shuffles), the driver merges ``k x blocks`` candidate rows
+    and re-applies the same selection — identical discipline to
+    :func:`stratified_sample_events`, with a global instead of per-key
+    race.  Ties (h/w collisions) break by ascending doc_id on both sides.
+    """
+
+    def topk(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n_chars = pc.utf8_length(t["text"].combine_chunks()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        h = (did.astype(np.uint64) * np.uint64(SAMPLE_MULT)).astype(
+            np.float64)
+        score = h / n_chars.astype(np.float64)
+        sel = np.lexsort((did, score))[:k]
+        return pa.table({
+            "doc_id": pa.array(did[sel], pa.int64()),
+            "n_chars": pa.array(n_chars[sel], pa.int64()),
+            "score": pa.array(score[sel], pa.float64()),
+        })
+
+    parts = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in documents_ds.map_batches(topk, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    did = parts["doc_id"].to_numpy(zero_copy_only=False)
+    score = parts["score"].to_numpy(zero_copy_only=False)
+    sel = np.lexsort((did, score))[:k]
+    return pa.table({
+        "doc_id": pa.array(did[sel], pa.int64()),
+        "n_chars": pa.array(
+            parts["n_chars"].to_numpy(zero_copy_only=False)[sel], pa.int64()),
+    })
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, strlen(text) AS n_chars,
+         ROW_NUMBER() OVER (ORDER BY
+           CAST((CAST(doc_id AS HUGEINT) * {SAMPLE_MULT})
+                % 18446744073709551616 AS DOUBLE) / strlen(text),
+           doc_id) AS rk
+  FROM documents) WHERE rk <= {WEIGHTED_K}
+"""
