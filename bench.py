@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "line_priority_counts",
     "returned_item_revenue",
     "weighted_sample",
+    "hourly_type_series",
 ]
 
 

@@ -1884,6 +1884,19 @@ def q_idle_balance_by_segment(sf_dir: str):
     return idle_balance_by_segment(customer, orders)
 
 
+def q_hourly_type_series(sf_dir: str):
+    """Dense per-(type, hour) count series with zero-filled calendar gaps
+    — grid-sized block partials, driver grid materialization, zero
+    shuffle; the resample/generate_series shape."""
+    import ray.data as rd
+
+    from ..stages.sessions import hourly_type_series
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "ts"])
+    return hourly_type_series(events)
+
+
 def q_forecast_revenue(sf_dir: str):
     """TPC-H-Q6-shape: pure filter + ungrouped global SUM — two-scalar
     block partials, zero shuffle."""
@@ -2029,6 +2042,7 @@ QUERIES = {
     "events_pivot": q_events_pivot,
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
+    "hourly_type_series": q_hourly_type_series,
     "top_tokens": q_top_tokens,
     "purchase_error_users": q_purchase_error_users,
     "signup_no_purchase_users": q_signup_no_purchase_users,
@@ -2164,6 +2178,7 @@ from ..stages.sessions import (
     EVENTS_PIVOT_SQL,
     MOVING_SUMS_SQL,
     HOPPING_WINDOWS_SQL,
+    HOURLY_TYPE_SERIES_SQL,
     RUNNING_TOTALS_SQL,
     TOP_EVENTS_PER_USER_SQL,
     USER_EVENT_PATHS_SQL,
@@ -2228,6 +2243,7 @@ ORACLE_SQL = {
     "events_pivot": EVENTS_PIVOT_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "weighted_sample": WEIGHTED_SAMPLE_SQL,
+    "hourly_type_series": HOURLY_TYPE_SERIES_SQL,
     "priority_exists_counts": EXISTS_ORDER_COUNTS_SQL,
     "customer_order_counts": CUSTOMER_ORDER_COUNTS_SQL,
     "median_value_by_type": MEDIAN_VALUE_BY_TYPE_SQL,

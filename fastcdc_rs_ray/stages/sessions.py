@@ -1417,3 +1417,103 @@ SELECT c.cohort_us, um.month_us, CAST(COUNT(*) AS BIGINT) AS n_users
 FROM um JOIN c USING (user_id)
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# Dense time-series resample: zero-filled calendar grid (gap filling)
+# --------------------------------------------------------------------------
+
+HOUR_US = 3_600 * 1_000_000
+
+
+def hourly_type_series(events_ds, grain_us: int = HOUR_US):
+    """Dense per-(event_type, hour) count series with GAP FILLING: every
+    hour between the global min and max event hour appears for every
+    observed event type, zero-filled — the resample/`generate_series`
+    shape dashboards and anomaly detectors need (a sparse GROUP BY
+    silently drops empty buckets; a zero IS the signal).
+
+    Discipline: per-block partials are grid-sized (|types| x |hours in
+    block|) dict-encoded count rows — never event rows; the driver merges
+    them into one dict and materializes the dense |types| x |span| grid.
+    Zero keyed exchange.  Scale: hours grow linearly with calendar time
+    and types are a fixed vocabulary, so the grid stays driver-sized even
+    at 100 TB of events; if a grain ever made it bigger, the same
+    partials feed the event_windows keyed-exchange combine instead.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"].combine_chunks(), pa.int64()).to_numpy()
+        h = (ts // grain_us) * grain_us
+        enc = t["event_type"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        # pack (code, hour) into one sortable key: hours fit u64 easily
+        key = codes * (h.max() + 1 if len(h) else 1) + h if len(h) else h
+        order = np.argsort(key, kind="stable")
+        c_s, h_s = codes[order], h[order]
+        brk = np.concatenate(
+            ([True], (c_s[1:] != c_s[:-1]) | (h_s[1:] != h_s[:-1])))
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.append(starts, len(c_s)))
+        return pa.table({
+            "event_type": enc.dictionary.take(
+                pa.array(c_s[starts], pa.int64())),
+            "hour_us": pa.array(h_s[starts], pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    acc: dict[tuple[str, int], int] = {}
+    lo = None
+    hi = None
+    for b in events_ds.map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for et, h, n in zip(t["event_type"].to_pylist(),
+                            t["hour_us"].to_pylist(), t["n"].to_pylist()):
+            acc[(et, h)] = acc.get((et, h), 0) + n
+            lo = h if lo is None or h < lo else lo
+            hi = h if hi is None or h > hi else hi
+    if lo is None:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "hour_us": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64())})
+    types = sorted({et for et, _ in acc})
+    hours = np.arange(lo, hi + grain_us, grain_us, dtype=np.int64)
+    et_out = []
+    h_out = []
+    n_out = []
+    for et in types:
+        et_out.extend([et] * len(hours))
+        h_out.append(hours)
+        n_out.append(np.array([acc.get((et, int(h)), 0) for h in hours],
+                              np.int64))
+    return pa.table({
+        "event_type": pa.array(et_out, pa.string()),
+        "hour_us": pa.array(np.concatenate(h_out), pa.int64()),
+        "n_events": pa.array(np.concatenate(n_out), pa.int64()),
+    })
+
+
+HOURLY_TYPE_SERIES_SQL = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT MIN(date_trunc('hour', ts)) AS lo,
+         MAX(date_trunc('hour', ts)) AS hi
+  FROM events
+),
+hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM span
+),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT types.event_type,
+       CAST(epoch_us(hours.h) AS BIGINT) AS hour_us,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n_events
+FROM types CROSS JOIN hours
+LEFT JOIN b ON b.event_type = types.event_type AND b.h = hours.h
+"""
