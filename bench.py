@@ -79,6 +79,10 @@ BENCH_QUERIES = [
     "returned_item_revenue",
     "weighted_sample",
     "hourly_type_series",
+    "triangle_count",
+    "value_mad_by_type",
+    "dedup_normalized",
+    "corpus_shuffle",
 ]
 
 

@@ -1973,6 +1973,54 @@ def q_returned_item_revenue(sf_dir: str):
                                  num_partitions=8)
 
 
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count on the co-purchase graph — the multi-way graph
+    self-join: degree-ordered orientation (skew-proof wedge fan-out), one
+    exchange per of {edge distinct, adjacency, closure}."""
+    import ray.data as rd
+
+    from ..stages.pagerank import copurchase_edges, triangle_count
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_linenumber"])
+    return triangle_count(copurchase_edges(li, num_partitions=8),
+                          num_partitions=8)
+
+
+def q_value_mad_by_type(sf_dir: str):
+    """Grouped median absolute deviation (robust dispersion): chained exact
+    interpolated medians off ONE streaming value-histogram pass — the
+    deviation histogram derives from the value histogram driver-side, so
+    the two-level quantile costs zero exchange."""
+    import ray.data as rd
+
+    from ..stages.sessions import value_mad_by_type
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return value_mad_by_type(ds)
+
+
+def q_corpus_shuffle(sf_dir: str):
+    """Deterministic global epoch shuffle: (doc_id, pos) where pos is the
+    global rank of the bijective per-id hash — retry-stable training
+    order via one range sort + boundary-stitch position assignment."""
+    from ..stages.sample import corpus_shuffle
+
+    return corpus_shuffle(_documents(sf_dir, ["doc_id"]))
+
+
+def q_dedup_normalized(sf_dir: str):
+    """Normalization-keyed exact dedup (case + whitespace fold): the
+    near-exact tier between byte-identical dedup and MinHash — survivors
+    are min doc_id per normalized key, one keyed exchange of per-block
+    distinct keys."""
+    from ..stages.dedup import normalized_dedup
+
+    return normalized_dedup(_documents(sf_dir, ["doc_id", "text"]),
+                            num_partitions=8)
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -2102,6 +2150,10 @@ QUERIES = {
     "part_value_share": q_part_value_share,
     "line_priority_counts": q_line_priority_counts,
     "returned_item_revenue": q_returned_item_revenue,
+    "triangle_count": q_triangle_count,
+    "value_mad_by_type": q_value_mad_by_type,
+    "dedup_normalized": q_dedup_normalized,
+    "corpus_shuffle": q_corpus_shuffle,
 }
 
 
@@ -2519,3 +2571,26 @@ cleaned AS (
 )
 SELECT d.doc_id, coalesce(c.clean_text, d.text) AS clean_text
 FROM documents d LEFT JOIN cleaned c USING (doc_id)"""
+
+ORACLE_SQL["triangle_count"] = """
+WITH raw AS (
+  SELECT l_partkey AS src,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey) AS dst
+  FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE dst IS NOT NULL AND src <> dst
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e2.a = e1.b
+JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+from ..stages.sessions import VALUE_MAD_BY_TYPE_SQL  # noqa: E402
+ORACLE_SQL["value_mad_by_type"] = VALUE_MAD_BY_TYPE_SQL
+from ..stages.dedup import NORMALIZED_DEDUP_SQL  # noqa: E402
+ORACLE_SQL["dedup_normalized"] = NORMALIZED_DEDUP_SQL
+from ..stages.sample import CORPUS_SHUFFLE_SQL  # noqa: E402
+ORACLE_SQL["corpus_shuffle"] = CORPUS_SHUFFLE_SQL

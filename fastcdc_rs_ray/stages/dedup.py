@@ -75,6 +75,42 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     return partials.map_batches(final, batch_format="pyarrow", batch_size=None)
 
 
+def normalized_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                     num_partitions: int = 32):
+    """Exact dedup keyed on a NORMALIZED text form (lowercase + whitespace
+    runs collapsed to one space + trimmed) — the near-exact tier between
+    byte-identical dedup and MinHash: catches reflow/case variants of the
+    same document that :func:`exact_dedup` misses, at the identical
+    one-exchange cost.
+
+    The normalization kernels are vectorized Arrow compute (RE2
+    ``replace_substring_regex`` + ``utf8_lower``), the same regex engine
+    and pattern the DuckDB oracle's ``regexp_replace`` runs, so the
+    grouping keys agree byte-for-byte.  The normalized string never leaves
+    the block: the partial reduces it to a 64-bit key immediately (same
+    scale posture as exact_dedup; a strong 128-bit key is the documented
+    swap if 64-bit birthday collisions matter at 10^12 rows).
+    """
+
+    def norm(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t[text_col].combine_chunks())
+        x = pc.replace_substring_regex(x, pattern="[ \\t\\r\\n]+",
+                                       replacement=" ")
+        x = pc.utf8_trim(x, " ")
+        return pa.table({id_col: t[id_col], text_col: x})
+
+    return exact_dedup(ds.map_batches(norm, batch_format="pyarrow"),
+                       text_col=text_col, id_col=id_col,
+                       num_partitions=num_partitions)
+
+
+NORMALIZED_DEDUP_SQL = """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM documents
+GROUP BY lower(trim(regexp_replace(text, '[ \\t\\r\\n]+', ' ', 'g'), ' '))
+"""
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

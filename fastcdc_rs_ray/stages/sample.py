@@ -246,3 +246,84 @@ SELECT doc_id, n_chars FROM (
            doc_id) AS rk
   FROM documents) WHERE rk <= {WEIGHTED_K}
 """
+
+
+SHUFFLE_SEED = 0
+
+
+def corpus_shuffle(documents_ds, seed: int = SHUFFLE_SEED,
+                   id_col: str = "doc_id"):
+    """Deterministic GLOBAL permutation of the corpus with explicit
+    positions — the training-order epoch shuffle.  ``ds.random_shuffle``
+    is non-reproducible across runs and block retries; here the order is a
+    pure function of (id, seed): ``skey = (id XOR seed) * GOLDEN mod 2^64``
+    (bijective — no ties, every epoch seed a different full permutation),
+    and the output row is ``(doc_id, pos)`` with pos the global rank of
+    skey.
+
+    Positions come WITHOUT any driver-side enumeration: after the range
+    sort on skey (the one exchange — Ray's sort keeps blocks as globally
+    ordered, disjoint key ranges), a one-row-per-block summary pass gives
+    the driver (first_skey, count) pairs; the prefix-sum offsets broadcast
+    back, and each block finds its own offset by searchsorted on its first
+    key — the same boundary-stitch idiom as the LSH band linker.  The
+    permutation is retry-stable and identical at any block count.
+    """
+    import ray
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        skey = (ids.astype(np.uint64) ^ np.uint64(seed)) * np.uint64(SAMPLE_MULT)
+        return pa.table({
+            "skey": pa.array(skey, pa.uint64()),
+            id_col: pa.array(ids, pa.int64()),
+        })
+
+    sorted_ds = documents_ds.map_batches(
+        keyed, batch_format="pyarrow").sort("skey").materialize()
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"first": pa.array([], pa.uint64()),
+                             "cnt": pa.array([], pa.int64())})
+        sk = t["skey"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"first": pa.array([sk[0]], pa.uint64()),
+                         "cnt": pa.array([len(sk)], pa.int64())})
+
+    summ = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in sorted_ds.map_batches(
+            block_summary, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow")
+    )
+    first = summ["first"].to_numpy(zero_copy_only=False)
+    cnt = summ["cnt"].to_numpy(zero_copy_only=False)
+    order = np.argsort(first, kind="stable")
+    first = first[order]
+    offsets = np.concatenate([[0], np.cumsum(cnt[order])[:-1]]).astype(np.int64)
+    stitch = ray.put((first, offsets))
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        fb, ob = ray.get(stitch)
+        sk = t["skey"].combine_chunks().to_numpy(zero_copy_only=False)
+        base = ob[np.searchsorted(fb, sk[0])]
+        return pa.table({
+            id_col: t[id_col],
+            "pos": pa.array(base + np.arange(len(sk), dtype=np.int64),
+                            pa.int64()),
+        })
+
+    return sorted_ds.map_batches(assign, batch_format="pyarrow",
+                                 batch_size=None)
+
+
+CORPUS_SHUFFLE_SQL = f"""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY
+         (CAST(xor(CAST(doc_id AS UBIGINT), {SHUFFLE_SEED}::UBIGINT) AS HUGEINT)
+          * {SAMPLE_MULT}) % 18446744073709551616) - 1 AS BIGINT) AS pos
+FROM documents
+"""

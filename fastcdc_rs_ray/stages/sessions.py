@@ -1215,6 +1215,110 @@ FROM s
 """
 
 
+def value_mad_by_type(events_ds):
+    """Grouped MEDIAN ABSOLUTE DEVIATION — the robust-dispersion partner of
+    :func:`value_dispersion`'s variance: ``mad = median(|x - median(x)|)``,
+    a two-level quantile that normally costs two passes (median, then
+    re-scan for deviations).
+
+    Here it costs ONE streaming pass and zero exchange: the per-block
+    partial is the same (type, value_c, count) histogram the other grouped
+    quantiles use (tiny — the value domain is 2-decimal by contract), and
+    the DEVIATION histogram is derived from the value histogram on the
+    driver (|2v - med_u2| per bin, counts re-merged), so the second
+    quantile level is free.
+
+    Exact integer arithmetic throughout: interpolated medians double
+    instead of halving — ``med_u2 = lo + hi`` cents (straddling order
+    statistics; equal for odd n) and ``mad_u4 = dlo + dhi`` in quarter-cent
+    units — so the result is partition-invariant and hash-matches the SQL
+    oracle's identical integer formula.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].combine_chunks()
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vc = np.round(
+            t["value"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pair = np.stack([codes, vc], axis=1)
+        u, c = np.unique(pair, axis=0, return_counts=True)
+        return pa.table({
+            "event_type": enc.dictionary.take(pa.array(u[:, 0], pa.int64())),
+            "value_c": pa.array(u[:, 1], pa.int64()),
+            "n": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow")
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs)
+    schema = pa.schema([
+        ("event_type", pa.string()), ("n", pa.int64()),
+        ("med_u2", pa.int64()), ("mad_u4", pa.int64()),
+    ])
+    if len(t) == 0:
+        return schema.empty_table()
+    et = t["event_type"].combine_chunks()
+    enc = et.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    val = t["value_c"].to_numpy(zero_copy_only=False)
+    cnt = t["n"].to_numpy(zero_copy_only=False)
+
+    def hist_median2(v: np.ndarray, c: np.ndarray) -> tuple[int, int]:
+        """(lo + hi, n): doubled interpolated median off a value histogram."""
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        starts = np.concatenate([[0], np.flatnonzero(v[1:] != v[:-1]) + 1])
+        vals = v[starts]
+        cum = np.cumsum(np.add.reduceat(c, starts))
+        total = int(cum[-1])
+        k = (total - 1) // 2
+        lo = int(vals[np.searchsorted(cum, k, side="right")])
+        hi = int(vals[np.searchsorted(cum, min(k + 1, total - 1), side="right")])
+        return lo + hi, total
+
+    rows: dict[str, list] = {c: [] for c in schema.names}
+    for code, name in enumerate(enc.dictionary.to_pylist()):
+        sel = codes == code
+        v, c = val[sel], cnt[sel]
+        med_u2, total = hist_median2(v, c)
+        dev = np.abs(2 * v - med_u2)  # u2 units; bins can collide -> re-merge
+        mad_u4, _ = hist_median2(dev, c)
+        rows["event_type"].append(name)
+        rows["n"].append(total)
+        rows["med_u2"].append(med_u2)
+        rows["mad_u4"].append(mad_u4)
+    return pa.table(rows).cast(schema)
+
+
+VALUE_MAD_BY_TYPE_SQL = """
+WITH s AS (
+  SELECT event_type,
+         list_sort(list(CAST(ROUND(value * 100) AS BIGINT))) AS vs,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n, vs,
+         vs[(n-1)//2 + 1] + vs[least((n-1)//2 + 2, n)] AS med_u2
+  FROM s
+),
+d AS (
+  SELECT event_type, n, med_u2,
+         list_sort(list_transform(vs, x -> abs(2*x - med_u2))) AS ds
+  FROM m
+)
+SELECT event_type, n, med_u2,
+       ds[(n-1)//2 + 1] + ds[least((n-1)//2 + 2, n)] AS mad_u4
+FROM d
+"""
+
+
 def login_streaks(events_ds, num_partitions: int = 16):
     """Gaps-and-islands: each user's count of distinct active days and
     LONGEST run of consecutive days — the islands-via-(day - row_number)

@@ -1,0 +1,161 @@
+"""triangle_count (multi-way graph self-join), value_mad_by_type (grouped
+robust dispersion), normalized_dedup (normalization-keyed exact dedup):
+each pinned against a brute-force numpy/python reference on planted
+inputs, with multi-block partitioning to exercise partition invariance."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+
+from fastcdc_rs_ray.stages.dedup import normalized_dedup
+from fastcdc_rs_ray.stages.pagerank import triangle_count
+from fastcdc_rs_ray.stages.sessions import value_mad_by_type
+
+
+def _tri_brute(edges: set[tuple[int, int]]) -> int:
+    nodes = sorted({n for e in edges for n in e})
+    cnt = 0
+    for a, b, c in itertools.combinations(nodes, 3):
+        if ((a, b) in edges and (b, c) in edges and (a, c) in edges):
+            cnt += 1
+    return cnt
+
+
+def _to_ds(ray, src, dst, blocks=5):
+    import ray.data as rd
+
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def test_triangle_count_known_graphs(ray_session):
+    # K5 (10 triangles) + a 200-leaf star hub (0 triangles: the skew case
+    # the degree orientation must not blow up on) + one pendant path
+    src, dst = [], []
+    for a, b in itertools.combinations(range(5), 2):
+        src.append(a); dst.append(b)
+    hub = 100
+    for leaf in range(200, 400):
+        src.append(hub); dst.append(leaf)
+    # close three star leaves into one triangle with the hub
+    src += [200, 201]; dst += [201, 200]  # duplicate/reverse edges too
+    ds = _to_ds(ray_session, src, dst)
+    out = triangle_count(ds, num_partitions=4)
+    edges = {(min(a, b), max(a, b)) for a, b in zip(src, dst) if a != b}
+    assert out["n_triangles"][0].as_py() == _tri_brute(edges) == 10 + 1
+
+
+def test_triangle_count_random_partition_invariant(ray_session):
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 60, 500)
+    dst = rng.integers(0, 60, 500)
+    edges = {(min(a, b), max(a, b)) for a, b in zip(src.tolist(), dst.tolist())
+             if a != b}
+    want = _tri_brute(edges)
+    for blocks in (1, 7):
+        out = triangle_count(_to_ds(ray_session, src, dst, blocks=blocks),
+                             num_partitions=3)
+        assert out["n_triangles"][0].as_py() == want
+
+
+def _mad_ref(vals_c: np.ndarray) -> tuple[int, int]:
+    vs = np.sort(vals_c)
+    n = len(vs)
+    k = (n - 1) // 2
+    med_u2 = int(vs[k]) + int(vs[min(k + 1, n - 1)])
+    ds = np.sort(np.abs(2 * vs - med_u2))
+    mad_u4 = int(ds[k]) + int(ds[min(k + 1, n - 1)])
+    return med_u2, mad_u4
+
+
+def test_value_mad_by_type_vs_reference(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    types = np.array(["a", "b", "c"])[rng.integers(0, 3, 1001)]
+    # one even-sized and one odd-sized group, 2-decimal values
+    vals = np.round(rng.normal(50, 20, 1001), 2)
+    t = pa.table({"event_type": pa.array(types.tolist(), pa.string()),
+                  "value": pa.array(vals, pa.float64())})
+    out = value_mad_by_type(rd.from_arrow(t).repartition(6))
+    got = {r["event_type"]: (r["med_u2"], r["mad_u4"], r["n"])
+           for r in out.to_pylist()}
+    for ty in ("a", "b", "c"):
+        sel = types == ty
+        vc = np.round(vals[sel] * 100).astype(np.int64)
+        med_u2, mad_u4 = _mad_ref(vc)
+        assert got[ty] == (med_u2, mad_u4, int(sel.sum()))
+    # robustness property: one wild outlier moves the mean, not the MAD
+    vals2 = vals.copy()
+    vals2[np.flatnonzero(types == "a")[0]] = 1e6
+    t2 = pa.table({"event_type": pa.array(types.tolist(), pa.string()),
+                   "value": pa.array(vals2, pa.float64())})
+    out2 = value_mad_by_type(rd.from_arrow(t2).repartition(6))
+    got2 = {r["event_type"]: r["mad_u4"] for r in out2.to_pylist()}
+    assert abs(got2["a"] - got["a"][1]) <= 8  # within 2 cents
+
+
+def test_normalized_dedup_planted_variants(ray_session):
+    import ray.data as rd
+
+    base = [
+        "The quick brown fox",
+        "jumps over the lazy dog",
+        "pack my box with five dozen jugs",
+    ]
+    rows_id, rows_text = [], []
+    did = 0
+    for i, b in enumerate(base):
+        variants = [
+            b,
+            b.upper(),
+            "  " + b.replace(" ", "\t \n") + " \r\n",
+            b.title(),
+        ]
+        for v in variants:
+            rows_id.append(did); rows_text.append(v); did += 1
+    # plus one genuinely unique doc
+    rows_id.append(did); rows_text.append("completely different text")
+    t = pa.table({"doc_id": pa.array(rows_id, pa.int64()),
+                  "text": pa.array(rows_text, pa.string())})
+    out = normalized_dedup(rd.from_arrow(t).repartition(4), num_partitions=3)
+    got = sorted(pa.concat_tables(
+        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+         for b in out.iter_batches(batch_format="pyarrow")]
+    )["doc_id"].to_pylist())
+    # survivors: min id per normalized group = 0, 4, 8 and the unique 12
+    assert got == [0, 4, 8, 12]
+
+
+def test_corpus_shuffle_permutation_and_determinism(ray_session):
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.sample import SAMPLE_MULT, corpus_shuffle
+
+    ids = np.arange(0, 937, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    def run(blocks, seed=0):
+        out = corpus_shuffle(rd.from_arrow(t).repartition(blocks), seed=seed)
+        tab = pa.concat_tables(
+            [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+             for b in out.iter_batches(batch_format="pyarrow")])
+        d = dict(zip(tab["doc_id"].to_pylist(), tab["pos"].to_pylist()))
+        assert len(d) == len(ids)
+        return d
+
+    a = run(3)
+    b = run(9)  # identical at any block count
+    assert a == b
+    # pos is a permutation of 0..n-1 matching the hash rank
+    skey = (ids.astype(np.uint64) * np.uint64(SAMPLE_MULT))
+    want = {int(i): int(p) for i, p in
+            zip(ids[np.argsort(skey)], range(len(ids)))}
+    assert a == want
+    # a different seed is a genuinely different permutation
+    c = run(3, seed=12345)
+    assert c != a and sorted(c.values()) == list(range(len(ids)))
