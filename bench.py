@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "value_mad_by_type",
     "dedup_normalized",
     "corpus_shuffle",
+    "user_spend_ntile",
 ]
 
 

@@ -2010,6 +2010,19 @@ def q_corpus_shuffle(sf_dir: str):
     return corpus_shuffle(_documents(sf_dir, ["doc_id"]))
 
 
+def q_user_spend_ntile(sf_dir: str):
+    """NTILE(10) over per-user spend under a unique (total, user) order:
+    rank = broadcast CDF 'below' + within-tie index from one keyed
+    exchange of reduced totals on total_c."""
+    import ray.data as rd
+
+    from ..stages.sessions import user_spend_ntile
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+    return user_spend_ntile(ds, k=10, num_partitions=8)
+
+
 def q_dedup_normalized(sf_dir: str):
     """Normalization-keyed exact dedup (case + whitespace fold): the
     near-exact tier between byte-identical dedup and MinHash — survivors
@@ -2154,6 +2167,7 @@ QUERIES = {
     "value_mad_by_type": q_value_mad_by_type,
     "dedup_normalized": q_dedup_normalized,
     "corpus_shuffle": q_corpus_shuffle,
+    "user_spend_ntile": q_user_spend_ntile,
 }
 
 
@@ -2594,3 +2608,5 @@ from ..stages.dedup import NORMALIZED_DEDUP_SQL  # noqa: E402
 ORACLE_SQL["dedup_normalized"] = NORMALIZED_DEDUP_SQL
 from ..stages.sample import CORPUS_SHUFFLE_SQL  # noqa: E402
 ORACLE_SQL["corpus_shuffle"] = CORPUS_SHUFFLE_SQL
+from ..stages.sessions import USER_SPEND_NTILE_SQL  # noqa: E402
+ORACLE_SQL["user_spend_ntile"] = USER_SPEND_NTILE_SQL

@@ -1621,3 +1621,123 @@ SELECT types.event_type,
 FROM types CROSS JOIN hours
 LEFT JOIN b ON b.event_type = types.event_type AND b.h = hours.h
 """
+
+
+def user_spend_ntile(events_ds, k: int = 10, num_partitions: int = 8):
+    """NTILE(k) over per-user spend — the equi-height bucketing window.
+
+    NTILE is only deterministic under a UNIQUE total ordering, so the
+    order key is (total, user_id) (ties broken by id, mirrored in the
+    oracle's ``ORDER BY total_c, user_id``).  Row numbers come without a
+    global sort, splitting the rank into two exact parts:
+
+    - ``below`` (#users with strictly smaller totals) from the broadcast
+      distinct-total cumulative histogram — :func:`user_spend_rank`'s
+      device;
+    - the within-tie index from ONE keyed exchange of the (already
+      reduced) per-user totals on total_c: equal totals land in one
+      block, where a lexsort by (total, user) enumerates them.
+
+    The bucket then follows SQL NTILE's first-buckets-get-the-remainder
+    rule exactly: with n rows, ``big = n %% k`` buckets of size
+    ``n//k + 1`` come first.  Everything after the per-user reduction
+    moves |users|-sized rows only.
+    """
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        vc = np.round(
+            t["value"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        u, inv = np.unique(uid, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, vc)
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "total_c": pa.array(s, pa.int64())})
+
+    ds = events_ds.map_batches(partial, batch_format="pyarrow")
+    ds = ds.repartition(num_blocks=num_partitions, keys=["user_id"])
+
+    def final(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "total_c": pa.array([], pa.int64())})
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        s0 = t["total_c"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, inv = np.unique(uid, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, s0)
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "total_c": pa.array(s, pa.int64())})
+
+    totals = ds.map_batches(final, batch_format="pyarrow",
+                            batch_size=None).materialize()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            t["total_c"].combine_chunks().to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"v": pa.array(v, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    parts = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in totals.map_batches(hist_partial, batch_format="pyarrow",
+                                    batch_size=None)
+        .iter_batches(batch_format="pyarrow"))
+    v = parts["v"].to_numpy(zero_copy_only=False)
+    c = parts["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(v, kind="stable")
+    v, c = v[order], c[order]
+    starts = np.concatenate([[0], np.flatnonzero(v[1:] != v[:-1]) + 1]) \
+        if len(v) else np.empty(0, np.int64)
+    vals = v[starts]
+    counts = np.add.reduceat(c, starts) if len(v) else c
+    below = np.concatenate([[0], np.cumsum(counts)[:-1]]) if len(counts) else counts
+    n_total = int(counts.sum())
+    cdf_ref = ray.put((vals, below))
+
+    big = n_total % k
+    size_big = n_total // k + 1
+    size_small = n_total // k
+    cut = big * size_big
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "total_c": pa.array([], pa.int64()),
+                             "tile": pa.array([], pa.int64())})
+        vb, bb = ray.get(cdf_ref)
+        tc = t["total_c"].combine_chunks().to_numpy(zero_copy_only=False)
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, tc))
+        tc, uid = tc[order], uid[order]
+        gstart = np.concatenate([[0], np.flatnonzero(tc[1:] != tc[:-1]) + 1])
+        tie_idx = np.arange(len(tc)) - np.repeat(gstart, np.diff(
+            np.concatenate([gstart, [len(tc)]])))
+        r = bb[np.searchsorted(vb, tc)] + tie_idx + 1  # 1-based row_number
+        tile = np.where(
+            r <= cut,
+            (r - 1) // size_big + 1,
+            big + (r - 1 - cut) // max(size_small, 1) + 1,
+        ).astype(np.int64)
+        return pa.table({"user_id": pa.array(uid, pa.int64()),
+                         "total_c": pa.array(tc, pa.int64()),
+                         "tile": pa.array(tile, pa.int64())})
+
+    by_total = totals.repartition(num_blocks=num_partitions, keys=["total_c"])
+    return by_total.map_batches(assign, batch_format="pyarrow",
+                                batch_size=None)
+
+
+USER_SPEND_NTILE_SQL = """
+WITH t AS (
+  SELECT user_id, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS total_c
+  FROM events GROUP BY user_id
+)
+SELECT user_id, total_c,
+       CAST(NTILE(10) OVER (ORDER BY total_c, user_id) AS BIGINT) AS tile
+FROM t
+"""

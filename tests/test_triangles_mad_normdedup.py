@@ -159,3 +159,51 @@ def test_corpus_shuffle_permutation_and_determinism(ray_session):
     # a different seed is a genuinely different permutation
     c = run(3, seed=12345)
     assert c != a and sorted(c.values()) == list(range(len(ids)))
+
+
+def _ntile_ref(totals: dict[int, int], k: int) -> dict[int, int]:
+    rows = sorted(totals.items(), key=lambda x: (x[1], x[0]))
+    n = len(rows)
+    big, size_big, size_small = n % k, n // k + 1, n // k
+    cut = big * size_big
+    out = {}
+    for i, (uid, _) in enumerate(rows):
+        r = i + 1
+        out[uid] = ((r - 1) // size_big + 1 if r <= cut
+                    else big + (r - 1 - cut) // max(size_small, 1) + 1)
+    return out
+
+
+def test_user_spend_ntile_vs_reference(ray_session):
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.sessions import user_spend_ntile
+
+    rng = np.random.default_rng(11)
+    n_ev = 3000
+    uid = rng.integers(0, 173, n_ev)
+    # coarse values force many tied totals (the within-tie exchange path)
+    val = rng.integers(1, 4, n_ev).astype(np.float64)
+    t = pa.table({"user_id": pa.array(uid, pa.int64()),
+                  "value": pa.array(val, pa.float64())})
+    totals: dict[int, int] = {}
+    for u, v in zip(uid.tolist(), val.tolist()):
+        totals[u] = totals.get(u, 0) + int(round(v * 100))
+    want = _ntile_ref(totals, 10)
+    for blocks in (2, 8):
+        out = user_spend_ntile(rd.from_arrow(t).repartition(blocks),
+                               k=10, num_partitions=4)
+        tab = pa.concat_tables(
+            [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+             for b in out.iter_batches(batch_format="pyarrow")])
+        got = dict(zip(tab["user_id"].to_pylist(), tab["tile"].to_pylist()))
+        assert got == want
+    # fewer rows than buckets: every row its own tile prefix
+    small = pa.table({"user_id": pa.array([1, 2, 3], pa.int64()),
+                      "value": pa.array([1.0, 2.0, 3.0], pa.float64())})
+    out = user_spend_ntile(rd.from_arrow(small), k=10, num_partitions=2)
+    tab = pa.concat_tables(
+        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+         for b in out.iter_batches(batch_format="pyarrow")])
+    got = dict(zip(tab["user_id"].to_pylist(), tab["tile"].to_pylist()))
+    assert got == {1: 1, 2: 2, 3: 3}
