@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "dedup_normalized",
     "corpus_shuffle",
     "user_spend_ntile",
+    "hourly_anomalies",
 ]
 
 

@@ -2023,6 +2023,18 @@ def q_user_spend_ntile(sf_dir: str):
     return user_spend_ntile(ds, k=10, num_partitions=8)
 
 
+def q_hourly_anomalies(sf_dir: str):
+    """Spike flags on the zero-filled hourly grid: exact cross-multiplied
+    integer z-test (z=3) per event type; grid partials, zero exchange."""
+    import ray.data as rd
+
+    from ..stages.sessions import hourly_anomalies
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    return hourly_anomalies(ds)
+
+
 def q_dedup_normalized(sf_dir: str):
     """Normalization-keyed exact dedup (case + whitespace fold): the
     near-exact tier between byte-identical dedup and MinHash — survivors
@@ -2168,6 +2180,7 @@ QUERIES = {
     "dedup_normalized": q_dedup_normalized,
     "corpus_shuffle": q_corpus_shuffle,
     "user_spend_ntile": q_user_spend_ntile,
+    "hourly_anomalies": q_hourly_anomalies,
 }
 
 
@@ -2610,3 +2623,5 @@ from ..stages.sample import CORPUS_SHUFFLE_SQL  # noqa: E402
 ORACLE_SQL["corpus_shuffle"] = CORPUS_SHUFFLE_SQL
 from ..stages.sessions import USER_SPEND_NTILE_SQL  # noqa: E402
 ORACLE_SQL["user_spend_ntile"] = USER_SPEND_NTILE_SQL
+from ..stages.sessions import HOURLY_ANOMALIES_SQL  # noqa: E402
+ORACLE_SQL["hourly_anomalies"] = HOURLY_ANOMALIES_SQL

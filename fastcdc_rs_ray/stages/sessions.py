@@ -1741,3 +1741,84 @@ SELECT user_id, total_c,
        CAST(NTILE(10) OVER (ORDER BY total_c, user_id) AS BIGINT) AS tile
 FROM t
 """
+
+
+ANOMALY_Z2_X100 = 900  # z = 3.0, carried as z^2 * 100 so thresholds stay integral
+
+
+def hourly_anomalies(events_ds, z2_x100: int = ANOMALY_Z2_X100,
+                     grain_us: int = HOUR_US):
+    """Spike detection over the dense hourly series: flag every
+    (event_type, hour) cell whose count exceeds its type's mean by more
+    than z sample standard deviations — the alerting pass a pipeline runs
+    ON TOP of :func:`hourly_type_series` (the zero-filled grid matters:
+    against a sparse GROUP BY the mean/std would be computed over the
+    wrong denominator and quiet hours could never drag the baseline down).
+
+    The z-test is evaluated entirely in integers — cross-multiplied as
+
+        (m·x − S) > 0  and  (m·x − S)²·(m−1)·100 > z²·100·m·(m·Q − S²)
+
+    with S = Σx, Q = Σx² over the m grid cells of the type (driver-side
+    Python bigints, so no overflow at any scale; the SQL oracle evaluates
+    the identical inequality in HUGEINT).  Distribution shape = the grid's:
+    grid-sized block partials, zero exchange, flags on the driver-resident
+    grid.
+    """
+    grid = hourly_type_series(events_ds, grain_us=grain_us)
+    if len(grid) == 0:
+        return grid
+    et = grid["event_type"].to_pylist()
+    hours = grid["hour_us"].to_numpy(zero_copy_only=False)
+    n = grid["n_events"].to_numpy(zero_copy_only=False)
+    out_sel = []
+    import itertools as _it
+
+    for _ty, g in _it.groupby(range(len(et)), key=lambda i: et[i]):
+        idx = list(g)
+        xs = [int(n[i]) for i in idx]
+        m, S, Q = len(xs), sum(xs), sum(x * x for x in xs)
+        var_num = m * Q - S * S  # = m(m-1) * sample variance, exact
+        for i, x in zip(idx, xs):
+            d = m * x - S
+            if d > 0 and d * d * (m - 1) * 100 > z2_x100 * m * var_num:
+                out_sel.append(i)
+    sel = pa.array(np.asarray(out_sel, np.int64))
+    return grid.take(sel)
+
+
+HOURLY_ANOMALIES_SQL = f"""
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT MIN(date_trunc('hour', ts)) AS lo,
+         MAX(date_trunc('hour', ts)) AS hi
+  FROM events
+),
+hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM span
+),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (
+  SELECT types.event_type,
+         CAST(epoch_us(hours.h) AS BIGINT) AS hour_us,
+         CAST(COALESCE(b.n, 0) AS BIGINT) AS n_events
+  FROM types CROSS JOIN hours
+  LEFT JOIN b ON b.event_type = types.event_type AND b.h = hours.h
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS m,
+         CAST(SUM(n_events) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(n_events AS HUGEINT) * n_events) AS HUGEINT) AS sq
+  FROM grid GROUP BY event_type
+)
+SELECT g.event_type, g.hour_us, g.n_events
+FROM grid g JOIN s USING (event_type)
+WHERE (s.m * g.n_events - s.sx) > 0
+  AND (s.m * g.n_events - s.sx) * (s.m * g.n_events - s.sx)
+      * (s.m - 1) * 100
+      > {ANOMALY_Z2_X100} * s.m * (s.m * s.sq - s.sx * s.sx)
+"""

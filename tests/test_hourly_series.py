@@ -50,3 +50,36 @@ def test_hourly_series_partition_invariant(ray_session):
     b = hourly_type_series(rd.from_arrow(events).repartition(9)).to_pandas()
     assert a.equals(b)
     assert (a.groupby("event_type")["n_events"].sum().sum()) == n
+
+
+def test_hourly_anomalies_planted_spike(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.sessions import HOUR_US, hourly_anomalies
+
+    rng = np.random.default_rng(5)
+    # 200 quiet hours at ~10 events, one hour at 200 events
+    ts_l, ty_l = [], []
+    base = (1_700_000_000 * 1_000_000 // HOUR_US) * HOUR_US  # hour-aligned
+    for h in range(200):
+        for _ in range(int(rng.integers(8, 13))):
+            ts_l.append(base + h * HOUR_US + int(rng.integers(0, HOUR_US)))
+            ty_l.append("click")
+    spike_h = 77
+    for _ in range(200):
+        ts_l.append(base + spike_h * HOUR_US + int(rng.integers(0, HOUR_US)))
+        ty_l.append("click")
+    t = pa.table({"event_type": pa.array(ty_l, pa.string()),
+                  "ts": pa.array(np.array(ts_l, np.int64),
+                                 pa.timestamp("us"))})
+    out = hourly_anomalies(rd.from_arrow(t).repartition(4))
+    rows = out.to_pylist()
+    assert any(r["hour_us"] == base + spike_h * HOUR_US for r in rows)
+    # the quiet hours stay unflagged (spike inflates std; z=3 keeps them out)
+    assert all(r["n_events"] >= 100 for r in rows)
+    # determinism across block counts
+    out2 = hourly_anomalies(rd.from_arrow(t).repartition(1))
+    assert sorted(map(tuple, (r.values() for r in out2.to_pylist()))) == \
+           sorted(map(tuple, (r.values() for r in rows)))
