@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "corpus_shuffle",
     "user_spend_ntile",
     "hourly_anomalies",
+    "chunk_jaccard_dups",
 ]
 
 

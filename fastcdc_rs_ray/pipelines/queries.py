@@ -2023,6 +2023,17 @@ def q_user_spend_ntile(sf_dir: str):
     return user_spend_ntile(ds, k=10, num_partitions=8)
 
 
+def q_chunk_jaccard_dups(sf_dir: str):
+    """CDC-native file similarity: conv pairs with chunk-set Jaccard >=
+    0.5 — the exact-tier counterpart of the MinHash flagship (rows-only:
+    chunk boundaries are not SQL-expressible; planted exact-copy twins
+    pytest-pinned)."""
+    from ..stages.dedup import chunk_jaccard_pairs
+
+    return chunk_jaccard_pairs(q_chunks(sf_dir), tau_milli=500,
+                               num_partitions=8)
+
+
 def q_hourly_anomalies(sf_dir: str):
     """Spike flags on the zero-filled hourly grid: exact cross-multiplied
     integer z-test (z=3) per event type; grid partials, zero exchange."""
@@ -2181,6 +2192,7 @@ QUERIES = {
     "corpus_shuffle": q_corpus_shuffle,
     "user_spend_ntile": q_user_spend_ntile,
     "hourly_anomalies": q_hourly_anomalies,
+    "chunk_jaccard_dups": q_chunk_jaccard_dups,
 }
 
 

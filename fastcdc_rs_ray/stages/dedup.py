@@ -371,3 +371,158 @@ def ngram_jaccard_pairs(ds, k: int = 3, tau: float = 0.8, num_partitions: int = 
         )
 
     return pairs.map_batches(combine_filter, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# chunk-set Jaccard similarity join (CDC-native file similarity)
+# --------------------------------------------------------------------------
+
+
+def chunk_jaccard_pairs(chunks_ds, tau_milli: int = 500,
+                        num_partitions: int = 16, max_group: int = 4096):
+    """Conversation pairs whose CDC chunk sets overlap with Jaccard >=
+    tau_milli/1000 — the classic backup/crawl "file similarity by chunk
+    overlap" analysis (the exact-tier counterpart of the MinHash flagship:
+    same evidence, no approximation; viable while shared-chunk groups stay
+    bounded, which content-defined chunks — unlike word shingles — are:
+    the element universe grows with the corpus, so a chunk hash recurring
+    across many documents IS the duplication being measured).
+
+    Element identity mixes the chunk length into the gear hash
+    (``mix64(hash ^ mix64(length))``) because the reference's sub-min runt
+    chunks all carry hash 0 (src/v2020/mod.rs:429-432) and would alias
+    across conversations.  Per-block per-conv distinct relies on the chunk
+    stage's conv-atomicity (one conversation's chunks never split across
+    blocks).  Pairing/combine discipline = :func:`ngram_jaccard_pairs`
+    (explode with set_size riding along, KR(elem), pair partials,
+    KR(src,dst) combine) with the keep predicate cross-multiplied in
+    integers: ``1000*c >= tau_milli*(na + nb - c)`` — no float boundary.
+    conv_id strings re-attach at the end from one broadcast-filtered scan
+    (endpoint set is candidate-sized).
+
+    Returns a driver-side ``pa.Table`` (src, dst) of conv_id pairs,
+    src < dst lexicographically.
+    """
+    import ray
+
+    chunks_ds = chunks_ds.materialize()  # pairing pass + endpoint attach pass
+
+    def explode(t: pa.Table) -> pa.Table:
+        ck = hash_str_array_u64(t["conv_id"])
+        h = t["hash"].combine_chunks().to_numpy(zero_copy_only=False)
+        ln = t["length"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        elem = mix64(h.astype(np.uint64) ^ mix64(ln))
+        order = np.lexsort((elem, ck))
+        ck, elem = ck[order], elem[order]
+        first = np.concatenate([[True], (ck[1:] != ck[:-1]) |
+                                (elem[1:] != elem[:-1])]) \
+            if len(ck) else np.empty(0, bool)
+        ck, elem = ck[first], elem[first]
+        starts = np.concatenate([[0], np.flatnonzero(ck[1:] != ck[:-1]) + 1,
+                                 [len(ck)]]) if len(ck) else np.zeros(1, np.int64)
+        sizes = np.diff(starts)
+        return pa.table({
+            "elem": pa.array(elem, pa.uint64()),
+            "ck": pa.array(ck, pa.uint64()),
+            "set_size": pa.array(np.repeat(sizes, sizes), pa.int64()),
+        })
+
+    exploded = chunks_ds.map_batches(explode, batch_format="pyarrow")
+    exploded = exploded.repartition(num_blocks=num_partitions, keys=["elem"])
+
+    pair_schema = pa.schema([
+        ("src", pa.uint64()), ("dst", pa.uint64()),
+        ("src_size", pa.int64()), ("dst_size", pa.int64()),
+    ])
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n < 2:
+            return pair_schema.empty_table()
+        el = t["elem"].combine_chunks().to_numpy()
+        ck = t["ck"].combine_chunks().to_numpy()
+        sz = t["set_size"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, el))
+        el, ck, sz = el[order], ck[order], sz[order]
+        starts = np.concatenate([[0], np.flatnonzero(el[1:] != el[:-1]) + 1, [n]])
+        src_l, dst_l, ss_l, ds_l = [], [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            g = e - s
+            if g < 2 or g > max_group:
+                continue
+            gi, gz = ck[s:e], sz[s:e]
+            ii, jj = np.triu_indices(g, k=1)
+            src_l.append(gi[ii]); dst_l.append(gi[jj])
+            ss_l.append(gz[ii]); ds_l.append(gz[jj])
+        if not src_l:
+            return pair_schema.empty_table()
+        return pa.table({
+            "src": pa.array(np.concatenate(src_l), pa.uint64()),
+            "dst": pa.array(np.concatenate(dst_l), pa.uint64()),
+            "src_size": pa.array(np.concatenate(ss_l), pa.int64()),
+            "dst_size": pa.array(np.concatenate(ds_l), pa.int64()),
+        })
+
+    pairs = exploded.map_batches(emit_pairs, batch_format="pyarrow",
+                                 batch_size=None)
+    pairs = pairs.repartition(num_blocks=max(4, num_partitions // 4),
+                              keys=["src", "dst"])
+
+    def combine_filter(t: pa.Table) -> pa.Table:
+        empty = pa.table({"src": pa.array([], pa.uint64()),
+                          "dst": pa.array([], pa.uint64())})
+        n = len(t)
+        if n == 0:
+            return empty
+        src = t["src"].combine_chunks().to_numpy()
+        dst = t["dst"].combine_chunks().to_numpy()
+        a = t["src_size"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["dst_size"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        src, dst, a, b = src[order], dst[order], a[order], b[order]
+        new = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        firsts = np.concatenate([[0], np.flatnonzero(new) + 1])
+        c = np.diff(np.concatenate([firsts, [n]])).astype(np.int64)
+        av, bv = a[firsts], b[firsts]
+        keep = firsts[1000 * c >= tau_milli * (av + bv - c)]
+        return pa.table({"src": pa.array(src[keep], pa.uint64()),
+                         "dst": pa.array(dst[keep], pa.uint64())})
+
+    out = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in pairs.map_batches(combine_filter, batch_format="pyarrow",
+                                   batch_size=None)
+        .iter_batches(batch_format="pyarrow"))
+
+    src_k = out["src"].to_numpy(zero_copy_only=False) if len(out) else np.empty(0, np.uint64)
+    dst_k = out["dst"].to_numpy(zero_copy_only=False) if len(out) else np.empty(0, np.uint64)
+    keys = np.unique(np.concatenate([src_k, dst_k]))
+    kref = ray.put(keys)
+
+    def endpoint_ids(t: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        cid = t["conv_id"].combine_chunks()
+        ck = hash_str_array_u64(cid)
+        u, idx = np.unique(ck, return_index=True)
+        pos = np.searchsorted(ks, u)
+        hit = (pos < len(ks)) & (ks[np.minimum(pos, max(len(ks) - 1, 0))] == u) \
+            if len(ks) else np.zeros(len(u), bool)
+        sel = idx[hit]
+        return pa.table({"ck": pa.array(ck[sel], pa.uint64()),
+                         "conv_id": cid.take(pa.array(sel, pa.int64()))})
+
+    id_t = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in chunks_ds.map_batches(endpoint_ids, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    key2id = dict(zip(id_t["ck"].to_pylist(), id_t["conv_id"].to_pylist()))
+    s_ids = [key2id[int(k)] for k in src_k]
+    d_ids = [key2id[int(k)] for k in dst_k]
+    lo = [min(x, y) for x, y in zip(s_ids, d_ids)]
+    hi = [max(x, y) for x, y in zip(s_ids, d_ids)]
+    order = sorted(range(len(lo)), key=lambda i: (lo[i], hi[i]))
+    return pa.table({
+        "src": pa.array([lo[i] for i in order], pa.string()),
+        "dst": pa.array([hi[i] for i in order], pa.string()),
+    })

@@ -207,3 +207,34 @@ def test_user_spend_ntile_vs_reference(ray_session):
          for b in out.iter_batches(batch_format="pyarrow")])
     got = dict(zip(tab["user_id"].to_pylist(), tab["tile"].to_pylist()))
     assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_chunk_jaccard_pairs_planted_twins(ray_session):
+    import ray.data as rd
+
+    from fastcdc_rs_ray.cdc import ChunkerConfig
+    from fastcdc_rs_ray.sources.transcripts import synth_transcripts
+    from fastcdc_rs_ray.stages.assemble import assemble
+    from fastcdc_rs_ray.stages.chunk import chunk
+    from fastcdc_rs_ray.stages.dedup import chunk_jaccard_pairs
+
+    transcripts, truth = synth_transcripts(n_convs=120, seed=17, dup_frac=0.3)
+    exact = [(s, d) for s, d, k in zip(truth["src"].to_pylist(),
+                                       truth["dst"].to_pylist(),
+                                       truth["kind"].to_pylist()) if k == 0]
+    assert len(exact) >= 3
+
+    cfg = ChunkerConfig(min_size=64, avg_size=256, max_size=1024)
+    ds = rd.from_arrow(transcripts).repartition(5)
+    pairs = chunk_jaccard_pairs(chunk(assemble(ds, num_partitions=6), cfg),
+                                tau_milli=500, num_partitions=6)
+    got = set(zip(pairs["src"].to_pylist(), pairs["dst"].to_pylist()))
+    # exact-copy twins share every chunk (J = 1.0) — all must be found
+    for p in exact:
+        assert p in got, f"missing exact twin {p}"
+    # determinism across block counts
+    ds2 = rd.from_arrow(transcripts).repartition(2)
+    pairs2 = chunk_jaccard_pairs(chunk(assemble(ds2, num_partitions=3), cfg),
+                                 tau_milli=500, num_partitions=4)
+    assert got == set(zip(pairs2["src"].to_pylist(),
+                          pairs2["dst"].to_pylist()))
