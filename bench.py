@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "user_spend_ntile",
     "hourly_anomalies",
     "chunk_jaccard_dups",
+    "ingest_mixed_schema",
 ]
 
 

@@ -2023,6 +2023,18 @@ def q_user_spend_ntile(sf_dir: str):
     return user_spend_ntile(ds, k=10, num_partitions=8)
 
 
+def q_ingest_mixed_schema(sf_dir: str):
+    """Schema-evolution ingestion: two parquet shard generations with
+    different schemas (gen2 dropped `lang`, added `n_chars`) read with
+    their own schemas, aligned to the union schema per block (typed
+    nulls), Ray-native union, per-lang rollup."""
+    from ..sources.columnar import ingest_mixed_schema_rollup
+
+    return ingest_mixed_schema_rollup(
+        _documents(sf_dir, columns=["doc_id", "text", "lang"]),
+        _scratch_dir(sf_dir, "mixedschema"))
+
+
 def q_chunk_jaccard_dups(sf_dir: str):
     """CDC-native file similarity: conv pairs with chunk-set Jaccard >=
     0.5 — the exact-tier counterpart of the MinHash flagship (rows-only:
@@ -2193,6 +2205,7 @@ QUERIES = {
     "user_spend_ntile": q_user_spend_ntile,
     "hourly_anomalies": q_hourly_anomalies,
     "chunk_jaccard_dups": q_chunk_jaccard_dups,
+    "ingest_mixed_schema": q_ingest_mixed_schema,
 }
 
 
@@ -2637,3 +2650,5 @@ from ..stages.sessions import USER_SPEND_NTILE_SQL  # noqa: E402
 ORACLE_SQL["user_spend_ntile"] = USER_SPEND_NTILE_SQL
 from ..stages.sessions import HOURLY_ANOMALIES_SQL  # noqa: E402
 ORACLE_SQL["hourly_anomalies"] = HOURLY_ANOMALIES_SQL
+from ..sources.columnar import INGEST_MIXED_SCHEMA_SQL  # noqa: E402
+ORACLE_SQL["ingest_mixed_schema"] = INGEST_MIXED_SCHEMA_SQL

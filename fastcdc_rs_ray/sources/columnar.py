@@ -103,3 +103,132 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang
 """
+
+
+# --------------------------------------------------------------------------
+# Mixed-schema parquet generations (schema evolution)
+# --------------------------------------------------------------------------
+
+MIXED_UNION_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+    ("n_chars", pa.int64()),
+])
+
+
+def _dump_mixed_generations(documents_ds, out_dir: str) -> None:
+    """Two parquet shard generations with DIFFERENT schemas, as a crawl
+    re-dump produces them: gen1 (even doc_id) has (doc_id, text, lang);
+    gen2 (odd doc_id) dropped ``lang`` and added ``n_chars`` — the
+    schema-evolution case a long-lived 100 TB corpus always accumulates."""
+    import pyarrow.compute as pc
+
+    done = out_dir.rstrip("/") + ".done"
+    if os.path.exists(done):
+        return
+    os.makedirs(os.path.join(out_dir, "gen1"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "gen2"), exist_ok=True)
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        if len(t):
+            did = t["doc_id"].combine_chunks()
+            even = pc.equal(pc.bit_wise_and(did, 1), 0)
+            g1 = t.filter(even).select(["doc_id", "text", "lang"])
+            g2t = t.filter(pc.invert(even))
+            g2 = pa.table({
+                "doc_id": g2t["doc_id"],
+                "text": g2t["text"],
+                "n_chars": pc.cast(pc.utf8_length(
+                    g2t["text"].combine_chunks()), pa.int64()),
+            })
+            shard = int(np.min(did.to_numpy(zero_copy_only=False)))
+            if len(g1):
+                pq.write_table(g1, os.path.join(
+                    out_dir, "gen1", f"part-{shard:012d}.parquet"))
+            if len(g2):
+                pq.write_table(g2, os.path.join(
+                    out_dir, "gen2", f"part-{shard:012d}.parquet"))
+        return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+    documents_ds.map_batches(write_shard, batch_format="pyarrow").materialize()
+    with open(done, "w") as f:
+        f.write("ok")
+
+
+def ingest_mixed_schema_rollup(documents_ds, out_dir: str):
+    """Heterogeneous-shard ingestion (schema evolution): read each
+    generation with its OWN schema, align every block to the union schema
+    inside ``map_batches`` (missing columns become typed nulls — never a
+    Python-side row fixup), union the datasets, and roll up per effective
+    lang (``coalesce(lang, 'unknown')``).  The union is Ray-native
+    (``Dataset.union`` just concatenates block lists — zero data
+    movement); alignment cost is one null-column append per block."""
+    import ray.data as rd
+
+    _dump_mixed_generations(documents_ds, out_dir)
+
+    def align(t: pa.Table) -> pa.Table:
+        cols = []
+        for f in MIXED_UNION_SCHEMA:
+            if f.name in t.column_names:
+                cols.append(t[f.name].cast(f.type))
+            else:
+                cols.append(pa.nulls(len(t), f.type))
+        return pa.table(dict(zip(MIXED_UNION_SCHEMA.names, cols)))
+
+    g1 = rd.read_parquet(os.path.join(out_dir, "gen1")).map_batches(
+        align, batch_format="pyarrow")
+    g2 = rd.read_parquet(os.path.join(out_dir, "gen2")).map_batches(
+        align, batch_format="pyarrow")
+    unioned = g1.union(g2)
+
+    def rollup(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lang = pc.fill_null(t["lang"].combine_chunks(), "unknown")
+        n_chars = pc.utf8_length(t["text"].combine_chunks())
+        enc = lang.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = pc.cast(n_chars, pa.int64()).to_numpy(zero_copy_only=False)
+        k = len(enc.dictionary)
+        cnt = np.bincount(codes, minlength=k).astype(np.int64)
+        sums = np.zeros(k, np.int64)
+        np.add.at(sums, codes, nc)
+        return pa.table({
+            "lang": enc.dictionary,
+            "n_docs": pa.array(cnt, pa.int64()),
+            "sum_chars": pa.array(sums, pa.int64()),
+        })
+
+    partials = unioned.map_batches(rollup, batch_format="pyarrow")
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(tabs)
+    lang = t["lang"].to_pylist()
+    nd = t["n_docs"].to_numpy(zero_copy_only=False)
+    sc = t["sum_chars"].to_numpy(zero_copy_only=False)
+    acc: dict[str, list[int]] = {}
+    for lg, a, b in zip(lang, nd.tolist(), sc.tolist()):
+        cur = acc.setdefault(lg, [0, 0])
+        cur[0] += a
+        cur[1] += b
+    langs = sorted(acc)
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_docs": pa.array([acc[x][0] for x in langs], pa.int64()),
+        "sum_chars": pa.array([acc[x][1] for x in langs], pa.int64()),
+    })
+
+
+INGEST_MIXED_SCHEMA_SQL = """
+SELECT CASE WHEN doc_id % 2 = 0 THEN lang ELSE 'unknown' END AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+"""

@@ -50,3 +50,28 @@ def test_ingest_orc_matches_parquet_oracle(ray_session, tmp_path):
     shards = sorted((tmp_path / "orc").glob("*.orc"))
     assert shards, "no orc shards written"
     assert shards[0].read_bytes()[:3] == b"ORC"
+
+
+def test_ingest_mixed_schema_matches_oracle(ray_session, tmp_path):
+    from fastcdc_rs_ray.sources.columnar import (
+        INGEST_MIXED_SCHEMA_SQL,
+        ingest_mixed_schema_rollup,
+    )
+
+    got = (ingest_mixed_schema_rollup(_docs(), str(tmp_path / "mix"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = (con.execute(INGEST_MIXED_SCHEMA_SQL).fetchdf()
+            .sort_values("lang").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # the two generations genuinely have different schemas on disk
+    import pyarrow.parquet as pq
+
+    g1 = sorted((tmp_path / "mix" / "gen1").glob("*.parquet"))
+    g2 = sorted((tmp_path / "mix" / "gen2").glob("*.parquet"))
+    assert g1 and g2
+    assert "lang" in pq.read_schema(str(g1[0])).names
+    assert "lang" not in pq.read_schema(str(g2[0])).names
+    assert "n_chars" in pq.read_schema(str(g2[0])).names
