@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "hourly_anomalies",
     "chunk_jaccard_dups",
     "ingest_mixed_schema",
+    "sliding_window_sums",
 ]
 
 

@@ -2023,6 +2023,19 @@ def q_user_spend_ntile(sf_dir: str):
     return user_spend_ntile(ds, k=10, num_partitions=8)
 
 
+def q_sliding_window_sums(sf_dir: str):
+    """Per-event RANGE-frame (time-based) sliding sum: one keyed exchange
+    of event rows + vectorized two-pointer/prefix-sum per block — the
+    out-of-order-safe sliding aggregation, replayed batch-side."""
+    import ray.data as rd
+
+    from ..stages.sessions import sliding_window_sums
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    return sliding_window_sums(ds, num_partitions=8)
+
+
 def q_ingest_mixed_schema(sf_dir: str):
     """Schema-evolution ingestion: two parquet shard generations with
     different schemas (gen2 dropped `lang`, added `n_chars`) read with
@@ -2206,6 +2219,7 @@ QUERIES = {
     "hourly_anomalies": q_hourly_anomalies,
     "chunk_jaccard_dups": q_chunk_jaccard_dups,
     "ingest_mixed_schema": q_ingest_mixed_schema,
+    "sliding_window_sums": q_sliding_window_sums,
 }
 
 
@@ -2652,3 +2666,5 @@ from ..stages.sessions import HOURLY_ANOMALIES_SQL  # noqa: E402
 ORACLE_SQL["hourly_anomalies"] = HOURLY_ANOMALIES_SQL
 from ..sources.columnar import INGEST_MIXED_SCHEMA_SQL  # noqa: E402
 ORACLE_SQL["ingest_mixed_schema"] = INGEST_MIXED_SCHEMA_SQL
+from ..stages.sessions import SLIDING_WINDOW_SUMS_SQL  # noqa: E402
+ORACLE_SQL["sliding_window_sums"] = SLIDING_WINDOW_SUMS_SQL

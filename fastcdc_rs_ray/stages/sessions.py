@@ -1822,3 +1822,85 @@ WHERE (s.m * g.n_events - s.sx) > 0
       * (s.m - 1) * 100
       > {ANOMALY_Z2_X100} * s.m * (s.m * s.sq - s.sx * s.sx)
 """
+
+
+SLIDING_W_US = 10 * 60 * 1_000_000  # 10-minute time window
+
+
+def sliding_window_sums(events_ds, window_us: int = SLIDING_W_US,
+                        num_partitions: int = 8):
+    """Per-event TIME-based sliding-window sum — the RANGE frame
+    (``RANGE BETWEEN INTERVAL W PRECEDING AND CURRENT ROW``), distinct
+    from :func:`moving_sums`' ROWS frame: the window is defined by the
+    timestamp axis, so peers (equal ts) share one result and the row
+    count inside the frame varies per event.
+
+    Per-event output over an order-sensitive frame admits no commutative
+    partial (the user_event_paths argument), so the one keyed exchange
+    carries the event rows; the per-block combine is the classic
+    two-pointer pass done vectorized — per user, ``start = searchsorted
+    (ts, ts - W, left)`` and ``end = searchsorted(ts, ts, right)`` against
+    the user's own sorted timestamps, then ``out = pre[end] - pre[start]``
+    off one prefix-sum array: O(n log n) total, the batch-replay twin of
+    the O(1)-per-element sliding-window aggregation of the out-of-order
+    streams literature (PAPERS.md, ICDE 2025) — arrival order never
+    matters because the block sorts by event time before aggregating.
+    Exact int64 cents.
+    """
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("win_sum_c", pa.int64()),
+    ])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts": t["ts"],
+            "value_c": pa.array(np.round(
+                t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+                * 100).astype(np.int64), pa.int64()),
+        })
+
+    ex = events_ds.map_batches(project, batch_format="pyarrow").repartition(
+        num_blocks=num_partitions, keys=["user_id"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"].combine_chunks(), pa.int64()).to_numpy()
+        eid = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        vc = t["value_c"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, vc = uid[order], ts[order], eid[order], vc[order]
+        n = len(uid)
+        pre = np.concatenate([[0], np.cumsum(vc)])
+        ustarts = np.concatenate(
+            [[0], np.flatnonzero(uid[1:] != uid[:-1]) + 1, [n]])
+        out = np.empty(n, np.int64)
+        for s, e in zip(ustarts[:-1], ustarts[1:]):
+            seg = ts[s:e]
+            lo = s + np.searchsorted(seg, seg - window_us, side="left")
+            hi = s + np.searchsorted(seg, seg, side="right")
+            out[s:e] = pre[hi] - pre[lo]
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "win_sum_c": pa.array(out, pa.int64()),
+        }).cast(out_schema)
+
+    return ex.map_batches(combine, batch_format="pyarrow", batch_size=None)
+
+
+SLIDING_WINDOW_SUMS_SQL = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id, ts,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+              PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL {SLIDING_W_US // 60_000_000} MINUTES
+                    PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS win_sum_c
+FROM events
+"""

@@ -238,3 +238,41 @@ def test_chunk_jaccard_pairs_planted_twins(ray_session):
                                  tau_milli=500, num_partitions=4)
     assert got == set(zip(pairs2["src"].to_pylist(),
                           pairs2["dst"].to_pylist()))
+
+
+def test_sliding_window_sums_out_of_order_and_peers(ray_session):
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.sessions import sliding_window_sums
+
+    W = 1000  # µs window for the test
+    # user 1: out-of-order arrivals, duplicate timestamps (peers)
+    rows = [
+        # (event_id, user_id, ts_us, value)
+        (5, 1, 5000, 1.00),
+        (1, 1, 1000, 2.00),
+        (3, 1, 2000, 4.00),
+        (2, 1, 2000, 8.00),   # peer of event 3 — must share its sum
+        (4, 1, 2600, 16.00),
+        (9, 2, 1500, 32.00),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[2] for r in rows], np.int64),
+                       pa.timestamp("us")),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    out = sliding_window_sums(rd.from_arrow(t).repartition(3),
+                              window_us=W, num_partitions=2)
+    tab = pa.concat_tables(
+        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+         for b in out.iter_batches(batch_format="pyarrow")])
+    got = dict(zip(tab["event_id"].to_pylist(),
+                   tab["win_sum_c"].to_pylist()))
+    # windows: [ts-1000, ts] inclusive, peers included
+    assert got[1] == 200                      # only itself
+    assert got[2] == got[3] == 200 + 400 + 800  # peers share the frame
+    assert got[4] == 400 + 800 + 1600         # 2000 >= 1600, 1000 < 1600
+    assert got[5] == 100                      # far away
+    assert got[9] == 3200                     # other user isolated
