@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "chunk_jaccard_dups",
     "ingest_mixed_schema",
     "sliding_window_sums",
+    "chunk_store_roundtrip",
 ]
 
 

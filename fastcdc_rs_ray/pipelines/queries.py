@@ -2023,6 +2023,17 @@ def q_user_spend_ntile(sf_dir: str):
     return user_spend_ntile(ds, k=10, num_partitions=8)
 
 
+def q_chunk_store_roundtrip(sf_dir: str):
+    """Content-addressable chunk store built and PROVEN: unique-chunk
+    store (KR on strong span-hash key), reconstruction of every
+    conversation from the store, per-conv hash equality counted —
+    n_equal == n_convs is the lossless guarantee; dedup_bp the ratio."""
+    from ..stages.store import chunk_store_roundtrip
+
+    conv = assemble(transcripts_from_documents(sf_dir), num_partitions=8)
+    return chunk_store_roundtrip(conv, DEFAULT_CONFIG, num_partitions=8)
+
+
 def q_sliding_window_sums(sf_dir: str):
     """Per-event RANGE-frame (time-based) sliding sum: one keyed exchange
     of event rows + vectorized two-pointer/prefix-sum per block — the
@@ -2220,6 +2231,7 @@ QUERIES = {
     "chunk_jaccard_dups": q_chunk_jaccard_dups,
     "ingest_mixed_schema": q_ingest_mixed_schema,
     "sliding_window_sums": q_sliding_window_sums,
+    "chunk_store_roundtrip": q_chunk_store_roundtrip,
 }
 
 

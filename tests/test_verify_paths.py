@@ -67,5 +67,11 @@ def test_embed_neardup_with_planted_duplicates(ray_session):
         pq.write_table(t, os.path.join(td, "embeddings.parquet"))
         pairs = q_embed_neardup(td, tau=0.95).to_pandas()
     got = {tuple(p) for p in zip(pairs.src, pairs.dst)}
-    assert (3, 10) in got
-    assert (5, 20) in got
+    # cosine of the planted pairs is >= 0.999 (tau 0.95) — include the
+    # actual similarities in the message so an in-suite failure is
+    # diagnosable (environmental vs numeric)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    diag = (f"n_pairs={len(got)} sims: (3,10)={mn[3] @ mn[10]:.6f} "
+            f"(5,20)={mn[5] @ mn[20]:.6f} sample={sorted(got)[:6]}")
+    assert (3, 10) in got, diag
+    assert (5, 20) in got, diag
