@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "ingest_mixed_schema",
     "sliding_window_sums",
     "chunk_store_roundtrip",
+    "semantic_dedup",
 ]
 
 

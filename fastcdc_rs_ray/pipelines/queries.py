@@ -2023,6 +2023,17 @@ def q_user_spend_ntile(sf_dir: str):
     return user_spend_ntile(ds, k=10, num_partitions=8)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup: deterministic k-means buckets the
+    embedding space, exact cosine dedup runs within clusters only — one
+    keyed exchange; rows-only (iterative clustering), planted-dup
+    pytest."""
+    from ..stages.semdedup import semantic_dedup
+
+    return semantic_dedup(_embeddings(sf_dir), k=8, tau=0.97,
+                          num_partitions=8)
+
+
 def q_chunk_store_roundtrip(sf_dir: str):
     """Content-addressable chunk store built and PROVEN: unique-chunk
     store (KR on strong span-hash key), reconstruction of every
@@ -2232,6 +2243,7 @@ QUERIES = {
     "ingest_mixed_schema": q_ingest_mixed_schema,
     "sliding_window_sums": q_sliding_window_sums,
     "chunk_store_roundtrip": q_chunk_store_roundtrip,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 

