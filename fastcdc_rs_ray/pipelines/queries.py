@@ -945,6 +945,37 @@ def q_first_event_type(sf_dir: str):
     return first_event_type(ds, num_partitions=8)
 
 
+def q_user_event_bigrams(sf_dir: str):
+    """Markov transition counts (LEAD-adjacency shape): global
+    (prev_type, next_type) pair counts over each user's ordered history —
+    one keyed exchange, per-block lexsort + shifted comparison, blocks
+    pre-reduce to |types|^2-sized count partials."""
+    import ray.data as rd
+
+    from ..stages.sessions import user_event_bigrams
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return user_event_bigrams(ds, num_partitions=8)
+
+
+def q_new_users_curve(sf_dir: str):
+    """Cumulative-distinct growth curve (COUNT DISTINCT OVER ORDER BY
+    shape): first-seen users per epoch-day + running total, via mergeable
+    per-user MIN(day) partials — blocks pre-reduce before the one keyed
+    exchange; the driver merge touches |days| rows."""
+    import ray.data as rd
+
+    from ..stages.sessions import new_users_curve
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return new_users_curve(ds, num_partitions=8)
+
+
 def q_curate_docs(sf_dir: str):
     """Composed curation pass (quality gate -> language gate -> exact
     dedup first-wins): every per-doc signal computed in ONE fused
@@ -2218,6 +2249,8 @@ QUERIES = {
     "monthly_revenue_growth": q_monthly_revenue_growth,
     "value_dispersion": q_value_dispersion,
     "first_event_type": q_first_event_type,
+    "user_event_bigrams": q_user_event_bigrams,
+    "new_users_curve": q_new_users_curve,
     "curate_docs": q_curate_docs,
     "value_quartiles_cont": q_value_quartiles_cont,
     "login_streaks": q_login_streaks,
@@ -2313,6 +2346,8 @@ from ..stages.sessions import (
     DISTINCT_USERS_PER_TYPE_SQL,
     FAVORITE_EVENT_TYPE_SQL,
     FIRST_EVENT_TYPE_SQL,
+    USER_EVENT_BIGRAMS_SQL,
+    NEW_USERS_CURVE_SQL,
     VALUE_QUARTILES_CONT_SQL,
     LOGIN_STREAKS_SQL,
     MEDIAN_VALUE_BY_TYPE_SQL,
@@ -2372,6 +2407,8 @@ ORACLE_SQL = {
     "monthly_revenue_growth": MONTHLY_REVENUE_GROWTH_SQL,
     "value_dispersion": VALUE_DISPERSION_SQL,
     "first_event_type": FIRST_EVENT_TYPE_SQL,
+    "user_event_bigrams": USER_EVENT_BIGRAMS_SQL,
+    "new_users_curve": NEW_USERS_CURVE_SQL,
     "curate_docs": CURATE_DOCS_SQL,
     "value_quartiles_cont": VALUE_QUARTILES_CONT_SQL,
     "login_streaks": LOGIN_STREAKS_SQL,

@@ -1904,3 +1904,184 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
             AS BIGINT) AS win_sum_c
 FROM events
 """
+
+
+def user_event_bigrams(events_ds, num_partitions: int = 16):
+    """Markov transition matrix of event types: global counts of adjacent
+    (prev_type, next_type) pairs in each user's (ts, event_id)-ordered
+    history — the LEAD()-adjacency shape (next-action prediction priors,
+    Markov funnel models).
+
+    Adjacency is a property of a user's FULL ordered history, so — like
+    sessionize's recurrence — it admits no commutative partial over raw
+    rows: ONE keyed exchange on user_id co-locates each history, a
+    per-block lexsort + shifted comparison emits pairs vectorized, and
+    each block pre-reduces its pairs to dictionary-encoded counts before
+    anything returns to the driver.  The driver merge is |types|^2-sized
+    (dozens of rows) regardless of corpus size.
+
+    Output: (prev_type, next_type, n_pairs).
+    """
+    ds = events_ds.repartition(num_blocks=num_partitions, keys=["user_id"])
+
+    out_schema = pa.schema(
+        [("prev_type", pa.string()), ("next_type", pa.string()),
+         ("n_pairs", pa.int64())]
+    )
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        if len(t) < 2:
+            return out_schema.empty_table()
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        eid = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(et.dictionary)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, codes_s = uid[order], codes[order]
+        same = uid_s[1:] == uid_s[:-1]
+        prev_c = codes_s[:-1][same]
+        next_c = codes_s[1:][same]
+        if len(prev_c) == 0:
+            return out_schema.empty_table()
+        cnt = np.bincount(prev_c * k + next_c, minlength=k * k).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "prev_type": et.dictionary.take(pa.array(nz // k, pa.int64())),
+                "next_type": et.dictionary.take(pa.array(nz % k, pa.int64())),
+                "n_pairs": pa.array(cnt[nz], pa.int64()),
+            }
+        ).cast(out_schema)
+
+    partials = ds.map_batches(pair_counts, batch_format="pyarrow", batch_size=None)
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables([out_schema.empty_table()] + tabs)
+    if len(t) == 0:
+        return out_schema.empty_table()
+    key = pc.binary_join_element_wise(
+        t["prev_type"].combine_chunks().cast(pa.string()),
+        t["next_type"].combine_chunks().cast(pa.string()),
+        "\x1f",
+    ).dictionary_encode()
+    codes = key.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = np.zeros(len(key.dictionary), dtype=np.int64)
+    np.add.at(n, codes, t["n_pairs"].combine_chunks().to_numpy(zero_copy_only=False))
+    split = pc.split_pattern(key.dictionary, "\x1f")
+    prev = pc.list_element(split, 0)
+    nxt = pc.list_element(split, 1)
+    return pa.table(
+        {"prev_type": prev, "next_type": nxt, "n_pairs": pa.array(n, pa.int64())}
+    ).cast(out_schema)
+
+
+USER_EVENT_BIGRAMS_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+def new_users_curve(events_ds, num_partitions: int = 16):
+    """Cumulative-distinct growth curve: per epoch-day, how many users
+    appear for the FIRST time, and the running distinct-user total — the
+    ``COUNT(DISTINCT ...) OVER (ORDER BY day)`` shape (corpus/dedup growth
+    curves at crawl scale).
+
+    Cumulative distinct has no per-day commutative partial over raw rows,
+    but per-user MIN(day) is mergeable: blocks pre-reduce to one
+    (user, min_day) row each, ONE keyed exchange on user_id makes the min
+    final per partition, each partition re-reduces to day-sized counts,
+    and the driver's merge + cumsum touches |days| rows only.  The event
+    log itself never moves unaggregated.
+
+    Output: (day [epoch-day], new_users, cum_users), sorted by day.
+    """
+    part_schema = pa.schema([("user_id", pa.int64()), ("day", pa.int64())])
+
+    def user_min_day(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return part_schema.empty_table()
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        day = (
+            t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        order = np.lexsort((day, uid))
+        uid_s, day_s = uid[order], day[order]
+        first = np.concatenate(([True], uid_s[1:] != uid_s[:-1]))
+        return pa.table(
+            {"user_id": pa.array(uid_s[first], pa.int64()),
+             "day": pa.array(day_s[first], pa.int64())}
+        )
+
+    ds = events_ds.map_batches(user_min_day, batch_format="pyarrow")
+    ds = ds.repartition(num_blocks=num_partitions, keys=["user_id"])
+
+    day_schema = pa.schema([("day", pa.int64()), ("new_users", pa.int64())])
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return day_schema.empty_table()
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        day = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid))
+        uid_s, day_s = uid[order], day[order]
+        first = np.concatenate(([True], uid_s[1:] != uid_s[:-1]))
+        fdays = np.sort(day_s[first])
+        brk = np.concatenate(([True], fdays[1:] != fdays[:-1]))
+        starts = np.flatnonzero(brk)
+        cnt = np.diff(np.append(starts, len(fdays)))
+        return pa.table(
+            {"day": pa.array(fdays[starts], pa.int64()),
+             "new_users": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    partials = ds.map_batches(day_counts, batch_format="pyarrow", batch_size=None)
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in partials.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables([day_schema.empty_table()] + tabs)
+    out_schema = pa.schema(
+        [("day", pa.int64()), ("new_users", pa.int64()), ("cum_users", pa.int64())]
+    )
+    if len(t) == 0:
+        return out_schema.empty_table()
+    day = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+    nu = t["new_users"].combine_chunks().to_numpy(zero_copy_only=False)
+    udays = np.unique(day)
+    tot = np.zeros(len(udays), dtype=np.int64)
+    np.add.at(tot, np.searchsorted(udays, day), nu)
+    return pa.table(
+        {
+            "day": pa.array(udays, pa.int64()),
+            "new_users": pa.array(tot, pa.int64()),
+            "cum_users": pa.array(np.cumsum(tot), pa.int64()),
+        }
+    ).cast(out_schema)
+
+
+NEW_USERS_CURVE_SQL = """
+WITH f AS (
+  SELECT user_id,
+         MIN(CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400) AS day
+  FROM events GROUP BY user_id
+)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users,
+       CAST(SUM(COUNT(*)) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM f
+GROUP BY day
+ORDER BY day
+"""
