@@ -1073,6 +1073,21 @@ def q_ndv_users_hll(sf_dir: str):
     return ndv_sketch(ds, key="user_id")
 
 
+def q_ndv_type_hll(sf_dir: str):
+    """Grouped HLL: distinct-user estimate PER event_type — one register
+    bank per group per block, exact elementwise-max merge, zero keyed
+    exchange (rows-only gate; pytest pins per-group accuracy and
+    partition invariance)."""
+    import ray.data as rd
+
+    from ..stages.sketch import ndv_grouped_sketch
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return ndv_grouped_sketch(ds, group="event_type", key="user_id")
+
+
 def q_order_revenue_topk(sf_dir: str):
     """TPC-H-Q3-style three-table join: broadcast semi-join on customer,
     tag-union keyed exchange for orders x lineitem, distributed top-k."""
@@ -2187,6 +2202,7 @@ QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "part_supplier_counts": q_part_supplier_counts,
     "ndv_users_hll": q_ndv_users_hll,
+    "ndv_type_hll": q_ndv_type_hll,
     "quantity_bands": q_quantity_bands,
     "running_totals": q_running_totals,
     "neardup_incremental": q_neardup_incremental,

@@ -109,3 +109,27 @@ def test_heavy_hitters_exact_matches_full_count(ray_session):
     order = np.lexsort((uk, -cnt))[:5]
     assert list(got["user_id"]) == list(uk[order])
     assert list(got["n_events"]) == list(cnt[order])
+
+
+def test_ndv_grouped_sketch(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.sketch import ndv_grouped_sketch
+
+    exact = duckdb.sql(
+        f"""SELECT event_type, COUNT(DISTINCT user_id) AS n
+            FROM '{SF_DIR}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+
+    ds = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_type", "user_id"])
+    got1 = ndv_grouped_sketch(ds.repartition(1))
+    got7 = ndv_grouped_sketch(ds.repartition(7))
+    # exact-merge determinism: identical estimates at any block count
+    assert got1.equals(got7)
+    est = dict(zip(got7["event_type"].to_pylist(),
+                   got7["ndv_estimate"].to_pylist()))
+    assert sorted(est) == [g for g, _ in exact]
+    for g, n in exact:
+        assert abs(est[g] - n) / n < 0.05, (g, n, est[g])
