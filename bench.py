@@ -90,6 +90,10 @@ BENCH_QUERIES = [
     "sliding_window_sums",
     "chunk_store_roundtrip",
     "semantic_dedup",
+    "user_event_bigrams",
+    "new_users_curve",
+    "ndv_type_hll",
+    "ingest_quarantine",
 ]
 
 

@@ -1547,6 +1547,19 @@ def q_ingest_jsonl_gz(sf_dir: str):
         _scratch_dir(sf_dir, "jsonlgz"))
 
 
+def q_ingest_quarantine(sf_dir: str):
+    """Malformed-record quarantine ingest: JSONL shards with every 53rd
+    record deterministically truncated read back without failing — valid
+    lines parse through pyarrow's C++ JSON reader, broken lines count
+    into a '__quarantined__' side-channel row; the routing decision is
+    SQL-oracled (doc_id % 53 filter + quarantine count union)."""
+    from ..sources.textio import ingest_quarantine_rollup
+
+    return ingest_quarantine_rollup(
+        _documents(sf_dir, columns=["doc_id", "text", "lang"]),
+        _scratch_dir(sf_dir, "jsonlq"))
+
+
 def q_ingest_csv(sf_dir: str):
     """CSV source path: events numeric projection -> CSV dump (once) ->
     read_csv -> per-user rollup; exact 2-decimal round-trip."""
@@ -2244,6 +2257,7 @@ QUERIES = {
     "value_quantiles_sketch": q_value_quantiles_sketch,
     "ingest_jsonl": q_ingest_jsonl,
     "ingest_jsonl_gz": q_ingest_jsonl_gz,
+    "ingest_quarantine": q_ingest_quarantine,
     "ingest_csv": q_ingest_csv,
     "ingest_arrow_ipc": q_ingest_arrow_ipc,
     "ingest_orc": q_ingest_orc,
@@ -2614,11 +2628,16 @@ UNION ALL SELECT user_id, 'purchase', CAST(n_purchase AS BIGINT) FROM p
 UNION ALL SELECT user_id, 'signup', CAST(n_signup AS BIGINT) FROM p
 UNION ALL SELECT user_id, 'view', CAST(n_view AS BIGINT) FROM p
 """
-from ..sources.textio import INGEST_CSV_SQL, INGEST_JSONL_SQL  # noqa: E402
+from ..sources.textio import (  # noqa: E402
+    INGEST_CSV_SQL,
+    INGEST_JSONL_SQL,
+    INGEST_QUARANTINE_SQL,
+)
 
 ORACLE_SQL["ingest_jsonl"] = INGEST_JSONL_SQL
 ORACLE_SQL["ingest_jsonl_gz"] = INGEST_JSONL_SQL
 ORACLE_SQL["ingest_csv"] = INGEST_CSV_SQL
+ORACLE_SQL["ingest_quarantine"] = INGEST_QUARANTINE_SQL
 from ..sources.columnar import INGEST_COLUMNAR_SQL  # noqa: E402
 ORACLE_SQL["ingest_arrow_ipc"] = INGEST_COLUMNAR_SQL
 ORACLE_SQL["ingest_orc"] = INGEST_COLUMNAR_SQL

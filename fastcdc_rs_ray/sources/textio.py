@@ -185,3 +185,138 @@ def _lang_rollup(ds):
         "n_docs": pa.array(n, pa.int64()),
         "sum_chars": pa.array(s, pa.int64()),
     })
+
+
+QUARANTINE_MOD = 53  # doc_id % 53 == 0 -> line deterministically corrupted
+
+
+def ingest_quarantine_rollup(documents_ds, out_dir: str):
+    """Malformed-record quarantine ingest: a JSONL dump where every
+    ``doc_id % 53 == 0`` line is deterministically truncated mid-record
+    (what a 100 TB crawl dump actually contains — interrupted writers,
+    bitrot) is read back WITHOUT failing the job: valid lines parse
+    vectorized, broken lines are counted into a quarantine side-channel
+    instead of poisoning the batch.
+
+    Read side is the CUSTOM-SOURCE idiom (one shard per read task via
+    ``read_binary_files``): per file, a vectorized line split + structural
+    prefilter (must start '{' and end '}' — truncation always breaks one)
+    routes lines; survivors parse through pyarrow's C++ JSON reader in one
+    call — no per-row Python in either lane.
+
+    Output: (lang, n_docs, sum_chars) over the parsed rows, plus one
+    ``lang='__quarantined__'`` row carrying the rejected-line count
+    (sum_chars 0 — the payload is by definition unreadable).  SQL twin
+    filters ``doc_id % 53 != 0`` and unions the quarantine count, so the
+    whole routing decision is oracle-checked.
+    """
+    import json as _json
+
+    import pyarrow.json as pj
+    import ray.data as rd
+
+    done = out_dir.rstrip("/") + ".done"
+    if not os.path.exists(done):
+        os.makedirs(out_dir, exist_ok=True)
+
+        def write_shard(t: pa.Table) -> pa.Table:
+            if len(t):
+                did = t["doc_id"].combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                shard = int(np.min(did))
+                path = os.path.join(out_dir, f"part-{shard:012d}.jsonl")
+                with open(path, "wb") as f:
+                    for row in t.select(
+                            ["doc_id", "lang", "text"]).to_pylist():
+                        line = _json.dumps(row, sort_keys=True)
+                        if row["doc_id"] % QUARANTINE_MOD == 0:
+                            # truncate mid-record; '~' guard keeps the tail
+                            # from coincidentally ending '}' (text bytes can)
+                            line = line[: max(2, len(line) // 2)] + "~"
+                        f.write((line + "\n").encode())
+            return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+        documents_ds.map_batches(
+            write_shard, batch_format="pyarrow").materialize()
+        with open(done, "w") as f:
+            f.write("ok")
+
+    files = rd.read_binary_files(out_dir, file_extensions=["jsonl"])
+
+    part_schema = pa.schema(
+        [("lang", pa.string()), ("n_docs", pa.int64()),
+         ("sum_chars", pa.int64())]
+    )
+
+    def parse_shard(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = [part_schema.empty_table()]
+        n_bad = 0
+        for buf in t["bytes"].to_pylist():
+            lines = pc.split_pattern(
+                pa.array([buf.decode("utf-8")]), "\n"
+            ).values
+            lines = lines.filter(pc.greater(pc.utf8_length(lines), 0))
+            ok = pc.and_(pc.starts_with(lines, "{"), pc.ends_with(lines, "}"))
+            good = lines.filter(ok)
+            n_bad += len(lines) - len(good)
+            if len(good):
+                blob = "\n".join(good.to_pylist()).encode()
+                parsed = pj.read_json(pa.BufferReader(blob))
+                lenc = parsed["lang"].combine_chunks().dictionary_encode()
+                codes = lenc.indices.to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                nch = pc.utf8_length(
+                    parsed["text"].combine_chunks()
+                ).to_numpy(zero_copy_only=False).astype(np.int64)
+                k = len(lenc.dictionary)
+                out.append(pa.table({
+                    "lang": lenc.dictionary,
+                    "n_docs": pa.array(
+                        np.bincount(codes, minlength=k).astype(np.int64),
+                        pa.int64()),
+                    "sum_chars": pa.array(
+                        np.bincount(codes, weights=nch,
+                                    minlength=k).astype(np.int64),
+                        pa.int64()),
+                }).cast(part_schema))
+        if n_bad:
+            out.append(pa.table({
+                "lang": pa.array(["__quarantined__"], pa.string()),
+                "n_docs": pa.array([n_bad], pa.int64()),
+                "sum_chars": pa.array([0], pa.int64()),
+            }))
+        return pa.concat_tables(out)
+
+    parts = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in files.map_batches(parse_shard, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    if len(parts) == 0:
+        return part_schema.empty_table()
+    lenc = parts["lang"].combine_chunks().dictionary_encode()
+    codes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    k = len(lenc.dictionary)
+    nd = np.zeros(k, dtype=np.int64)
+    sc = np.zeros(k, dtype=np.int64)
+    np.add.at(nd, codes, parts["n_docs"].combine_chunks().to_numpy(
+        zero_copy_only=False))
+    np.add.at(sc, codes, parts["sum_chars"].combine_chunks().to_numpy(
+        zero_copy_only=False))
+    return pa.table({
+        "lang": lenc.dictionary,
+        "n_docs": pa.array(nd, pa.int64()),
+        "sum_chars": pa.array(sc, pa.int64()),
+    }).cast(part_schema)
+
+
+INGEST_QUARANTINE_SQL = f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % {QUARANTINE_MOD} != 0 GROUP BY lang
+UNION ALL
+SELECT '__quarantined__', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+FROM documents WHERE doc_id % {QUARANTINE_MOD} = 0
+"""
