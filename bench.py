@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "new_users_curve",
     "ndv_type_hll",
     "ingest_quarantine",
+    "user_freq_cms",
 ]
 
 

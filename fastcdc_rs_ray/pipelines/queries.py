@@ -1088,6 +1088,20 @@ def q_ndv_type_hll(sf_dir: str):
     return ndv_grouped_sketch(ds, group="event_type", key="user_id")
 
 
+def q_user_freq_cms(sf_dir: str):
+    """Count-min point-frequency estimates for probe users 0..9 — fixed
+    d x w int64 table per block, exact elementwise-add merge, zero keyed
+    exchange (rows-only gate; pytest pins est >= exact, the 2n/w bound,
+    and block-count invariance)."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..stages.sketch import freq_cms
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return freq_cms(ds, key="user_id", probes=np.arange(10, dtype=np.int64))
+
+
 def q_order_revenue_topk(sf_dir: str):
     """TPC-H-Q3-style three-table join: broadcast semi-join on customer,
     tag-union keyed exchange for orders x lineitem, distributed top-k."""
@@ -2216,6 +2230,7 @@ QUERIES = {
     "part_supplier_counts": q_part_supplier_counts,
     "ndv_users_hll": q_ndv_users_hll,
     "ndv_type_hll": q_ndv_type_hll,
+    "user_freq_cms": q_user_freq_cms,
     "quantity_bands": q_quantity_bands,
     "running_totals": q_running_totals,
     "neardup_incremental": q_neardup_incremental,

@@ -325,3 +325,66 @@ def ndv_grouped_sketch(ds, group: str = "event_type", key: str = "user_id",
             "sketch_bytes": pa.array([1 << p] * len(gs), pa.int64()),
         }
     )
+
+
+CMS_D = 4      # hash rows
+CMS_W = 8192   # counters per row
+
+
+def cms_counts(keys: np.ndarray, d: int = CMS_D, w: int = CMS_W) -> np.ndarray:
+    """Count-min table (int64[d, w]) for a block of int keys: row i uses
+    mix64(key XOR seed_i) % w.  Merging blocks = elementwise ADD (exact),
+    so the sketch is bit-identical under any partitioning."""
+    k = keys.astype(np.uint64, copy=False)
+    out = np.zeros((d, w), dtype=np.int64)
+    for i in range(d):
+        h = mix64(k ^ np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF))
+        out[i] += np.bincount(
+            (h % np.uint64(w)).astype(np.int64), minlength=w
+        ).astype(np.int64)
+    return out
+
+
+def cms_estimate(table: np.ndarray, probes: np.ndarray,
+                 w: int = CMS_W) -> np.ndarray:
+    """Point-frequency estimates (min over rows) for probe keys — always
+    >= the true count, over by at most ~2n/w w.h.p."""
+    d = table.shape[0]
+    p = probes.astype(np.uint64, copy=False)
+    est = np.full(len(p), np.iinfo(np.int64).max, dtype=np.int64)
+    for i in range(d):
+        h = mix64(p ^ np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF))
+        est = np.minimum(est, table[i, (h % np.uint64(w)).astype(np.int64)])
+    return est
+
+
+def freq_cms(ds, key: str, probes: np.ndarray,
+             d: int = CMS_D, w: int = CMS_W) -> pa.Table:
+    """Count-min point-frequency estimation: the bounded-memory answer to
+    "how often does THIS key occur" over a stream too wide for exact
+    per-key counts (Misra-Gries finds the heavy keys; CMS answers
+    arbitrary point queries).  Every block emits one d*w int64 table —
+    fixed size regardless of rows — and the driver's elementwise ADD
+    merge is exact, so estimates are bit-identical under any
+    partitioning / retry schedule.  Zero keyed exchange.
+
+    Output: (key, est_count) for each probe, est >= true always.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        kv = t[key].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"cms": pa.array([cms_counts(kv, d, w).tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    merged = np.zeros((d, w), dtype=np.int64)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for buf in t["cms"].to_pylist():
+            merged += np.frombuffer(buf, dtype=np.int64).reshape(d, w)
+    probes = np.asarray(probes, dtype=np.int64)
+    return pa.table(
+        {
+            key: pa.array(probes, pa.int64()),
+            "est_count": pa.array(cms_estimate(merged, probes, w), pa.int64()),
+        }
+    )

@@ -133,3 +133,27 @@ def test_ndv_grouped_sketch(ray_session):
     assert sorted(est) == [g for g, _ in exact]
     for g, n in exact:
         assert abs(est[g] - n) / n < 0.05, (g, n, est[g])
+
+
+def test_freq_cms(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.sketch import CMS_W, freq_cms
+
+    n_total, = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/events.parquet'").fetchone()
+    exact = dict(duckdb.sql(
+        f"""SELECT user_id, count(*) FROM '{SF_DIR}/events.parquet'
+            WHERE user_id < 10 GROUP BY 1""").fetchall())
+
+    ds = rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id"])
+    probes = np.arange(10, dtype=np.int64)
+    got1 = freq_cms(ds.repartition(1), "user_id", probes)
+    got7 = freq_cms(ds.repartition(7), "user_id", probes)
+    assert got1.equals(got7)  # exact add-merge: block-count invariant
+    est = dict(zip(got7["user_id"].to_pylist(), got7["est_count"].to_pylist()))
+    for u in range(10):
+        t = exact.get(u, 0)
+        assert est[u] >= t
+        assert est[u] - t <= max(4, 2 * n_total // CMS_W), (u, t, est[u])
