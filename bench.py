@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "ndv_type_hll",
     "ingest_quarantine",
     "user_freq_cms",
+    "ann_topk_pq",
 ]
 
 

@@ -27,7 +27,12 @@ from ..sources.transcripts import (
 from ..stages.assemble import assemble, explode_turns
 from ..stages.chunk import DEFAULT_CONFIG, chunk
 from ..stages.dedup import exact_dedup, ngram_jaccard_pairs, simhash_signatures
-from ..stages.ann import ann_topk_bruteforce, ann_topk_ivf, load_queries_from_dataset
+from ..stages.ann import (
+    ann_topk_bruteforce,
+    ann_topk_ivf,
+    ann_topk_pq,
+    load_queries_from_dataset,
+)
 from ..stages.lsh import candidate_edges
 from ..functions.text import (
     PUNCT_CLASS,
@@ -400,6 +405,17 @@ def q_ann_topk_ivf(sf_dir: str):
     ds = _embeddings(sf_dir)
     qids, qmat = load_queries_from_dataset(ds, ANN_N_QUERIES)
     return ann_topk_ivf(ds, qids, qmat, k=ANN_K, n_cells=16, n_probe=8)
+
+
+def q_ann_topk_pq(sf_dir: str):
+    """PQ two-phase ANN: uint8-code ADC scan for a rerank*k shortlist
+    (4*dim/m-fold compressed reads — the memory-compression scale path
+    beside IVF's read pruning), then a broadcast-filtered fetch of ONLY
+    the shortlist vectors + exact driver re-rank (rows-only gate; pytest
+    pins recall vs the exact baseline and full-shortlist equality)."""
+    ds = _embeddings(sf_dir)
+    qids, qmat = load_queries_from_dataset(ds, ANN_N_QUERIES)
+    return ann_topk_pq(ds, qids, qmat, k=ANN_K, m=8, ks=16, rerank=5)
 
 
 def q_winnow_candidates(sf_dir: str):
@@ -2208,6 +2224,7 @@ QUERIES = {
     "doc_fingerprint": q_fingerprint,
     "simhash": q_simhash,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_pq": q_ann_topk_pq,
     "winnow_candidates": q_winnow_candidates,
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "sessionize": q_sessionize,

@@ -256,3 +256,45 @@ def test_sessionize_gap_semantics(ray_session):
     assert u1.session_id.tolist() == [0, 1]
     assert u1.n_events.tolist() == [2, 1]
     assert out[out.user_id == 2].n_events.tolist() == [1]
+
+
+def test_pq_rerank_recall(ray_session):
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.ann import ann_topk_bruteforce, ann_topk_pq
+
+    rng = np.random.default_rng(4)
+    centers = rng.normal(size=(8, 24)) * 5
+    pts = np.vstack(
+        [c + rng.normal(size=(50, 24)) for c in centers]).astype(np.float32)
+    n = len(pts)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(pts.reshape(-1), pa.float32()), 24
+            ),
+        }
+    )
+    qids = np.arange(4, dtype=np.int64)
+    exact = ann_topk_bruteforce(
+        rd.from_arrow(t).repartition(4), qids, pts[:4], k=10).to_pandas()
+    approx = ann_topk_pq(
+        rd.from_arrow(t).repartition(4), qids, pts[:4], k=10, m=8, ks=16,
+        rerank=5,
+    ).to_pandas()
+    inter = 0.0
+    for qi in range(4):
+        a = set(exact[exact.query_id == qi].neighbor_id)
+        b = set(approx[approx.query_id == qi].neighbor_id)
+        inter += len(a & b) / len(a)
+    # ADC shortlist (50 of 400) + exact re-rank recovers the exact top-10
+    assert inter / 4 >= 0.9
+
+    # rerank*k >= n: shortlist is the whole corpus -> must EQUAL brute force
+    full = ann_topk_pq(
+        rd.from_arrow(t).repartition(4), qids, pts[:4], k=10, m=8, ks=16,
+        rerank=40,
+    ).to_pandas()
+    assert full.sort_values(["query_id", "rank"]).neighbor_id.tolist() == \
+        exact.sort_values(["query_id", "rank"]).neighbor_id.tolist()
