@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "ingest_quarantine",
     "user_freq_cms",
     "ann_topk_pq",
+    "leakage_safe_split",
 ]
 
 

@@ -603,3 +603,51 @@ def doc_neardup_clusters(documents_ds, num_partitions: int = 16,
     return neardup_clusters_from_signatures(
         sigs, num_partitions=num_partitions,
         verify_threshold=verify_threshold, **kw)
+
+
+SPLIT_NAMES = ("train", "val", "test")
+
+
+def split_by_cluster(clusters_ds, pcts=(80, 10, 10)):
+    """clusters (conv_id, cluster_id) -> (conv_id, cluster_id, split):
+    the LEAKAGE-SAFE corpus split — train_val_split hashes the document
+    id, so two near-duplicates can straddle train and eval and leak; here
+    the hash-bucket draw is taken on the CLUSTER id, so every member of a
+    near-dup cluster lands in the same split by construction (singleton
+    clusters degrade to the per-doc draw).
+
+    Pure per-block map with zero exchange — cluster_id is already on
+    every row of the flagship's output — and deterministic under retries
+    / repartitioning / corpus growth (the same multiplicative-hash
+    discipline as train_val_split; a cluster's split never changes when
+    other clusters appear).
+
+    Output: (conv_id, cluster_id, split).
+    """
+    import numpy as np
+
+    from ..stages.sample import hash_bucket
+    from ..util import hash_str_array_u64
+
+    if sum(pcts) != 100 or len(pcts) != len(SPLIT_NAMES):
+        raise ValueError("pcts must be three percentages summing to 100")
+    cuts = np.cumsum(pcts)
+
+    out_schema = pa.schema(
+        [("conv_id", pa.string()), ("cluster_id", pa.string()),
+         ("split", pa.string())]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        b = hash_bucket(hash_str_array_u64(t["cluster_id"].combine_chunks()))
+        ix = np.searchsorted(cuts, b, side="right")
+        split = np.asarray(SPLIT_NAMES, dtype=object)[ix]
+        return pa.table(
+            {"conv_id": t["conv_id"].combine_chunks(),
+             "cluster_id": t["cluster_id"].combine_chunks(),
+             "split": pa.array(split, pa.string())}
+        ).cast(out_schema)
+
+    return clusters_ds.map_batches(per_block, batch_format="pyarrow")

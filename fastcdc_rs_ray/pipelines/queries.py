@@ -385,6 +385,23 @@ def q_neardup_clusters(sf_dir: str):
     )
 
 
+def q_leakage_safe_split(sf_dir: str):
+    """Leakage-safe train/val/test split: the hash-bucket draw is taken
+    on the near-dup CLUSTER id (flagship output), so near-duplicates can
+    never straddle train and eval — the split train_val_split cannot give
+    once dup clusters exist.  Zero exchange on top of the cluster table
+    (rows-only gate; pytest pins same-cluster-same-split, determinism,
+    and proportions)."""
+    from .neardup import split_by_cluster
+
+    return split_by_cluster(
+        neardup_clusters(
+            transcripts_from_documents(sf_dir), num_partitions=16,
+            verify_threshold=0.4,
+        )
+    )
+
+
 def q_lang_id(sf_dir: str):
     return _documents(sf_dir, ["doc_id", "text"]).map_batches(
         lang_id_batch, batch_format="pyarrow"
@@ -2258,6 +2275,7 @@ QUERIES = {
     "hopping_windows": q_hopping_windows,
     "heavy_users": q_heavy_users,
     "neardup_keep": q_neardup_keep,
+    "leakage_safe_split": q_leakage_safe_split,
     "pricing_rollup": q_pricing_rollup,
     "large_orders": q_large_orders,
     "waiting_suppliers": q_waiting_suppliers,
