@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "user_freq_cms",
     "ann_topk_pq",
     "leakage_safe_split",
+    "compressibility",
 ]
 
 

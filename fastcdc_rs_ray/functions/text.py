@@ -257,3 +257,51 @@ def repetition_batch(t: pa.Table) -> pa.Table:
         "top_tok_ppm": pa.array(
             (top[live] * 1_000_000) // total[live], pa.int64()),
     })
+
+
+def compressibility_batch(t: pa.Table, level: int = 6) -> pa.Table:
+    """Compression-ratio quality signal (the Gopher-family filter the
+    repetition signal approximates): zlib-compressed size per document in
+    exact integer permille of the raw UTF-8 size.  Highly compressible
+    text (ratio far below prose's ~350-600 permille) is boilerplate /
+    repetition; near-1000 is noise or already-compressed junk — both ends
+    get filtered in curation.
+
+    Per-doc zlib calls dominate in C (the Python loop dispatches one call
+    per row over the zero-copy values buffer); deterministic for a given
+    zlib level, so the output is retry/partition-invariant.  Zero
+    shuffle — docs are whole rows.
+
+    Output: (doc_id, raw_bytes, zlib_bytes, ratio_pm).
+    """
+    import zlib
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("raw_bytes", pa.int64()),
+         ("zlib_bytes", pa.int64()), ("ratio_pm", pa.int64())]
+    )
+    if len(t) == 0:
+        return out_schema.empty_table()
+    text = t["text"].combine_chunks()
+    if pa.types.is_large_string(text.type):
+        odt, ow = np.int64, 8
+    else:
+        odt, ow = np.int32, 4
+    # zero-copy spans over the UTF-8 values buffer
+    bufs = text.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt, count=len(text) + 1,
+                        offset=text.offset * ow)
+    mv = memoryview(bufs[2])
+    raw = (off[1:] - off[:-1]).astype(np.int64)
+    comp = np.empty(len(text), dtype=np.int64)
+    for i in range(len(text)):
+        comp[i] = len(zlib.compress(mv[off[i]:off[i + 1]], level))
+    denom = np.maximum(raw, 1)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+            "raw_bytes": pa.array(raw, pa.int64()),
+            "zlib_bytes": pa.array(comp, pa.int64()),
+            "ratio_pm": pa.array(comp * 1000 // denom, pa.int64()),
+        }
+    ).cast(out_schema)

@@ -385,6 +385,20 @@ def q_neardup_clusters(sf_dir: str):
     )
 
 
+def q_compressibility(sf_dir: str):
+    """Compression-ratio quality signal (Gopher-family): per-doc zlib
+    size in exact integer permille of raw bytes — boilerplate compresses
+    far below prose, noise barely compresses; both ends get curated out.
+    Zero shuffle; deterministic for a fixed zlib level (rows-only gate;
+    the pytest pins the repetitive<prose<random ordering and block
+    invariance)."""
+    from ..functions.text import compressibility_batch
+
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        compressibility_batch, batch_format="pyarrow"
+    )
+
+
 def q_leakage_safe_split(sf_dir: str):
     """Leakage-safe train/val/test split: the hash-bucket draw is taken
     on the near-dup CLUSTER id (flagship output), so near-duplicates can
@@ -2276,6 +2290,7 @@ QUERIES = {
     "heavy_users": q_heavy_users,
     "neardup_keep": q_neardup_keep,
     "leakage_safe_split": q_leakage_safe_split,
+    "compressibility": q_compressibility,
     "pricing_rollup": q_pricing_rollup,
     "large_orders": q_large_orders,
     "waiting_suppliers": q_waiting_suppliers,
