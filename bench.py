@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "ann_topk_pq",
     "leakage_safe_split",
     "compressibility",
+    "locality_compression",
 ]
 
 

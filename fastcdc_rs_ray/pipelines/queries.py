@@ -385,6 +385,18 @@ def q_neardup_clusters(sf_dir: str):
     )
 
 
+def q_locality_compression(sf_dir: str):
+    """Storage-locality lever measured: the same corpus gzipped under a
+    hash-of-id shard layout vs a SimHash-ordered layout (near-dups land
+    adjacent, inside the codec's window).  Deterministic totals — fixed
+    zlib level, keyed exchange, in-block sort (rows-only gate; pytest
+    pins simhash-order strictly smaller on a twin-bearing corpus)."""
+    from ..stages.locality import locality_compression
+
+    return locality_compression(
+        _documents(sf_dir, ["doc_id", "text"]), num_partitions=8)
+
+
 def q_compressibility(sf_dir: str):
     """Compression-ratio quality signal (Gopher-family): per-doc zlib
     size in exact integer permille of raw bytes — boilerplate compresses
@@ -2291,6 +2303,7 @@ QUERIES = {
     "neardup_keep": q_neardup_keep,
     "leakage_safe_split": q_leakage_safe_split,
     "compressibility": q_compressibility,
+    "locality_compression": q_locality_compression,
     "pricing_rollup": q_pricing_rollup,
     "large_orders": q_large_orders,
     "waiting_suppliers": q_waiting_suppliers,
