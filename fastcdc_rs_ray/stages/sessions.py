@@ -77,8 +77,9 @@ WITH g AS (
   FROM events
 ), s AS (
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) - 1
+              AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id,
