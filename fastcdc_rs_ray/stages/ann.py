@@ -243,18 +243,14 @@ class _IVFScorer:
         )
 
 
-def ann_topk_ivf(ds, query_ids, query_matrix, k: int = 10, n_cells: int = 16,
-                 n_probe: int = 4, sample_size: int = 2048, seed: int = 5,
-                 concurrency=(2, 8)):
-    """IVF approximate top-k: same schema as brute force; recall depends on
-    n_probe / n_cells (tested against the exact baseline)."""
-    import ray
+def _hash_sample_matrix(ds, sample_size: int) -> np.ndarray:
+    """Deterministic hash-sampled embedding matrix for trainer stages.
 
-    # Train centroids on a HASH SAMPLE, never a dataset prefix: with
-    # cluster-ordered input ds.limit() sees only the first region, all
-    # centroids land there, and recall collapses for late clusters.  The
-    # multiplicative-hash bucket is deterministic and retry-stable (same
-    # discipline as sample_docs).
+    Hash bucket 0 of a multiplicative hash over vec_id (retry-stable,
+    order-independent — a dataset prefix would collapse onto the first
+    cluster region for cluster-ordered input).  Falls back to a plain
+    prefix when bucket 0 comes back empty (tiny/skewed id sets with
+    mod >= 2), so np.stack never sees an empty series."""
     from .sample import hash_bucket
 
     n_total = ds.count()
@@ -267,7 +263,24 @@ def ann_topk_ivf(ds, query_ids, query_matrix, k: int = 10, n_cells: int = 16,
     sample_t = ds.map_batches(
         hash_sample, batch_format="pyarrow"
     ).limit(sample_size * 2).to_pandas()
-    sample = np.stack(sample_t["embedding"].to_numpy())
+    if len(sample_t) == 0:
+        sample_t = ds.limit(min(sample_size, max(n_total, 1))).to_pandas()
+    return np.stack(sample_t["embedding"].to_numpy())
+
+
+def ann_topk_ivf(ds, query_ids, query_matrix, k: int = 10, n_cells: int = 16,
+                 n_probe: int = 4, sample_size: int = 2048, seed: int = 5,
+                 concurrency=(2, 8)):
+    """IVF approximate top-k: same schema as brute force; recall depends on
+    n_probe / n_cells (tested against the exact baseline)."""
+    import ray
+
+    # Train centroids on a HASH SAMPLE, never a dataset prefix: with
+    # cluster-ordered input ds.limit() sees only the first region, all
+    # centroids land there, and recall collapses for late clusters.  The
+    # multiplicative-hash bucket is deterministic and retry-stable (same
+    # discipline as sample_docs).
+    sample = _hash_sample_matrix(ds, sample_size)
     cent = train_centroids(sample, n_cells, seed=seed)
     qref = ray.put(
         {"ids": np.asarray(query_ids, np.int64), "matrix": _normalize(query_matrix)}
@@ -419,19 +432,7 @@ def ann_topk_pq(ds, query_ids, query_matrix, k: int = 10, m: int = 8,
     """
     import ray
 
-    from .sample import hash_bucket
-
-    n_total = ds.count()
-    mod = max(1, n_total // sample_size)
-
-    def hash_sample(t: pa.Table) -> pa.Table:
-        ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(hash_bucket(ids, mod) == 0))
-
-    sample_t = ds.map_batches(
-        hash_sample, batch_format="pyarrow"
-    ).limit(sample_size * 2).to_pandas()
-    sample = np.stack(sample_t["embedding"].to_numpy())
+    sample = _hash_sample_matrix(ds, sample_size)
     books = train_pq_codebooks(sample, m=m, ks=ks, seed=seed)
     bref = ray.put(books)
     qids = np.asarray(query_ids, np.int64)

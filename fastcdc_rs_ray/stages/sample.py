@@ -320,10 +320,24 @@ def corpus_shuffle(documents_ds, seed: int = SHUFFLE_SEED,
                                  batch_size=None)
 
 
+# (x * MULT) mod 2^64 via 32-bit split-multiply so no intermediate exceeds
+# HUGEINT even when xor(doc_id, seed) approaches 2^64 — a direct
+# HUGEINT multiply overflows for xor values >= ~2^63.7 with a nonzero seed.
+_MULT_LO = SAMPLE_MULT & 0xFFFFFFFF
+_MULT_HI = SAMPLE_MULT >> 32
+
 CORPUS_SHUFFLE_SQL = f"""
+WITH x AS (
+  SELECT doc_id,
+         CAST(xor(CAST(doc_id AS UBIGINT), {SHUFFLE_SEED}::UBIGINT)
+              AS HUGEINT) AS xv
+  FROM documents
+)
 SELECT doc_id,
        CAST(ROW_NUMBER() OVER (ORDER BY
-         (CAST(xor(CAST(doc_id AS UBIGINT), {SHUFFLE_SEED}::UBIGINT) AS HUGEINT)
-          * {SAMPLE_MULT}) % 18446744073709551616) - 1 AS BIGINT) AS pos
-FROM documents
+         ((xv % 4294967296) * {_MULT_LO}
+          + (((xv % 4294967296) * {_MULT_HI}
+              + (xv // 4294967296) * {_MULT_LO}) % 4294967296) * 4294967296)
+         % 18446744073709551616) - 1 AS BIGINT) AS pos
+FROM x
 """

@@ -17,10 +17,12 @@ Composition of existing machinery, Ray-Data-first:
   pathological bucket and is recorded, not silent), links pairs >= tau
   with a tiny union-find, and keeps the minimum vec_id per group.
 
-Output: (vec_id, keep, rep) — rep = the kept representative of the row's
-duplicate group (itself when kept).  Not SQL-expressible (the clustering
-is iterative); pytest pins planted duplicates, partition invariance, and
-the keep-min rule.
+Output: (vec_id, keep, rep, oversized) — rep = the kept representative of
+the row's duplicate group (itself when kept); oversized = 1 marks members
+of a cluster that exceeded `max_cluster` and was therefore NOT deduped, so
+at-scale degradation is visible in the output instead of silent.  Not
+SQL-expressible (the clustering is iterative); pytest pins planted
+duplicates, partition invariance, and the keep-min rule.
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ from .kmeans import _assign, _block_mat, _quantize_block, kmeans
 
 OUT_SCHEMA = pa.schema([
     ("vec_id", pa.int64()), ("keep", pa.int8()), ("rep", pa.int64()),
+    ("oversized", pa.int8()),
 ])
 
 
@@ -75,9 +78,15 @@ def semantic_dedup(embeddings_ds, k: int = 8, tau: float = 0.97,
             [[0], np.flatnonzero(cl[1:] != cl[:-1]) + 1, [len(cl)]])
         keep = np.ones(len(cl), np.int8)
         rep = ids.copy()
+        oversized = np.zeros(len(cl), np.int8)
         for s, e in zip(starts[:-1], starts[1:]):
             g = e - s
-            if g < 2 or g > max_cluster:
+            if g > max_cluster:
+                # skipped, NOT deduped — flag every member so the
+                # degradation is recorded in the output, not silent
+                oversized[s:e] = 1
+                continue
+            if g < 2:
                 continue
             gm = mat[s:e]
             sims = gm @ gm.T
@@ -106,6 +115,7 @@ def semantic_dedup(embeddings_ds, k: int = 8, tau: float = 0.97,
             "vec_id": pa.array(ids, pa.int64()),
             "keep": pa.array(keep, pa.int8()),
             "rep": pa.array(rep, pa.int64()),
+            "oversized": pa.array(oversized, pa.int8()),
         }).cast(OUT_SCHEMA)
 
     return ex.map_batches(combine, batch_format="pyarrow", batch_size=None)

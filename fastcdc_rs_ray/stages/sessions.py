@@ -1277,9 +1277,8 @@ def value_mad_by_type(events_ds):
         vals = v[starts]
         cum = np.cumsum(np.add.reduceat(c, starts))
         total = int(cum[-1])
-        k = (total - 1) // 2
-        lo = int(vals[np.searchsorted(cum, k, side="right")])
-        hi = int(vals[np.searchsorted(cum, min(k + 1, total - 1), side="right")])
+        lo = int(vals[np.searchsorted(cum, (total - 1) // 2, side="right")])
+        hi = int(vals[np.searchsorted(cum, total // 2, side="right")])
         return lo + hi, total
 
     rows: dict[str, list] = {c: [] for c in schema.names}
@@ -1306,7 +1305,7 @@ WITH s AS (
 ),
 m AS (
   SELECT event_type, n, vs,
-         vs[(n-1)//2 + 1] + vs[least((n-1)//2 + 2, n)] AS med_u2
+         vs[(n-1)//2 + 1] + vs[n//2 + 1] AS med_u2
   FROM s
 ),
 d AS (
@@ -1315,7 +1314,7 @@ d AS (
   FROM m
 )
 SELECT event_type, n, med_u2,
-       ds[(n-1)//2 + 1] + ds[least((n-1)//2 + 2, n)] AS mad_u4
+       ds[(n-1)//2 + 1] + ds[n//2 + 1] AS mad_u4
 FROM d
 """
 

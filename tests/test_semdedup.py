@@ -57,3 +57,31 @@ def test_semantic_dedup_planted_duplicates(ray_session):
     # partition invariance
     got2 = _run(ray, _table(m), blocks=2, k=6, tau=0.97, num_partitions=3)
     assert got2 == got
+
+
+def test_semantic_dedup_oversized_cluster_flagged(ray_session):
+    """A cluster over max_cluster is skipped (everyone kept, no dedup) but
+    every member carries oversized=1 — degradation is recorded, not silent."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    n, d = 60, 8
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    m[10] = m[3]  # planted duplicate that the cap will hide
+    out = semantic_dedup(rd.from_arrow(_table(m)).repartition(3),
+                         k=1, tau=0.97, num_partitions=2, max_cluster=8)
+    tab = pa.concat_tables(
+        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+         for b in out.iter_batches(batch_format="pyarrow")])
+    assert tab["oversized"].to_pylist() == [1] * n
+    assert tab["keep"].to_pylist() == [1] * n  # nothing deduped
+    # and with the cap lifted the same corpus is deduped and unflagged
+    out2 = semantic_dedup(rd.from_arrow(_table(m)).repartition(3),
+                          k=1, tau=0.97, num_partitions=2)
+    tab2 = pa.concat_tables(
+        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+         for b in out2.iter_batches(batch_format="pyarrow")])
+    by_id = {v: (k, o) for v, k, o in zip(tab2["vec_id"].to_pylist(),
+                                          tab2["keep"].to_pylist(),
+                                          tab2["oversized"].to_pylist())}
+    assert by_id[10] == (0, 0) and by_id[3] == (1, 0)

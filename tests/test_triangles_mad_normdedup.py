@@ -65,11 +65,24 @@ def test_triangle_count_random_partition_invariant(ray_session):
 def _mad_ref(vals_c: np.ndarray) -> tuple[int, int]:
     vs = np.sort(vals_c)
     n = len(vs)
-    k = (n - 1) // 2
-    med_u2 = int(vs[k]) + int(vs[min(k + 1, n - 1)])
+    med_u2 = int(vs[(n - 1) // 2]) + int(vs[n // 2])
     ds = np.sort(np.abs(2 * vs - med_u2))
-    mad_u4 = int(ds[k]) + int(ds[min(k + 1, n - 1)])
+    mad_u4 = int(ds[(n - 1) // 2]) + int(ds[n // 2])
     return med_u2, mad_u4
+
+
+def test_value_mad_odd_group_pinned(ray_session):
+    """Odd-count group: 10,20,30,40,50 has median 30 -> med_u2 == 60
+    (NOT 70 = v[k]+v[k+1], the round-1 upper-median off-by-one); MAD is
+    20 -> mad_u4 == 40.  Hand-computed, independent of any formula."""
+    import ray.data as rd
+
+    t = pa.table({
+        "event_type": pa.array(["x"] * 5, pa.string()),
+        "value": pa.array([0.10, 0.20, 0.30, 0.40, 0.50], pa.float64()),
+    })
+    out = value_mad_by_type(rd.from_arrow(t).repartition(2)).to_pylist()
+    assert out == [{"event_type": "x", "n": 5, "med_u2": 60, "mad_u4": 40}]
 
 
 def test_value_mad_by_type_vs_reference(ray_session):
@@ -159,6 +172,34 @@ def test_corpus_shuffle_permutation_and_determinism(ray_session):
     # a different seed is a genuinely different permutation
     c = run(3, seed=12345)
     assert c != a and sorted(c.values()) == list(range(len(ids)))
+
+
+def test_corpus_shuffle_sql_split_multiply_no_overflow():
+    """The oracle's (xor(id,seed)*MULT) mod 2^64 via 32-bit split-multiply
+    equals numpy uint64 wraparound for EVERY seed magnitude — a direct
+    HUGEINT multiply overflows once xor(id,seed) >= ~2^63.7 (round-1
+    ADVICE), so the huge-seed legs here are the regression."""
+    import duckdb
+
+    from fastcdc_rs_ray.stages.sample import SAMPLE_MULT
+
+    lo_m, hi_m = SAMPLE_MULT & 0xFFFFFFFF, SAMPLE_MULT >> 32
+    ids = np.random.default_rng(0).integers(0, 2**62, 50, dtype=np.int64)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(int(i),) for i in ids])
+    for seed in (0, 0xDEADBEEF, 2**63 + 12345, 2**64 - 1):
+        want = [int(w) for w in
+                ((ids.astype(np.uint64) ^ np.uint64(seed)) * np.uint64(SAMPLE_MULT))]
+        rows = con.execute(f"""
+          SELECT CAST(((xv % 4294967296) * {lo_m}
+                  + (((xv % 4294967296) * {hi_m}
+                      + (xv // 4294967296) * {lo_m}) % 4294967296) * 4294967296)
+                 % 18446744073709551616 AS VARCHAR)
+          FROM (SELECT CAST(xor(CAST(doc_id AS UBIGINT), {seed}::UBIGINT)
+                            AS HUGEINT) AS xv FROM t)
+        """).fetchall()
+        assert [int(r[0]) for r in rows] == want, hex(seed)
 
 
 def _ntile_ref(totals: dict[int, int], k: int) -> dict[int, int]:
