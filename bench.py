@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "leakage_safe_split",
     "compressibility",
     "locality_compression",
+    "media_real",
 ]
 
 
@@ -396,8 +397,31 @@ def main() -> None:
             print(f"{name}: driver-side result ({len(res)} rows); no Dataset stats")
         ray.shutdown()
         return
-    print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))
-    ray.shutdown()
+    res = run_bench(SF_DIR, NUM_CPUS)
+    print(json.dumps(res))  # full detail (rows, corpus bytes) — not the last line
+    print(json.dumps(_compact(res)))  # driver keeps only a ~2000-char stdout
+    ray.shutdown()                    # tail; the LAST line must parse alone
+
+
+def _compact(res: dict, limit: int = 1900) -> dict:
+    """Squeeze the suite result under the driver's stdout-tail budget:
+    2-decimal times, drop per-query row counts, and if the queries dict
+    still doesn't fit keep the slowest entries plus a count of the rest."""
+    out = {
+        "metric": res["metric"],
+        "value": res["value"],
+        "unit": res["unit"],
+        "queries": {k: round(v, 2) for k, v in res["queries"].items()},
+        "sf": res["sf"],
+        "num_cpus": res["num_cpus"],
+        "host_first_touch_200mb_s": res.get("host_first_touch_200mb_s"),
+    }
+    while len(json.dumps(out)) > limit and out["queries"]:
+        q = out["queries"]
+        keep = sorted(q, key=q.get, reverse=True)[: max(len(q) - 8, 0)]
+        out["queries"] = {k: q[k] for k in q if k in set(keep)}
+        out["queries_omitted"] = len(res["queries"]) - len(out["queries"])
+    return out
 
 
 if __name__ == "__main__":

@@ -93,6 +93,14 @@ def connected_components_distributed(
     """Iterative min-label propagation, fully inside Ray Data (see module
     docstring).  Exercised at small scale in tests; equivalent output to the
     driver variant."""
+    from ..util import shuffle_safe_partitions
+
+    # Each round's plan holds TWO keyed hash-shuffles live at once
+    # (propagate-combine and pointer-jump); clamp so their aggregator
+    # actors cannot reserve every CPU away from the map tasks feeding
+    # them (observed deadlock: p=16 x 2 shuffles on a 4-CPU session).
+    num_partitions = shuffle_safe_partitions(
+        num_partitions, concurrent_shuffles=3.0)
 
     def both_dirs(t: pa.Table) -> pa.Table:
         return pa.table(

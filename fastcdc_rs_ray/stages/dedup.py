@@ -280,9 +280,11 @@ def ngram_jaccard_pairs(ds, k: int = 3, tau: float = 0.8, num_partitions: int = 
     without ever holding a doc-size map on the driver: each exploded shingle
     row carries its document's shingle-set size, so the per-pair aggregate
     has everything it needs.  Shingle groups larger than ``max_group`` are
-    dropped (hot boilerplate shingles; at tau >= 0.5 they cannot decide a
-    pair on their own) — the cap is a documented recall knob, disabled in
-    oracle-checked runs at test scale.
+    dropped (hot boilerplate shingles — the one O(g^2) blowup in the tier);
+    set-size denominators still count them, so computed Jaccard is a lower
+    bound of the true value and the cap only ever LOWERS recall, never
+    precision.  The cap is part of the defined semantics: the ngram_dups
+    SQL oracle applies the identical exclusion (queries.NGRAM_MAX_GROUP).
     """
 
     def explode(t: pa.Table) -> pa.Table:

@@ -41,6 +41,37 @@ def test_hot_band_edges_linear(ray_session):
     assert len(edges) >= N_HOT - 1  # enough edges to connect the hot run
 
 
+def test_hot_band_distributed_path_matches_driver(ray_session, monkeypatch):
+    """Force the scale back end through the AUTO gates on a (shrunken) skew
+    corpus: verify_driver_limit below the candidate count routes
+    verify_edges to the tag-union shuffle, and CC_DRIVER_EDGE_LIMIT=1
+    routes cc="auto" to distributed label propagation.  Cluster
+    assignments must equal the driver-path output exactly (VERDICT r1
+    watch item: the switch must be a data-size decision with no semantic
+    drift).  Corpus is 28 identical + 8 normal docs — same consecutive-
+    link chain topology as the 3000-doc stress above; distributed CC
+    needs ~log2(diameter) rounds at ~3 dataset executions each, so the
+    chain is kept short to fit the pytest budget at 4 CPUs."""
+    import ray.data as rd
+
+    import fastcdc_rs_ray.pipelines.neardup as nd
+
+    rng = np.random.default_rng(11)
+    hot = " ".join(rng.choice(VOCAB, size=80))
+    normal = [" ".join(rng.choice(VOCAB, size=80)) for _ in range(8)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(36), pa.int64()),
+        "text": pa.array([hot] * 28 + normal),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    want = doc_neardup_clusters(ds, verify_threshold=0.5).to_pandas()
+    monkeypatch.setattr(nd, "CC_DRIVER_EDGE_LIMIT", 1)
+    got = doc_neardup_clusters(
+        ds, verify_threshold=0.5, verify_driver_limit=1).to_pandas()
+    assert dict(zip(got["conv_id"], got["cluster_id"])) == \
+        dict(zip(want["conv_id"], want["cluster_id"]))
+
+
 def test_hot_band_single_cluster(ray_session):
     import ray.data as rd
 
