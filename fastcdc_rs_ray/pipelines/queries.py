@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..sources.transcripts import (
+    DOCS_TURNS_PER_CONV,
     DOCUMENTS_TRANSCRIPT_SQL,
     transcripts_from_documents,
 )
@@ -391,6 +392,116 @@ def q_neardup_clusters(sf_dir: str):
     return neardup_clusters(
         transcripts_from_documents(sf_dir), num_partitions=16, verify_threshold=0.4
     )
+
+
+def q_neardup_twin_recall(sf_dir: str):
+    """Driver-hashable dup-pair recall gate on the flagship (north rule:
+    recall >= 0.99).  The corpus derivation plants exact-copy twins
+    (``twin-X`` duplicates every turn of ``conv-X`` when X%20==0);
+    identical text gives identical MinHash signatures, so every exact
+    twin MUST land in its base's cluster — the SQL oracle asserts
+    n_joined == n_exact_twins from the derivation alone.  Computed with
+    one twin-count-sized keyed exchange (the cluster table itself never
+    reaches the driver; partials are 1-row per block)."""
+    import pyarrow.compute as pc
+
+    clusters = neardup_clusters(
+        transcripts_from_documents(sf_dir), num_partitions=16,
+        verify_threshold=0.4,
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].combine_chunks()
+        if len(conv) == 0:
+            return pa.table({"num": pa.array([], pa.int64()),
+                             "is_twin": pa.array([], pa.int8()),
+                             "cluster_id": pa.array([], pa.string())})
+        num = pc.cast(pc.utf8_slice_codeunits(conv, 5, 13), pa.int64())
+        n = num.to_numpy(zero_copy_only=False)
+        is_twin = pc.equal(pc.utf8_slice_codeunits(conv, 0, 5),
+                           "twin-").cast(pa.int8())
+        keep = pa.array(n % 20 == 0)
+        return pa.table({"num": num, "is_twin": is_twin,
+                         "cluster_id": t["cluster_id"]}).filter(keep)
+
+    tagged = clusters.map_batches(tag, batch_format="pyarrow")
+    tagged = tagged.repartition(num_blocks=8, keys=["num"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"n_exact_twins": pa.array([0], pa.int64()),
+                             "n_joined": pa.array([0], pa.int64())})
+        num = t["num"].combine_chunks().to_numpy()
+        tw = t["is_twin"].combine_chunks().to_numpy(zero_copy_only=False)
+        cl = t["cluster_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(num, kind="stable")
+        num, tw, cl = num[order], tw[order], cl[order]
+        base_of = {int(n): c for n, c, w in zip(num, cl, tw) if w == 0}
+        twins = [(int(n), c) for n, c, w in zip(num, cl, tw) if w == 1]
+        joined = sum(1 for n, c in twins if base_of.get(n) == c)
+        return pa.table({
+            "n_exact_twins": pa.array([len(twins)], pa.int64()),
+            "n_joined": pa.array([joined], pa.int64()),
+        })
+
+    parts = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in tagged.map_batches(
+            count_partial, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow"))
+    return pa.table({
+        "n_exact_twins": pa.array(
+            [int(parts["n_exact_twins"].to_numpy().sum())], pa.int64()),
+        "n_joined": pa.array(
+            [int(parts["n_joined"].to_numpy().sum())], pa.int64()),
+    })
+
+
+def q_chunk_store_lossless(sf_dir: str):
+    """The chunk-store roundtrip's lossless invariant as a 1-row
+    SQL-hashable result (VERDICT r1 item 8): n_equal == n_convs means
+    every conversation reconstructed from the content-addressable store
+    byte-equals its original.  The oracle derives both counts from the
+    corpus alone, so any roundtrip corruption hash-fails the driver gate.
+    Full accounting (chunk/byte/dedup columns) stays in the rows-only
+    ``chunk_store_roundtrip``."""
+    t = q_chunk_store_roundtrip(sf_dir)
+    return t.select(["n_convs", "n_equal"])
+
+
+def q_chunk_coverage_all_algos(sf_dir: str):
+    """Coverage invariant (reference src/v2020/mod.rs:1253-1274: every
+    payload byte in exactly one chunk) across ALL kernel variants as one
+    SQL-hashable result: per algo, total covered bytes must equal the
+    corpus's total text bytes.  Extends the driver-checked coverage gate
+    from the default v2020 config to v2016/ronomon/seeded/NC3."""
+    from ..cdc import ChunkerConfig
+
+    configs = [
+        ("nc3", ChunkerConfig(64, 256, 1024, norm_level=3)),
+        ("ronomon", ChunkerConfig(64, 256, 1024, algo="ronomon")),
+        ("seeded", ChunkerConfig(64, 256, 1024, seed=666)),
+        ("v2016", ChunkerConfig(64, 256, 1024, algo="v2016")),
+        ("v2020", DEFAULT_CONFIG),
+    ]
+    names, totals = [], []
+    for name, cfg in configs:
+        chunks = _chunks_with(sf_dir, cfg)
+
+        def sum_partial(t: pa.Table) -> pa.Table:
+            return pa.table({"b": pa.array(
+                [int(t["length"].combine_chunks().to_numpy().sum())],
+                pa.int64())})
+
+        parts = pa.concat_tables(
+            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in chunks.map_batches(
+                sum_partial, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_format="pyarrow"))
+        names.append(name)
+        totals.append(int(parts["b"].to_numpy().sum()))
+    return pa.table({"algo": pa.array(names, pa.string()),
+                     "covered_bytes": pa.array(totals, pa.int64())})
 
 
 def q_locality_compression(sf_dir: str):
@@ -2290,6 +2401,9 @@ QUERIES = {
     "turn_equality": q_turn_equality,
     "conv_stats": q_conv_stats,
     "chunk_coverage": q_chunk_coverage,
+    "neardup_twin_recall": q_neardup_twin_recall,
+    "chunk_store_lossless": q_chunk_store_lossless,
+    "chunk_coverage_all_algos": q_chunk_coverage_all_algos,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -2616,6 +2730,31 @@ FROM transcripts GROUP BY conv_id""",
     "chunk_coverage": f"""{_TRANSCRIPT_CTE}
 SELECT conv_id, CAST(SUM(strlen(text)) AS BIGINT) AS covered_bytes
 FROM transcripts GROUP BY conv_id""",
+    # exact-copy twins exist for conv_no%20==0 (DOCUMENTS_TRANSCRIPT_SQL:
+    # twin rows carry ALL turns only when (doc_id//TPC)%20==0); identical
+    # text forces identical signatures, so the engine must join every one.
+    "neardup_twin_recall": f"""
+WITH exact_twins AS (
+  SELECT DISTINCT doc_id // {DOCS_TURNS_PER_CONV} AS c FROM documents
+  WHERE (doc_id // {DOCS_TURNS_PER_CONV}) % 20 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_twins,
+       CAST(COUNT(*) AS BIGINT) AS n_joined
+FROM exact_twins""",
+    # losslessness: every conversation reconstructed from the chunk store
+    # byte-equals its original, so n_equal == n_convs == the corpus's
+    # distinct-conversation count.
+    "chunk_store_lossless": f"""{_TRANSCRIPT_CTE}
+SELECT CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_equal
+FROM transcripts""",
+    # coverage invariant for every kernel variant: per algo, the chunk
+    # lengths must sum to the corpus's total text bytes.
+    "chunk_coverage_all_algos": f"""{_TRANSCRIPT_CTE}
+SELECT a.algo, (SELECT CAST(SUM(strlen(text)) AS BIGINT) FROM transcripts)
+       AS covered_bytes
+FROM (VALUES ('nc3'), ('ronomon'), ('seeded'), ('v2016'), ('v2020'))
+     AS a(algo)""",
     "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
     "token_count": f"SELECT doc_id, {_TOKENS_SQL} AS n_tokens FROM documents",
     "quality": f"""
