@@ -504,6 +504,122 @@ def q_chunk_coverage_all_algos(sf_dir: str):
                      "covered_bytes": pa.array(totals, pa.int64())})
 
 
+def q_minhash_twin_sigs(sf_dir: str):
+    """MinHash correctness made driver-hashable: exact-copy twins
+    (conv_no % 20 == 0 in the derivation) have byte-identical assembled
+    payloads, so their 128-lane MinHash signatures MUST be identical —
+    n_equal_sigs == n_exact_twins, both derivable from the corpus alone.
+    A zero-tolerance floor under the flagship's probabilistic recall."""
+    from ..stages.invariants import sig_row_hash, twin_value_equality
+    from .neardup import signatures_pipeline
+
+    sigs = signatures_pipeline(
+        transcripts_from_documents(sf_dir), num_partitions=16)
+    return twin_value_equality(
+        sig_row_hash(sigs), "conv_id", "sig_hash", "n_equal_sigs")
+
+
+def q_simhash_twin_zero(sf_dir: str):
+    """SimHash correctness made driver-hashable: exact-copy twins have
+    identical conversation text, hence identical 64-bit SimHash (Hamming
+    distance exactly 0) — n_zero_dist == n_exact_twins from the
+    derivation.  Exercises the conversation-level signature path
+    (assemble -> token-bit signature, stages/invariants.py)."""
+    from ..stages.invariants import simhash_convs, twin_value_equality
+
+    sigs = simhash_convs(transcripts_from_documents(sf_dir),
+                         num_partitions=16)
+    return twin_value_equality(sigs, "conv_id", "simhash", "n_zero_dist")
+
+
+def q_ann_ivf_parity(sf_dir: str):
+    """IVF lossless-routing gate: with n_probe == n_cells every cell is
+    scanned, so the IVF top-k SET must equal exact brute force for every
+    query — proving the cell assignment, per-cell scan and candidate
+    merge machinery before n_probe < n_cells trades recall for read
+    pruning (that recall is pytest-pinned in tests/test_ann.py)."""
+    from ..stages.ann import load_queries_from_dataset
+    from ..stages.invariants import ann_full_probe_parity
+
+    ds = _embeddings(sf_dir)
+    qids, qmat = load_queries_from_dataset(ds, ANN_N_QUERIES)
+    return ann_full_probe_parity(ds, qids, qmat, k=ANN_K, n_cells=16)
+
+
+def q_hll_type_bounds(sf_dir: str):
+    """HLL per-group error bound made driver-hashable: for every
+    event_type the register-bank estimate must land within 5% of the
+    distributed exact distinct-user count (registers are fixed hashes of
+    the data, so the flag is deterministic under any partitioning)."""
+    import ray.data as rd
+
+    from ..stages.invariants import hll_type_bounds
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return hll_type_bounds(ds, tol_pct=5)
+
+
+def q_cms_probe_bounds(sf_dir: str):
+    """Count-min guarantees per probe key as driver-hashable flags:
+    est >= exact ALWAYS (algebraic invariant of min-of-sums counters)
+    and est <= exact + 2n/w for the shipped (d=4, w=8192) table."""
+    import ray.data as rd
+
+    from ..stages.invariants import cms_probe_bounds
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return cms_probe_bounds(ds, probes=np.arange(10, dtype=np.int64))
+
+
+def q_pack_conservation(sf_dir: str):
+    """Sequence-packing conservation laws as one driver-hashable row:
+    total packed tokens == the corpus token count (SQL-derivable with
+    the shared TOKEN_RE) and zero bins over budget (single oversize docs
+    alone in their bin are the allowed exception)."""
+    from ..stages.invariants import pack_conservation
+    from ..stages.packing import pack_docs
+
+    packed = pack_docs(_documents(sf_dir, ["doc_id", "text"]), budget=512,
+                       n_groups=16)
+    return pack_conservation(packed, budget=512)
+
+
+def q_split_exclusive(sf_dir: str):
+    """Leakage-safe-split partition laws as one driver-hashable row:
+    every conversation gets exactly one valid split label and NO
+    near-dup cluster straddles two splits (n_spanning == 0 is the
+    leakage property the split exists to provide)."""
+    from ..stages.invariants import split_exclusive
+    from .neardup import split_by_cluster
+
+    return split_exclusive(split_by_cluster(neardup_clusters(
+        transcripts_from_documents(sf_dir), num_partitions=16,
+        verify_threshold=0.4)))
+
+
+def q_manifest_coverage(sf_dir: str):
+    """Checkpointed-sink coverage gate: chunk rows PERSISTED by the
+    resumable partitioned writer must cover every corpus byte (sum of
+    written chunk lengths == SUM(strlen(text))) across exactly the
+    expected partition count — the sink tier's byte-lossless proof,
+    driver-hashable."""
+    import hashlib
+    import shutil
+
+    from ..state.checkpoint import run_stage_checkpointed
+    from ..stages.invariants import manifest_coverage
+
+    tag = hashlib.md5(f"{sf_dir}|coverage".encode()).hexdigest()[:10]
+    root = f"/tmp/graft_export/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    conv = assemble(transcripts_from_documents(sf_dir), num_partitions=8)
+    run_stage_checkpointed(
+        conv, "chunks", root, key="conv_id",
+        fn=lambda ds: chunk(ds, DEFAULT_CONFIG), num_partitions=4)
+    return manifest_coverage(root, n_partitions=4)
+
+
 def q_locality_compression(sf_dir: str):
     """Storage-locality lever measured: the same corpus gzipped under a
     hash-of-id shard layout vs a SimHash-ordered layout (near-dups land
@@ -2404,6 +2520,14 @@ QUERIES = {
     "neardup_twin_recall": q_neardup_twin_recall,
     "chunk_store_lossless": q_chunk_store_lossless,
     "chunk_coverage_all_algos": q_chunk_coverage_all_algos,
+    "minhash_twin_sigs": q_minhash_twin_sigs,
+    "simhash_twin_zero": q_simhash_twin_zero,
+    "ann_ivf_parity": q_ann_ivf_parity,
+    "hll_type_bounds": q_hll_type_bounds,
+    "cms_probe_bounds": q_cms_probe_bounds,
+    "pack_conservation": q_pack_conservation,
+    "split_exclusive": q_split_exclusive,
+    "manifest_coverage": q_manifest_coverage,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -2755,6 +2879,56 @@ SELECT a.algo, (SELECT CAST(SUM(strlen(text)) AS BIGINT) FROM transcripts)
        AS covered_bytes
 FROM (VALUES ('nc3'), ('ronomon'), ('seeded'), ('v2016'), ('v2020'))
      AS a(algo)""",
+    # exact-copy twins (conv_no % 20 == 0) have identical payloads, so
+    # every lane of the MinHash signature matches — zero tolerance.
+    "minhash_twin_sigs": f"""
+WITH exact_twins AS (
+  SELECT DISTINCT doc_id // {DOCS_TURNS_PER_CONV} AS c FROM documents
+  WHERE (doc_id // {DOCS_TURNS_PER_CONV}) % 20 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_twins,
+       CAST(COUNT(*) AS BIGINT) AS n_equal_sigs
+FROM exact_twins""",
+    "simhash_twin_zero": f"""
+WITH exact_twins AS (
+  SELECT DISTINCT doc_id // {DOCS_TURNS_PER_CONV} AS c FROM documents
+  WHERE (doc_id // {DOCS_TURNS_PER_CONV}) % 20 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_twins,
+       CAST(COUNT(*) AS BIGINT) AS n_zero_dist
+FROM exact_twins""",
+    # IVF with n_probe == n_cells scans every cell -> exact parity with
+    # brute force for every query in the fixed query set (vec_id < 8).
+    "ann_ivf_parity": """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS n_parity
+FROM embeddings WHERE vec_id < 8""",
+    # HLL per-type estimate within 5% of exact for every event type.
+    "hll_type_bounds": """
+SELECT DISTINCT event_type, CAST(1 AS BIGINT) AS within_tol
+FROM events""",
+    # CMS: est >= exact always; est <= exact + 2n/w on this corpus.
+    "cms_probe_bounds": """
+SELECT CAST(r AS BIGINT) AS user_id, CAST(1 AS BIGINT) AS est_ge_exact,
+       CAST(1 AS BIGINT) AS within_eps
+FROM range(10) t(r)""",
+    # packing conserves every token and never overfills a bin.
+    "pack_conservation": f"""
+SELECT CAST(SUM({_TOKENS_SQL}) AS BIGINT) AS total_tokens,
+       CAST(0 AS BIGINT) AS n_bin_overflows
+FROM documents""",
+    # one valid split per conversation; no cluster straddles splits.
+    "split_exclusive": f"""{_TRANSCRIPT_CTE}
+SELECT CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_assigned,
+       CAST(0 AS BIGINT) AS n_spanning
+FROM transcripts""",
+    # the checkpointed sink persists every corpus byte across the
+    # expected partition count.
+    "manifest_coverage": f"""{_TRANSCRIPT_CTE}
+SELECT CAST(SUM(strlen(text)) AS BIGINT) AS covered_bytes,
+       CAST(4 AS BIGINT) AS n_partitions
+FROM transcripts""",
     "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
     "token_count": f"SELECT doc_id, {_TOKENS_SQL} AS n_tokens FROM documents",
     "quality": f"""

@@ -1,0 +1,66 @@
+"""The driver-hashable invariant gates (stages/invariants.py) must be
+FALSIFIABLE — each test plants a violation and asserts the gate counts
+it, so a green driver row means the property actually held (no
+circularity).  Registry hygiene: the driver checks the first 50 QUERIES
+entries, so that window must stay all-SQL-oracled."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fastcdc_rs_ray.pipelines.queries import ORACLE_SQL, QUERIES
+from fastcdc_rs_ray.stages.invariants import (
+    pack_conservation,
+    split_exclusive,
+    twin_value_equality,
+)
+
+
+def test_driver_window_all_sql_oracled():
+    window = list(QUERIES)[:50]
+    missing = [n for n in window if n not in ORACLE_SQL]
+    assert missing == [], f"rows-only queries inside driver window: {missing}"
+
+
+def test_twin_equality_counts_a_mismatch(ray_session):
+    # conv-20 == twin-20 (match), conv-40 != twin-40 (planted mismatch),
+    # conv-7 has no twin and is off-modulus (ignored).
+    t = pa.table({
+        "conv_id": pa.array(
+            ["conv-00000020", "twin-00000020",
+             "conv-00000040", "twin-00000040", "conv-00000007"]),
+        "val": pa.array([11, 11, 22, 99, 5], pa.uint64()),
+    })
+    out = twin_value_equality(rd.from_arrow(t), "conv_id", "val", "n_equal")
+    assert out["n_exact_twins"][0].as_py() == 2
+    assert out["n_equal"][0].as_py() == 1
+
+
+def test_pack_conservation_counts_an_overflow(ray_session):
+    # bin 0 of group 0 holds 300+300 = 600 > budget 512 -> 1 overflow;
+    # the lone oversize doc (700 > 512, alone in bin 1) is allowed.
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "n_tokens": pa.array([300, 300, 700], pa.int64()),
+        "pack_group": pa.array([0, 0, 0], pa.int64()),
+        "bin_idx": pa.array([0, 0, 1], pa.int64()),
+        "oversize": pa.array([False, False, True]),
+    })
+    out = pack_conservation(rd.from_arrow(t), budget=512)
+    assert out["total_tokens"][0].as_py() == 1300
+    assert out["n_bin_overflows"][0].as_py() == 1
+
+
+def test_split_exclusive_counts_a_spanning_cluster(ray_session):
+    # cluster A straddles train/test -> n_spanning 1; cluster B is
+    # consistent; the lone bogus label in C counts against n_assigned.
+    t = pa.table({
+        "conv_id": pa.array(["c1", "c2", "c3", "c4", "c5"]),
+        "cluster_id": pa.array(["A", "A", "B", "B", "C"]),
+        "split": pa.array(["train", "test", "val", "val", "bogus"]),
+    })
+    out = split_exclusive(rd.from_arrow(t))
+    assert out["n_convs"][0].as_py() == 5
+    assert out["n_assigned"][0].as_py() == 4
+    assert out["n_spanning"][0].as_py() == 1
