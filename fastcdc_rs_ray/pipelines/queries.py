@@ -620,6 +620,18 @@ def q_manifest_coverage(sf_dir: str):
     return manifest_coverage(root, n_partitions=4)
 
 
+def q_doc_rarity(sf_dir: str):
+    """Corpus-frequency rarity per document (curation signal beside
+    tf-idf's term view): freq_sum = sum over token occurrences of that
+    token's corpus count, exact int64 — boilerplate-heavy docs score
+    high, noise scores low.  Two tag-union keyed exchanges (token, then
+    doc_id); no broadcast vocab, no driver state (stages/rarity.py)."""
+    from ..stages.rarity import doc_rarity
+
+    return doc_rarity(_documents(sf_dir, ["doc_id", "text"]),
+                      num_partitions=16)
+
+
 def q_locality_compression(sf_dir: str):
     """Storage-locality lever measured: the same corpus gzipped under a
     hash-of-id shard layout vs a SimHash-ordered layout (near-dups land
@@ -2528,6 +2540,7 @@ QUERIES = {
     "pack_conservation": q_pack_conservation,
     "split_exclusive": q_split_exclusive,
     "manifest_coverage": q_manifest_coverage,
+    "doc_rarity": q_doc_rarity,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -2912,6 +2925,18 @@ FROM events""",
 SELECT CAST(r AS BIGINT) AS user_id, CAST(1 AS BIGINT) AS est_ge_exact,
        CAST(1 AS BIGINT) AS within_eps
 FROM range(10) t(r)""",
+    # per-doc corpus-frequency rarity components, exact int64.
+    "doc_rarity": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{{TOKEN_RE}}')) AS t
+  FROM documents
+), cf AS (
+  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+)
+SELECT tok.doc_id, CAST(SUM(cf.c) AS BIGINT) AS freq_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM tok JOIN cf USING (t) GROUP BY tok.doc_id""".replace(
+        "{TOKEN_RE}", TOKEN_RE),
     # packing conserves every token and never overfills a bin.
     "pack_conservation": f"""
 SELECT CAST(SUM({_TOKENS_SQL}) AS BIGINT) AS total_tokens,
