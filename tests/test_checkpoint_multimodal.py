@@ -119,9 +119,14 @@ def test_media_featurize_and_frame_sample(ray_session):
     assert (frames.frame_idx % 4 == 0).all()
 
 
-def test_real_decoder_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
+def test_real_decoder_rejects_unknown_containers():
+    """real_decoder is no longer a stub (BMP/WAV codecs, r1 close-out);
+    unsupported/unrecognized container bytes must fail loudly, never
+    silently produce features."""
+    with pytest.raises(ValueError, match="unknown media container"):
         real_decoder(b"", "image")
+    with pytest.raises(ValueError, match="unknown media container"):
+        real_decoder(b"\x89PNG\r\n\x1a\n", "image")
 
 
 def test_fake_decoder_roundtrip():
