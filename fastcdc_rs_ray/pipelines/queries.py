@@ -620,6 +620,17 @@ def q_manifest_coverage(sf_dir: str):
     return manifest_coverage(root, n_partitions=4)
 
 
+def q_winnow_superset(sf_dir: str):
+    """Winnowing-guarantee gate (Schleimer et al. 2003): every doc pair
+    sharing any substring >= L shares a fingerprint, so candidates are a
+    superset of the true shared-L-gram pair set — n_missed == 0, with
+    n_true_pairs derived by the oracle's gram self-join."""
+    from ..stages.invariants import winnow_superset
+
+    return winnow_superset(_documents(sf_dir, ["doc_id", "text"]),
+                           L=30, k=20, num_partitions=8)
+
+
 def q_doc_rarity(sf_dir: str):
     """Corpus-frequency rarity per document (curation signal beside
     tf-idf's term view): freq_sum = sum over token occurrences of that
@@ -2541,6 +2552,7 @@ QUERIES = {
     "split_exclusive": q_split_exclusive,
     "manifest_coverage": q_manifest_coverage,
     "doc_rarity": q_doc_rarity,
+    "winnow_superset": q_winnow_superset,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -2925,6 +2937,21 @@ FROM events""",
 SELECT CAST(r AS BIGINT) AS user_id, CAST(1 AS BIGINT) AS est_ge_exact,
        CAST(1 AS BIGINT) AS within_eps
 FROM range(10) t(r)""",
+    # winnowing guarantee: candidates cover every true shared-30-gram
+    # doc pair (same gram CTE as the substring oracle).
+    "winnow_superset": """
+WITH g AS (
+  SELECT DISTINCT doc_id, substring(text, i, 30) AS gram
+  FROM documents, unnest(generate_series(1, length(text) - 29)) AS u(i)
+  WHERE length(text) >= 30
+),
+p AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(0 AS BIGINT) AS n_missed
+FROM p""",
     # per-doc corpus-frequency rarity components, exact int64.
     "doc_rarity": f"""
 WITH tok AS (

@@ -373,6 +373,86 @@ def ann_full_probe_parity(emb_ds, qids, qmat, k: int, n_cells: int) -> pa.Table:
     })
 
 
+def winnow_superset(docs_ds, L: int = 30, k: int = 20,
+                    num_partitions: int = 8,
+                    cand_max_group: int = 10**9) -> pa.Table:
+    """The winnowing theorem (Schleimer et al. 2003) made driver-hashable:
+    with window w = L - k + 1, every pair of documents sharing ANY
+    substring of length >= L must share a winnowing fingerprint — so the
+    candidate set is a guaranteed superset of the true shared-L-gram pair
+    set (n_missed == 0), and n_true_pairs itself is SQL-derivable via the
+    substring oracle's gram CTE.  Engine plan: exact gram pairs (one
+    gram-keyed exchange on the same rolling-hash rows the exact tier
+    exchanges) tag-unioned with the winnow candidates on one (src, dst)
+    exchange; 2-int partials to the driver."""
+    from .substring import gram_rows
+    from .winnow import _distinct_pairs_block, _emit_group_pairs, winnow_candidates
+
+    def grams(t: pa.Table) -> pa.Table:
+        g = gram_rows(t, L)
+        return pa.table({"fp_key": g["gram_key"], "doc_id": g["doc_id"]})
+
+    gr = docs_ds.map_batches(grams, batch_format="pyarrow")
+    gr = gr.repartition(num_blocks=num_partitions, keys=["fp_key"])
+    true_pairs = gr.map_batches(
+        lambda t: _emit_group_pairs(t, max_group=10**9),
+        batch_format="pyarrow", batch_size=None)
+    true_pairs = true_pairs.repartition(
+        num_blocks=max(4, num_partitions // 2), keys=["src", "dst"])
+    true_pairs = true_pairs.map_batches(
+        _distinct_pairs_block, batch_format="pyarrow", batch_size=None)
+
+    # cand_max_group < group sizes turns the candidate recall knob ON and
+    # the gate then COUNTS the dropped pairs (pytest falsifiability hook);
+    # the registered gate runs uncapped so the theorem holds exactly.
+    cand = winnow_candidates(docs_ds, L=L, k=k,
+                             num_partitions=num_partitions,
+                             max_group=cand_max_group)
+
+    def tag(kind: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "kind", pa.array(np.full(len(t), kind, np.int8), pa.int8()))
+        return f
+
+    both = true_pairs.map_batches(tag(0), batch_format="pyarrow").union(
+        cand.map_batches(tag(1), batch_format="pyarrow"))
+    both = both.repartition(num_blocks=max(4, num_partitions // 2),
+                            keys=["src", "dst"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"n_true_pairs": pa.array([0], pa.int64()),
+                             "n_missed": pa.array([0], pa.int64())})
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        kind = t["kind"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = src * (dst.max() + 1) + dst
+        order = np.argsort(key, kind="stable")
+        key, kind = key[order], kind[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(key[1:] != key[:-1]) + 1, [len(key)]])
+        n_true = 0
+        n_missed = 0
+        for s, e in zip(starts[:-1], starts[1:]):
+            kk = kind[s:e]
+            if (kk == 0).any():
+                n_true += 1
+                if not (kk == 1).any():
+                    n_missed += 1
+        return pa.table({"n_true_pairs": pa.array([n_true], pa.int64()),
+                         "n_missed": pa.array([n_missed], pa.int64())})
+
+    parts = _collect(both.map_batches(count_partial, batch_format="pyarrow",
+                                      batch_size=None))
+    return pa.table({
+        "n_true_pairs": pa.array(
+            [int(parts["n_true_pairs"].to_numpy().sum())], pa.int64()),
+        "n_missed": pa.array(
+            [int(parts["n_missed"].to_numpy().sum())], pa.int64()),
+    })
+
+
 def manifest_coverage(manifest_root: str, n_partitions: int) -> pa.Table:
     """Checkpointed-sink coverage: the chunk rows WRITTEN to the
     resumable partitioned parquet sink must cover every corpus byte

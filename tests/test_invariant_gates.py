@@ -64,3 +64,25 @@ def test_split_exclusive_counts_a_spanning_cluster(ray_session):
     assert out["n_convs"][0].as_py() == 5
     assert out["n_assigned"][0].as_py() == 4
     assert out["n_spanning"][0].as_py() == 1
+
+
+def test_winnow_superset_counts_dropped_pairs(ray_session):
+    """Falsifiability: cand_max_group=1 drops every candidate fingerprint
+    group, so the gate must count every true pair as missed; uncapped, the
+    theorem holds and n_missed == 0 with the same n_true_pairs."""
+    from fastcdc_rs_ray.stages.invariants import winnow_superset
+
+    shared = " ".join(f"tok{i:02d}" for i in range(6))  # 35 chars > L=30
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([f"aaaa left {shared} right-a",
+                          f"bbbb other {shared} tail-b"]),
+    })
+    ds = rd.from_arrow(t)
+    ok = winnow_superset(ds, L=30, k=20, num_partitions=2)
+    assert ok["n_true_pairs"][0].as_py() >= 1
+    assert ok["n_missed"][0].as_py() == 0
+    broken = winnow_superset(ds, L=30, k=20, num_partitions=2,
+                             cand_max_group=1)
+    assert broken["n_true_pairs"][0].as_py() == ok["n_true_pairs"][0].as_py()
+    assert broken["n_missed"][0].as_py() == ok["n_true_pairs"][0].as_py()
