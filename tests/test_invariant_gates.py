@@ -86,3 +86,36 @@ def test_winnow_superset_counts_dropped_pairs(ray_session):
                              cand_max_group=1)
     assert broken["n_true_pairs"][0].as_py() == ok["n_true_pairs"][0].as_py()
     assert broken["n_missed"][0].as_py() == ok["n_true_pairs"][0].as_py()
+
+
+def test_manifest_coverage_counts_lost_bytes(ray_session, tmp_path):
+    """Falsifiability: a partition deleted from the written sink must
+    shrink covered_bytes below the corpus total — the gate reads what is
+    ON DISK, not what the writer claims."""
+    import shutil
+
+    from fastcdc_rs_ray.cdc import ChunkerConfig
+    from fastcdc_rs_ray.stages.assemble import assemble
+    from fastcdc_rs_ray.stages.chunk import chunk
+    from fastcdc_rs_ray.stages.invariants import manifest_coverage
+    from fastcdc_rs_ray.state.checkpoint import run_stage_checkpointed
+
+    texts = [f"conversation body number {i} " + "w" * 200 for i in range(12)]
+    t = pa.table({
+        "conv_id": pa.array([f"conv-{i:08d}" for i in range(12)]),
+        "turn_idx": pa.array(np.zeros(12, np.int32), pa.int32()),
+        "text": pa.array(texts),
+    })
+    total = sum(len(s) for s in texts)
+    root = str(tmp_path / "sink")
+    cfg = ChunkerConfig(64, 256, 1024)
+    run_stage_checkpointed(
+        assemble(rd.from_arrow(t), num_partitions=2), "chunks", root,
+        key="conv_id", fn=lambda ds: chunk(ds, cfg), num_partitions=2)
+
+    ok = manifest_coverage(root, n_partitions=2)
+    assert ok["covered_bytes"][0].as_py() == total
+
+    shutil.rmtree(f"{root}/chunks/part=0")
+    broken = manifest_coverage(root, n_partitions=2)
+    assert broken["covered_bytes"][0].as_py() < total
