@@ -643,6 +643,20 @@ def q_doc_rarity(sf_dir: str):
                       num_partitions=16)
 
 
+def q_turn_dedup(sf_dir: str):
+    """Corpus-wide duplicate-TURN removal with conversation reassembly —
+    the C4/RefinedWeb line-dedup operator at transcript granularity
+    (boilerplate greetings / canned tool outputs are the dominant
+    real-world duplication in agent corpora).  First occurrence by
+    (conv_id, turn_idx) survives; empty turns never participate.  Two
+    keyed exchanges: winner election ships key rows only (u64 hash +
+    ids, block pre-reduced), reassembly keys text by conv_id once
+    (stages/turndedup.py)."""
+    from ..stages.turndedup import turn_dedup
+
+    return turn_dedup(transcripts_from_documents(sf_dir), num_partitions=16)
+
+
 def q_locality_compression(sf_dir: str):
     """Storage-locality lever measured: the same corpus gzipped under a
     hash-of-id shard layout vs a SimHash-ordered layout (near-dups land
@@ -2553,6 +2567,7 @@ QUERIES = {
     "manifest_coverage": q_manifest_coverage,
     "doc_rarity": q_doc_rarity,
     "winnow_superset": q_winnow_superset,
+    "turn_dedup": q_turn_dedup,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -2981,6 +2996,20 @@ FROM transcripts""",
 SELECT CAST(SUM(strlen(text)) AS BIGINT) AS covered_bytes,
        CAST(4 AS BIGINT) AS n_partitions
 FROM transcripts""",
+    # corpus-wide first-occurrence turn dedup + conversation reassembly;
+    # empty turns never participate (always kept).
+    "turn_dedup": f"""{_TRANSCRIPT_CTE},
+ranked AS (
+  SELECT conv_id, turn_idx, text,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY conv_id, turn_idx) AS rn
+  FROM transcripts
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(COALESCE(SUM(CASE WHEN length(text) > 0 AND rn > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(text, chr(10) ORDER BY turn_idx)
+                FILTER (WHERE length(text) = 0 OR rn = 1), '') AS clean_text
+FROM ranked GROUP BY conv_id""",
     "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
     "token_count": f"SELECT doc_id, {_TOKENS_SQL} AS n_tokens FROM documents",
     "quality": f"""
