@@ -643,6 +643,20 @@ def q_doc_rarity(sf_dir: str):
                       num_partitions=16)
 
 
+def q_sa_gram_parity(sf_dir: str):
+    """Suffix-array ≡ gram-exchange parity gate: a genuine monolithic
+    Manber–Myers suffix array (the Lee et al. 2022 reference formulation
+    the north rule names) independently recomputes the duplicated-
+    position set and must agree with the distributed gram tier exactly —
+    n_gram_only == n_sa_only == 0, and n_dup_positions is re-derived a
+    third way by the oracle's DuckDB gram self-join
+    (stages/suffixarray.py)."""
+    from ..stages.suffixarray import sa_gram_parity
+
+    return sa_gram_parity(_documents(sf_dir, ["doc_id", "text"]),
+                          L=30, num_partitions=8)
+
+
 def q_turn_dedup(sf_dir: str):
     """Corpus-wide duplicate-TURN removal with conversation reassembly —
     the C4/RefinedWeb line-dedup operator at transcript granularity
@@ -2567,6 +2581,7 @@ QUERIES = {
     "manifest_coverage": q_manifest_coverage,
     "doc_rarity": q_doc_rarity,
     "winnow_superset": q_winnow_superset,
+    "sa_gram_parity": q_sa_gram_parity,
     "turn_dedup": q_turn_dedup,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
@@ -2996,6 +3011,19 @@ FROM transcripts""",
 SELECT CAST(SUM(strlen(text)) AS BIGINT) AS covered_bytes,
        CAST(4 AS BIGINT) AS n_partitions
 FROM transcripts""",
+    # suffix-array vs gram-exchange parity: the oracle re-derives the
+    # duplicated-position count a third way (gram self-join).
+    "sa_gram_parity": """
+WITH g AS (
+  SELECT doc_id, i AS pos, substring(text, i, 30) AS gram
+  FROM documents, unnest(generate_series(1, length(text) - 29)) AS u(i)
+  WHERE length(text) >= 30
+),
+d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_positions,
+       CAST(0 AS BIGINT) AS n_gram_only,
+       CAST(0 AS BIGINT) AS n_sa_only
+FROM g JOIN d USING (gram)""",
     # corpus-wide first-occurrence turn dedup + conversation reassembly;
     # empty turns never participate (always kept).
     "turn_dedup": f"""{_TRANSCRIPT_CTE},
