@@ -643,6 +643,22 @@ def q_doc_rarity(sf_dir: str):
                       num_partitions=16)
 
 
+def q_table_profile(sf_dir: str):
+    """Per-column data-quality profile of the events table (rows, nulls,
+    exact NDV, min/max): one pass, one (col, value-hash)-keyed exchange —
+    per-partition distinct counts sum exactly, stats partials fold inside
+    a single salt partition, and the driver only sums dimension-sized
+    partials (stages/profile.py)."""
+    import ray.data as rd
+
+    from ..stages.profile import table_profile
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type", "props"])
+    return table_profile(ev, int_cols=["event_id", "user_id"],
+                         str_cols=["event_type", "props"], num_partitions=8)
+
+
 def q_sa_gram_parity(sf_dir: str):
     """Suffix-array ≡ gram-exchange parity gate: a genuine monolithic
     Manber–Myers suffix array (the Lee et al. 2022 reference formulation
@@ -2583,6 +2599,7 @@ QUERIES = {
     "winnow_superset": q_winnow_superset,
     "sa_gram_parity": q_sa_gram_parity,
     "turn_dedup": q_turn_dedup,
+    "table_profile": q_table_profile,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -3011,6 +3028,34 @@ FROM transcripts""",
 SELECT CAST(SUM(strlen(text)) AS BIGINT) AS covered_bytes,
        CAST(4 AS BIGINT) AS n_partitions
 FROM transcripts""",
+    # per-column profile of events; int min/max render decimally, string
+    # min/max compare byte-wise — identical semantics in both engines.
+    "table_profile": """
+SELECT 'event_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       COALESCE(CAST(MIN(event_id) AS VARCHAR), '') AS min_s,
+       COALESCE(CAST(MAX(event_id) AS VARCHAR), '') AS max_s
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+       CAST(COUNT(DISTINCT user_id) AS BIGINT),
+       COALESCE(CAST(MIN(user_id) AS VARCHAR), ''),
+       COALESCE(CAST(MAX(user_id) AS VARCHAR), '')
+FROM events
+UNION ALL
+SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+       CAST(COUNT(DISTINCT event_type) AS BIGINT),
+       COALESCE(MIN(event_type), ''), COALESCE(MAX(event_type), '')
+FROM events
+UNION ALL
+SELECT 'props', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(props) AS BIGINT),
+       CAST(COUNT(DISTINCT props) AS BIGINT),
+       COALESCE(MIN(props), ''), COALESCE(MAX(props), '')
+FROM events""",
     # suffix-array vs gram-exchange parity: the oracle re-derives the
     # duplicated-position count a third way (gram self-join).
     "sa_gram_parity": """
