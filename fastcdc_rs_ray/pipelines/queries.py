@@ -643,6 +643,17 @@ def q_doc_rarity(sf_dir: str):
                       num_partitions=16)
 
 
+def q_contamination_score(sf_dir: str):
+    """Fuzzy decontamination: per-doc DISTINCT word-13-gram overlap
+    fraction vs the benchmark slice, flag by exact integer
+    cross-multiplication at 8%.  Same broadcast-Bloom zero-shuffle shape
+    as the any-hit `decontaminate`, but graded — partial contamination
+    ranks instead of binary-flagging (stages/decontam.py)."""
+    from ..stages.decontam import contamination_score
+
+    return contamination_score(_documents(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_table_profile(sf_dir: str):
     """Per-column data-quality profile of the events table (rows, nulls,
     exact NDV, min/max): one pass, one (col, value-hash)-keyed exchange —
@@ -2600,6 +2611,7 @@ QUERIES = {
     "sa_gram_parity": q_sa_gram_parity,
     "turn_dedup": q_turn_dedup,
     "table_profile": q_table_profile,
+    "contamination_score": q_contamination_score,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -3028,6 +3040,26 @@ FROM transcripts""",
 SELECT CAST(SUM(strlen(text)) AS BIGINT) AS covered_bytes,
        CAST(4 AS BIGINT) AS n_partitions
 FROM transcripts""",
+    # fuzzy decontamination: distinct word-13-gram overlap fraction per
+    # non-benchmark doc; flag via integer cross-multiplication (no floats).
+    "contamination_score": """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS ts FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+12], ' ') AS g
+  FROM tok, unnest(generate_series(1, len(ts) - 12)) AS u(i)
+  WHERE len(ts) >= 13
+), bg AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+)
+SELECT gr.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(bg.g) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN COUNT(bg.g) * 1000 >= 80 * COUNT(*)
+                 THEN 1 ELSE 0 END AS TINYINT) AS contaminated
+FROM grams gr LEFT JOIN bg ON gr.g = bg.g
+WHERE gr.doc_id % 50 <> 0
+GROUP BY gr.doc_id""".replace("{TOKEN_RE}", TOKEN_RE),
     # per-column profile of events; int min/max render decimally, string
     # min/max compare byte-wise — identical semantics in both engines.
     "table_profile": """

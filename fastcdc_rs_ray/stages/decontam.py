@@ -99,3 +99,114 @@ SELECT DISTINCT doc_id FROM (
   WHERE d.doc_id % 50 <> 0 AND length(d.text) >= {L_DECON}
 ) q JOIN bg USING (g)
 """
+
+
+# --------------------------------------------------------------------------
+# fuzzy decontamination: word n-gram overlap FRACTION (GPT-3-report style)
+# --------------------------------------------------------------------------
+
+W_CONTAM = 13          # word-gram width of the published LM decon recipes
+TAU_PERMILLE = 80      # flag docs with >= 8% of their distinct grams hit
+
+_GB = np.uint64(0x9E3779B97F4A7C15)  # odd -> injective-per-step fold
+
+
+def word_gram_keys(t: pa.Table, W: int) -> tuple[np.ndarray, np.ndarray]:
+    """(gram-key u64, row_idx) for every W-token window of every row.
+
+    Key = polynomial fold of the W token hashes (W small and fixed, so W
+    vectorized passes beat building prefix-product temporaries); equal
+    token sequences get equal keys, distinct ones collide at the usual
+    64-bit budget.
+    """
+    from ..functions.text import tokenize_hashes
+
+    tok, offsets = tokenize_hashes(t)
+    lens = np.diff(offsets)
+    counts = np.maximum(lens - W + 1, 0)
+    n_rows = len(lens)
+    row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    g = np.arange(cum[-1], dtype=np.int64)
+    starts = offsets[:-1][row_idx] + (g - cum[row_idx])
+    keys = np.zeros(len(starts), np.uint64)
+    for j in range(W):
+        keys = keys * _GB + tok[starts + j]
+    return keys, row_idx
+
+
+def contamination_score(documents_ds, W: int = W_CONTAM, bench_mod: int = 50,
+                        tau_permille: int = TAU_PERMILLE,
+                        log2_bits: int = 18):
+    """Per-non-benchmark-doc contamination fraction: of the doc's DISTINCT
+    word W-grams, how many appear anywhere in the benchmark slice —
+    (doc_id, n_grams, n_hits, contaminated) with the flag decided by the
+    exact integer cross-multiplication ``n_hits * 1000 >= tau_permille *
+    n_grams``.  Same shape as :func:`decontaminate` (benchmark gram
+    universe -> driver once -> Bloom + exact broadcast; training side
+    streams with no shuffle), but graded instead of binary: partial
+    contamination (a quoted eval question inside a long doc) is exactly
+    what the any-hit rule over-flags and a fraction threshold ranks.
+    Docs with fewer than W tokens have no grams and are absent (the SQL
+    oracle agrees)."""
+    import ray
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array((ids % bench_mod) == 0))
+        if len(sub) == 0:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        keys, _ = word_gram_keys(sub, W)
+        return pa.table({"h": pa.array(np.unique(keys), pa.uint64())})
+
+    parts = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in documents_ds.map_batches(bench_grams, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    bench = np.unique(parts["h"].combine_chunks().to_numpy(
+        zero_copy_only=False))
+    bloom = BloomFilter.build(bench.view(np.int64), log2_bits=log2_bits, k=4)
+    bref = ray.put(bloom)
+    kref = ray.put(bench)
+
+    schema = pa.schema([("doc_id", pa.int64()), ("n_grams", pa.int64()),
+                        ("n_hits", pa.int64()), ("contaminated", pa.int8())])
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array((ids % bench_mod) != 0))
+        if len(sub) == 0:
+            return schema.empty_table()
+        keys, row_idx = word_gram_keys(sub, W)
+        if len(keys) == 0:
+            return schema.empty_table()
+        # distinct (row, key)
+        order = np.lexsort((keys, row_idx))
+        r, k = row_idx[order], keys[order]
+        first = np.concatenate([[True], (r[1:] != r[:-1]) | (k[1:] != k[:-1])])
+        r, k = r[first], k[first]
+        hit = np.zeros(len(k), bool)
+        bf: BloomFilter = ray.get(bref)
+        cand = bf.contains(k.view(np.int64))
+        if cand.any():
+            exact = ray.get(kref)
+            ck = k[cand]
+            pos = np.minimum(np.searchsorted(exact, ck), len(exact) - 1)
+            hit[np.flatnonzero(cand)[exact[pos] == ck]] = True
+        sub_ids = sub["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n_rows = len(sub_ids)
+        n_grams = np.bincount(r, minlength=n_rows).astype(np.int64)
+        n_hits = np.bincount(r, weights=hit, minlength=n_rows).astype(np.int64)
+        has = n_grams > 0
+        flag = (n_hits[has] * 1000 >= tau_permille * n_grams[has]).astype(np.int8)
+        return pa.table(
+            {
+                "doc_id": pa.array(sub_ids[has], pa.int64()),
+                "n_grams": pa.array(n_grams[has], pa.int64()),
+                "n_hits": pa.array(n_hits[has], pa.int64()),
+                "contaminated": pa.array(flag, pa.int8()),
+            }
+        )
+
+    return documents_ds.map_batches(score, batch_format="pyarrow")
