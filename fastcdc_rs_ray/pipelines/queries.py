@@ -643,6 +643,18 @@ def q_doc_rarity(sf_dir: str):
                       num_partitions=16)
 
 
+def q_prefix_dups(sf_dir: str):
+    """Retry/truncation dedup: conversations whose ordered turn-text
+    sequence is a proper prefix of another's (or a non-first exact copy)
+    — the transcript duplication mode exact dedup misses and MinHash
+    scores borderline (the planted dropped-turn twins are exactly this).
+    Grouped by first-turn hash (complete: turn-prefix pairs share turn
+    0), one successor-after-run check per conv (stages/prefixdup.py)."""
+    from ..stages.prefixdup import prefix_dups
+
+    return prefix_dups(transcripts_from_documents(sf_dir), num_partitions=16)
+
+
 def q_contamination_score(sf_dir: str):
     """Fuzzy decontamination: per-doc DISTINCT word-13-gram overlap
     fraction vs the benchmark slice, flag by exact integer
@@ -2612,6 +2624,7 @@ QUERIES = {
     "turn_dedup": q_turn_dedup,
     "table_profile": q_table_profile,
     "contamination_score": q_contamination_score,
+    "prefix_dups": q_prefix_dups,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -3040,6 +3053,26 @@ FROM transcripts""",
 SELECT CAST(SUM(strlen(text)) AS BIGINT) AS covered_bytes,
        CAST(4 AS BIGINT) AS n_partitions
 FROM transcripts""",
+    # prefix-duplicate conversations; groups over max_group excluded on
+    # BOTH sides (the engine applies the identical cap).
+    "prefix_dups": f"""{_TRANSCRIPT_CTE},
+conv AS (
+  SELECT conv_id,
+         string_agg(text, chr(10) ORDER BY turn_idx) AS full_text,
+         arg_min(text, turn_idx) AS first_text
+  FROM transcripts GROUP BY conv_id
+),
+conv2 AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY first_text) AS gsz FROM conv
+  ) WHERE gsz <= 4096
+)
+SELECT DISTINCT a.conv_id
+FROM conv2 a JOIN conv2 b ON a.first_text = b.first_text
+WHERE (a.full_text = b.full_text AND a.conv_id > b.conv_id)
+   OR (length(b.full_text) > length(a.full_text)
+       AND substring(b.full_text, 1, length(a.full_text)) = a.full_text
+       AND substring(b.full_text, length(a.full_text) + 1, 1) = chr(10))""",
     # fuzzy decontamination: distinct word-13-gram overlap fraction per
     # non-benchmark doc; flag via integer cross-multiplication (no floats).
     "contamination_score": """
