@@ -100,6 +100,11 @@ BENCH_QUERIES = [
     "compressibility",
     "locality_compression",
     "media_real",
+    "turn_dedup",
+    "prefix_dups",
+    "contamination_score",
+    "table_profile",
+    "sa_gram_parity",
 ]
 
 
