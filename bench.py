@@ -105,6 +105,10 @@ BENCH_QUERIES = [
     "contamination_score",
     "table_profile",
     "sa_gram_parity",
+    "role_alternation",
+    "conv_windows",
+    "lang_balance",
+    "shard_balance",
 ]
 
 

@@ -710,6 +710,56 @@ def q_turn_dedup(sf_dir: str):
     return turn_dedup(transcripts_from_documents(sf_dir), num_partitions=16)
 
 
+def q_role_alternation(sf_dir: str):
+    """Conversation-structure quality gate: per conversation, first role
+    + adjacent-role-repeat count + ok flag (starts with 'user', never
+    repeats a role) — the transcript analogue of the document quality
+    score; malformed/truncated transcripts fail it.  One conv_id-keyed
+    exchange of (conv_id, turn_idx, role) rows, no text
+    (stages/convstruct.py)."""
+    from ..stages.convstruct import role_alternation
+
+    return role_alternation(transcripts_from_documents(sf_dir),
+                            num_partitions=16)
+
+
+def q_conv_windows(sf_dir: str):
+    """Context-window segmentation for SFT sample prep: turns land in
+    window cumulative-tokens-before // budget of their conversation
+    (turns atomic).  Window layout is a pure function of per-turn token
+    counts — deterministic under any partitioning, mirrored by a SQL
+    window function.  One conv_id-keyed exchange of
+    (conv_id, turn_idx, n_tok) rows (stages/convstruct.py)."""
+    from ..stages.convstruct import conv_windows
+
+    return conv_windows(transcripts_from_documents(sf_dir),
+                        num_partitions=16)
+
+
+def q_lang_balance(sf_dir: str):
+    """Multilingual temperature (alpha=0.5) resampling audit: per-language
+    keep-rates proportional to isqrt(count)/count (least-downsampled
+    language keeps all), membership by the standard deterministic
+    multiplicative hash, all arithmetic integer.  Two streaming passes
+    over (doc_id, lang); driver state is the language histogram
+    (stages/balance.py)."""
+    from ..stages.balance import lang_balance
+
+    return lang_balance(_documents(sf_dir, ["doc_id", "lang"]),
+                        num_partitions=8)
+
+
+def q_shard_balance(sf_dir: str):
+    """Size-balanced output shard plan: K shards of ~equal bytes over the
+    global doc_id order — shard = (K * bytes-before) // total via one
+    range sort + the one-row-per-block boundary stitch (the corpus_shuffle
+    idiom); the byte-skew-proof layout step of a resumable sink
+    (stages/balance.py)."""
+    from ..stages.balance import shard_balance
+
+    return shard_balance(_documents(sf_dir, ["doc_id", "n_chars"]))
+
+
 def q_locality_compression(sf_dir: str):
     """Storage-locality lever measured: the same corpus gzipped under a
     hash-of-id shard layout vs a SimHash-ordered layout (near-dups land
@@ -2625,6 +2675,10 @@ QUERIES = {
     "table_profile": q_table_profile,
     "contamination_score": q_contamination_score,
     "prefix_dups": q_prefix_dups,
+    "role_alternation": q_role_alternation,
+    "conv_windows": q_conv_windows,
+    "lang_balance": q_lang_balance,
+    "shard_balance": q_shard_balance,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -2781,6 +2835,14 @@ _TOKENS_SQL = (
     f"len(regexp_extract_all(text, '{TOKEN_RE}'))"
 )
 
+from ..stages.convstruct import (
+    ROLE_ALTERNATION_SQL,
+    CONV_WINDOWS_SQL,
+)
+from ..stages.balance import (
+    LANG_BALANCE_SQL,
+    SHARD_BALANCE_SQL,
+)
 from ..stages.aggregate import (
     MONTHLY_REVENUE_SQL,
     MONTHLY_REVENUE_GROWTH_SQL,
@@ -3148,6 +3210,12 @@ SELECT conv_id,
        COALESCE(string_agg(text, chr(10) ORDER BY turn_idx)
                 FILTER (WHERE length(text) = 0 OR rn = 1), '') AS clean_text
 FROM ranked GROUP BY conv_id""",
+    # conversation-structure gate: LAG over turn order per conversation
+    "role_alternation": f"{_TRANSCRIPT_CTE} {ROLE_ALTERNATION_SQL}",
+    # context-window segmentation: window = cumulative-tokens-before // budget
+    "conv_windows": f"{_TRANSCRIPT_CTE} {CONV_WINDOWS_SQL}",
+    "lang_balance": LANG_BALANCE_SQL,
+    "shard_balance": SHARD_BALANCE_SQL,
     "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
     "token_count": f"SELECT doc_id, {_TOKENS_SQL} AS n_tokens FROM documents",
     "quality": f"""
