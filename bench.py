@@ -109,6 +109,10 @@ BENCH_QUERIES = [
     "conv_windows",
     "lang_balance",
     "shard_balance",
+    "tool_usage",
+    "turn_latency",
+    "dup_turn_ratio",
+    "assistant_share",
 ]
 
 

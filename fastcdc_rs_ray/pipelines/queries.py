@@ -760,6 +760,50 @@ def q_shard_balance(sf_dir: str):
     return shard_balance(_documents(sf_dir, ["doc_id", "n_chars"]))
 
 
+def q_tool_usage(sf_dir: str):
+    """Per-tool corpus usage profile (calls, distinct conversations, output
+    chars) over tool-call turns: per-block (tool, conv_id) partials, one
+    tool-keyed exchange of dimension-sized rows, tiny reduce — the
+    pre-aggregate-before-groupby pattern (stages/convmetrics.py)."""
+    from ..stages.convmetrics import tool_usage
+
+    return tool_usage(transcripts_from_documents(sf_dir), num_partitions=4)
+
+
+def q_turn_latency(sf_dir: str):
+    """Per-conversation timing + timestamp-sanity gate from ts: wall
+    duration in turn order, largest adjacent-turn gap, count of
+    non-monotone gaps.  One conv_id-keyed exchange of (conv_id, turn_idx,
+    int64) rows — never text (stages/convmetrics.py)."""
+    from ..stages.convmetrics import turn_latency
+
+    return turn_latency(transcripts_from_documents(sf_dir),
+                        num_partitions=16)
+
+
+def q_dup_turn_ratio(sf_dir: str):
+    """RefinedWeb duplicate-line-fraction at transcript granularity: per
+    conversation, how many turns have text that also occurs in ANOTHER
+    conversation (exact permille).  Two keyed exchanges, neither moving
+    text: u64 text-hash partials, then int8-tagged counts by conv_id
+    (stages/convmetrics.py)."""
+    from ..stages.convmetrics import dup_turn_ratio
+
+    return dup_turn_ratio(transcripts_from_documents(sf_dir),
+                          num_partitions=16)
+
+
+def q_assistant_share(sf_dir: str):
+    """Role char-balance per conversation in exact permille — prompt-heavy
+    vs reply-heavy sorting for SFT mixes.  Fully commutative per-block
+    (conv, role) char partials through one conv-keyed exchange
+    (stages/convmetrics.py)."""
+    from ..stages.convmetrics import assistant_share
+
+    return assistant_share(transcripts_from_documents(sf_dir),
+                           num_partitions=16)
+
+
 def q_locality_compression(sf_dir: str):
     """Storage-locality lever measured: the same corpus gzipped under a
     hash-of-id shard layout vs a SimHash-ordered layout (near-dups land
@@ -2679,6 +2723,10 @@ QUERIES = {
     "conv_windows": q_conv_windows,
     "lang_balance": q_lang_balance,
     "shard_balance": q_shard_balance,
+    "tool_usage": q_tool_usage,
+    "turn_latency": q_turn_latency,
+    "dup_turn_ratio": q_dup_turn_ratio,
+    "assistant_share": q_assistant_share,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -2838,6 +2886,12 @@ _TOKENS_SQL = (
 from ..stages.convstruct import (
     ROLE_ALTERNATION_SQL,
     CONV_WINDOWS_SQL,
+)
+from ..stages.convmetrics import (
+    TOOL_USAGE_SQL,
+    TURN_LATENCY_SQL,
+    DUP_TURN_RATIO_SQL,
+    ASSISTANT_SHARE_SQL,
 )
 from ..stages.balance import (
     LANG_BALANCE_SQL,
@@ -3216,6 +3270,13 @@ FROM ranked GROUP BY conv_id""",
     "conv_windows": f"{_TRANSCRIPT_CTE} {CONV_WINDOWS_SQL}",
     "lang_balance": LANG_BALANCE_SQL,
     "shard_balance": SHARD_BALANCE_SQL,
+    # tool column: per-tool usage over tool-call turns
+    "tool_usage": f"{_TRANSCRIPT_CTE} {TOOL_USAGE_SQL}",
+    # ts column: LAG-gap timing + monotonicity gate per conversation
+    "turn_latency": f"{_TRANSCRIPT_CTE} {TURN_LATENCY_SQL}",
+    # duplicate-line fraction at turn granularity (distinct-conv frequency join)
+    "dup_turn_ratio": f"{_TRANSCRIPT_CTE} {DUP_TURN_RATIO_SQL}",
+    "assistant_share": f"{_TRANSCRIPT_CTE} {ASSISTANT_SHARE_SQL}",
     "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
     "token_count": f"SELECT doc_id, {_TOKENS_SQL} AS n_tokens FROM documents",
     "quality": f"""
