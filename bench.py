@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "turn_latency",
     "dup_turn_ratio",
     "assistant_share",
+    "loss_mask_stats",
+    "bigram_novelty",
 ]
 
 

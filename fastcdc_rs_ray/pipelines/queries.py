@@ -804,6 +804,29 @@ def q_assistant_share(sf_dir: str):
                            num_partitions=16)
 
 
+def q_loss_mask_stats(sf_dir: str):
+    """SFT loss accounting per training window: of each window's tokens,
+    how many carry loss (assistant turns) vs masked context — all-context
+    windows are wasted samples an SFT mix drops.  Same single conv-keyed
+    exchange as conv_windows, rows 1 byte wider (stages/convstruct.py)."""
+    from ..stages.convstruct import loss_mask_stats
+
+    return loss_mask_stats(transcripts_from_documents(sf_dir),
+                           num_partitions=16)
+
+
+def q_bigram_novelty(sf_dir: str):
+    """Rare-bigram fraction per document — the bigram-tier boilerplate
+    detector next to doc_rarity's unigram score, kept integer-exact
+    (occurrence count of corpus-unique bigrams instead of float
+    log-probs).  Two keyed exchanges, neither moving text
+    (stages/rarity.py)."""
+    from ..stages.rarity import bigram_novelty
+
+    return bigram_novelty(_documents(sf_dir, ["doc_id", "text"]),
+                          num_partitions=16)
+
+
 def q_locality_compression(sf_dir: str):
     """Storage-locality lever measured: the same corpus gzipped under a
     hash-of-id shard layout vs a SimHash-ordered layout (near-dups land
@@ -2727,6 +2750,8 @@ QUERIES = {
     "turn_latency": q_turn_latency,
     "dup_turn_ratio": q_dup_turn_ratio,
     "assistant_share": q_assistant_share,
+    "loss_mask_stats": q_loss_mask_stats,
+    "bigram_novelty": q_bigram_novelty,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -2886,6 +2911,11 @@ _TOKENS_SQL = (
 from ..stages.convstruct import (
     ROLE_ALTERNATION_SQL,
     CONV_WINDOWS_SQL,
+    LOSS_MASK_SQL,
+)
+from ..stages.rarity import (
+    BIGRAM_NOVELTY_SQL_TEMPLATE,
+    NOVELTY_RARE_MAX,
 )
 from ..stages.convmetrics import (
     TOOL_USAGE_SQL,
@@ -3277,6 +3307,11 @@ FROM ranked GROUP BY conv_id""",
     # duplicate-line fraction at turn granularity (distinct-conv frequency join)
     "dup_turn_ratio": f"{_TRANSCRIPT_CTE} {DUP_TURN_RATIO_SQL}",
     "assistant_share": f"{_TRANSCRIPT_CTE} {ASSISTANT_SHARE_SQL}",
+    # conv_windows segmentation + assistant-token loss accounting
+    "loss_mask_stats": f"{_TRANSCRIPT_CTE} {LOSS_MASK_SQL}",
+    # rare-bigram fraction per doc (positional self-join builds the bigrams)
+    "bigram_novelty": BIGRAM_NOVELTY_SQL_TEMPLATE.format(
+        token_re=TOKEN_RE, rare_max=NOVELTY_RARE_MAX),
     "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
     "token_count": f"SELECT doc_id, {_TOKENS_SQL} AS n_tokens FROM documents",
     "quality": f"""

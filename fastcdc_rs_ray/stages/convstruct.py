@@ -212,6 +212,109 @@ def conv_windows(turns, budget: int = WINDOW_TOKENS, num_partitions: int = 16):
     )
 
 
+# --------------------------------------------------------------------------
+# loss_mask_stats
+# --------------------------------------------------------------------------
+
+
+def _project_tokens_role(t: pa.Table) -> pa.Table:
+    n_tok = pc.cast(pc.count_substring_regex(t["text"], TOKEN_RE), pa.int64())
+    is_asst = pc.cast(pc.equal(t["role"], "assistant"), pa.int8())
+    return pa.table(
+        {
+            "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
+            "n_tok": n_tok,
+            "is_asst": is_asst,
+        }
+    )
+
+
+def _loss_mask_combine(t: pa.Table, budget: int) -> pa.Table:
+    """Per-partition reduce: the conv_windows segmentation plus the
+    SFT loss accounting — tokens in assistant turns are loss tokens,
+    everything else is masked context."""
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "window_idx": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_loss_tokens": pa.array([], pa.int64()),
+                "loss_permille": pa.array([], pa.int64()),
+            }
+        )
+    cid = np.asarray(t["conv_id"].combine_chunks(), dtype=object)
+    tix = t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+    tok = t["n_tok"].combine_chunks().to_numpy(zero_copy_only=False)
+    is_asst = t["is_asst"].combine_chunks().to_numpy(zero_copy_only=False)
+
+    order = np.lexsort((tix, cid))
+    cid, tok, is_asst = cid[order], tok[order], is_asst[order]
+    cu = cid.astype("U")
+    new_conv = np.concatenate([[True], cu[1:] != cu[:-1]])
+    cum = np.cumsum(tok)
+    before = cum - tok
+    base = np.where(new_conv, before, 0)
+    np.maximum.accumulate(base, out=base)
+    before = before - base
+    win = before // budget
+
+    new_win = new_conv | np.concatenate([[True], win[1:] != win[:-1]])
+    starts = np.flatnonzero(new_win)
+    n_tokens = np.add.reduceat(tok, starts)
+    n_loss = np.add.reduceat(tok * is_asst, starts)
+    permille = n_loss * 1000 // np.maximum(n_tokens, 1)
+    return pa.table(
+        {
+            "conv_id": pa.array(cid[starts].tolist(), pa.string()),
+            "window_idx": pa.array(win[starts].astype(np.int64), pa.int64()),
+            "n_tokens": pa.array(n_tokens.astype(np.int64), pa.int64()),
+            "n_loss_tokens": pa.array(n_loss.astype(np.int64), pa.int64()),
+            "loss_permille": pa.array(permille.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def loss_mask_stats(turns, budget: int = WINDOW_TOKENS,
+                    num_partitions: int = 16):
+    """SFT loss accounting per training window: of each conv_windows
+    window's tokens, how many would carry loss (assistant turns) vs be
+    masked context (user/tool turns)?  Windows that are all context
+    (loss_permille = 0) are wasted samples an SFT mix drops; the
+    permille is exact integer.  Same single conv-keyed exchange as
+    conv_windows, rows 1 byte wider (the is-assistant flag).
+    """
+    keyed = turns.map_batches(_project_tokens_role, batch_format="pyarrow")
+    keyed = keyed.repartition(num_blocks=num_partitions, keys=["conv_id"])
+    return keyed.map_batches(
+        lambda t: _loss_mask_combine(t, budget),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+LOSS_MASK_SQL = f"""
+SELECT conv_id,
+       CAST(before // {WINDOW_TOKENS} AS BIGINT) AS window_idx,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN n_tok ELSE 0 END)
+            AS BIGINT) AS n_loss_tokens,
+       CAST(CASE WHEN SUM(n_tok) = 0 THEN 0
+                 ELSE SUM(CASE WHEN role = 'assistant' THEN n_tok ELSE 0 END)
+                      * 1000 // SUM(n_tok) END AS BIGINT) AS loss_permille
+FROM (
+  SELECT conv_id, turn_idx, role, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM (
+    SELECT conv_id, turn_idx, role,
+           CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tok
+    FROM transcripts))
+GROUP BY conv_id, before // {WINDOW_TOKENS}
+"""
+
+
 CONV_WINDOWS_SQL = f"""
 SELECT conv_id,
        CAST(before // {WINDOW_TOKENS} AS BIGINT) AS window_idx,

@@ -144,3 +144,172 @@ SELECT tok.doc_id, CAST(SUM(cf.c) AS BIGINT) AS freq_sum,
        CAST(COUNT(*) AS BIGINT) AS n_tokens
 FROM tok JOIN cf USING (t) GROUP BY tok.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# bigram_novelty — rare-bigram fraction per document
+# --------------------------------------------------------------------------
+
+#: a bigram is "rare" when its corpus occurrence count is <= this
+NOVELTY_RARE_MAX = 1
+
+_BG_PAIR = pa.schema([
+    ("bh", pa.uint64()), ("doc_id", pa.int64()), ("cnt", pa.int64()),
+])
+
+_BG_TAGGED = pa.schema([
+    ("doc_id", pa.int64()), ("n", pa.int64()), ("kind", pa.int8()),
+])
+
+_BG_OUT = pa.schema([
+    ("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+    ("n_rare", pa.int64()), ("novel_permille", pa.int64()),
+])
+
+_BG_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bigram_hashes(t: pa.Table):
+    """(bigram hash array, doc_id per bigram) for a documents block.
+    Bigram identity = order-sensitive mix of the two adjacent token
+    hashes; like the token tier, hash collisions are impossible at
+    oracle-checked scales and a 128-bit upgrade is a key-width change."""
+    from ..util import hash_str_array_u64
+
+    flat, row_of, _ = _flat_tokens(t["text"])
+    if len(flat) < 2:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    h = hash_str_array_u64(flat)
+    adj = row_of[1:] == row_of[:-1]
+    h1, h2 = h[:-1][adj], h[1:][adj]
+    bh = (h1 * _BG_MIX) ^ (h2 + _BG_MIX)
+    bh ^= bh >> np.uint64(29)
+    bh *= _BG_MIX
+    return bh, ids[row_of[:-1][adj]]
+
+
+def _bg_pair_partials(t: pa.Table) -> pa.Table:
+    """Block pre-reduce: distinct (bigram-hash, doc) pairs with counts."""
+    bh, doc = _bigram_hashes(t)
+    if len(bh) == 0:
+        return _BG_PAIR.empty_table()
+    order = np.lexsort((doc, bh))
+    bh, doc = bh[order], doc[order]
+    new = np.concatenate([[True], (bh[1:] != bh[:-1]) | (doc[1:] != doc[:-1])])
+    starts = np.flatnonzero(new)
+    cnt = np.diff(np.append(starts, len(bh)))
+    return pa.table({
+        "bh": pa.array(bh[starts], pa.uint64()),
+        "doc_id": pa.array(doc[starts], pa.int64()),
+        "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+    }).cast(_BG_PAIR)
+
+
+def _bg_totals(t: pa.Table) -> pa.Table:
+    """Per-doc bigram totals (documents rows are globally unique, so the
+    total is complete in-block — no partial summing needed)."""
+    bh, doc = _bigram_hashes(t)
+    if len(bh) == 0:
+        return _BG_TAGGED.empty_table()
+    udoc, cnt = np.unique(doc, return_counts=True)
+    return pa.table({
+        "doc_id": pa.array(udoc, pa.int64()),
+        "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        "kind": pa.array(np.zeros(len(udoc), np.int8), pa.int8()),
+    }).cast(_BG_TAGGED)
+
+
+def _bg_rare_counts(t: pa.Table) -> pa.Table:
+    """Partition reduce after the bh exchange: collapse (bh, doc)
+    partials; a bigram whose corpus total is <= NOVELTY_RARE_MAX
+    contributes its occurrence count to each owning doc."""
+    if t.num_rows == 0:
+        return _BG_TAGGED.empty_table()
+    bh = t["bh"].combine_chunks().to_numpy()
+    doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    cnt = t["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, bh))
+    bh, doc, cnt = bh[order], doc[order], cnt[order]
+    new_pair = np.concatenate(
+        [[True], (bh[1:] != bh[:-1]) | (doc[1:] != doc[:-1])]
+    )
+    p_starts = np.flatnonzero(new_pair)
+    pair_cnt = np.add.reduceat(cnt.astype(np.int64), p_starts)
+    pbh, pdoc = bh[p_starts], doc[p_starts]
+    new_h = np.concatenate([[True], pbh[1:] != pbh[:-1]])
+    h_of_pair = np.cumsum(new_h) - 1
+    total = np.bincount(h_of_pair, weights=pair_cnt).astype(np.int64)
+    rare = total[h_of_pair] <= NOVELTY_RARE_MAX
+    return pa.table({
+        "doc_id": pa.array(pdoc[rare], pa.int64()),
+        "n": pa.array(pair_cnt[rare], pa.int64()),
+        "kind": pa.array(np.ones(int(rare.sum()), np.int8), pa.int8()),
+    }).cast(_BG_TAGGED)
+
+
+def _bg_reduce(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return _BG_OUT.empty_table()
+    doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+    kind = t["kind"].combine_chunks().to_numpy(zero_copy_only=False)
+    udoc, inv = np.unique(doc, return_inverse=True)
+    n_bg = np.bincount(inv, weights=np.where(kind == 0, n, 0),
+                       minlength=len(udoc)).astype(np.int64)
+    n_rare = np.bincount(inv, weights=np.where(kind == 1, n, 0),
+                         minlength=len(udoc)).astype(np.int64)
+    permille = n_rare * 1000 // np.maximum(n_bg, 1)
+    return pa.table({
+        "doc_id": pa.array(udoc, pa.int64()),
+        "n_bigrams": pa.array(n_bg, pa.int64()),
+        "n_rare": pa.array(n_rare, pa.int64()),
+        "novel_permille": pa.array(permille.astype(np.int64), pa.int64()),
+    }).cast(_BG_OUT)
+
+
+def bigram_novelty(documents_ds, num_partitions: int = 16):
+    """Rare-bigram fraction per document — the bigram-tier boilerplate
+    detector next to the unigram :func:`doc_rarity` (CCNet-flavored LM
+    quality proxy kept integer-exact: instead of float log-probs, count
+    the bigram occurrences whose corpus frequency is <= NOVELTY_RARE_MAX).
+
+    Returns (doc_id, n_bigrams, n_rare, novel_permille) for every doc
+    with at least one bigram (>= 2 tokens); novel_permille =
+    n_rare * 1000 // n_bigrams.  Two keyed exchanges, neither moving
+    text: (bh, doc, cnt) pair partials by bigram hash, then int8-tagged
+    counts by doc_id — the dup_turn_ratio plan shape one n-gram order up.
+    """
+    pairs = documents_ds.map_batches(_bg_pair_partials, batch_format="pyarrow")
+    pairs = pairs.repartition(num_blocks=num_partitions, keys=["bh"])
+    rare = pairs.map_batches(_bg_rare_counts, batch_format="pyarrow",
+                             batch_size=None)
+    tagged = documents_ds.map_batches(_bg_totals, batch_format="pyarrow").union(rare)
+    tagged = tagged.repartition(num_blocks=max(4, num_partitions // 2),
+                                keys=["doc_id"])
+    return tagged.map_batches(_bg_reduce, batch_format="pyarrow",
+                              batch_size=None)
+
+
+# chr(1) as the pair separator: tokens are non-whitespace runs, so the
+# only ambiguity would need a \x01 byte inside a token — absent from the
+# driver corpora (engine side pairs token HASHES, which is separator-free)
+BIGRAM_NOVELTY_SQL_TEMPLATE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{token_re}') AS ts FROM documents
+), pos AS (
+  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS p FROM toks
+), bg AS (
+  SELECT a.doc_id, a.tok || chr(1) || b.tok AS gram
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+), cf AS (
+  SELECT gram, COUNT(*) AS c FROM bg GROUP BY gram
+)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN cf.c <= {rare_max} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rare,
+       CAST(SUM(CASE WHEN cf.c <= {rare_max} THEN 1 ELSE 0 END) * 1000
+            // COUNT(*) AS BIGINT) AS novel_permille
+FROM bg JOIN cf USING (gram) GROUP BY bg.doc_id
+"""
