@@ -827,6 +827,45 @@ def q_bigram_novelty(sf_dir: str):
                           num_partitions=16)
 
 
+def q_novelty_curve(sf_dir: str):
+    """Crawl-over-time novelty rate: per arrival minute, conversations
+    whose full turn-ordered text is the corpus-wide FIRST occurrence vs
+    repeats — the declining-novelty signal that drives re-crawl scheduling
+    and dedup budgeting.  Conv-keyed exchange of (conv_id, turn_idx, u64,
+    ts) rows, then a hash-keyed exchange of one row per conversation;
+    never text (stages/novelty.py)."""
+    from ..stages.novelty import novelty_curve
+
+    return novelty_curve(transcripts_from_documents(sf_dir),
+                         num_partitions=16)
+
+
+def q_dup_family_sizes(sf_dir: str):
+    """Exact-duplicate family-size histogram at conversation granularity:
+    how many families of g identical conversations, and how many rows
+    exact dedup would drop (sum n_convs - n_families).  Same two-exchange
+    plan as novelty_curve; output is family-size-dimension-sized
+    (stages/novelty.py)."""
+    from ..stages.novelty import dup_family_sizes
+
+    return dup_family_sizes(transcripts_from_documents(sf_dir),
+                            num_partitions=16)
+
+
+def q_templated_convs(sf_dir: str):
+    """Structural template detection — the synthetic/templated-data
+    signal: conversations sharing an identical (role initial, token-count
+    digit bucket) turn sequence, reported per template with member count
+    and representative.  Digit bucket exact integer in both engines
+    (searchsorted powers of ten == LENGTH(CAST(n AS VARCHAR))).  Exchange
+    1: conv-keyed rows without text; exchange 2: pre-reduced
+    template-dimension partials (stages/convstruct.py)."""
+    from ..stages.convstruct import templated_convs
+
+    return templated_convs(transcripts_from_documents(sf_dir),
+                           num_partitions=16)
+
+
 def q_locality_compression(sf_dir: str):
     """Storage-locality lever measured: the same corpus gzipped under a
     hash-of-id shard layout vs a SimHash-ordered layout (near-dups land
@@ -2752,6 +2791,9 @@ QUERIES = {
     "assistant_share": q_assistant_share,
     "loss_mask_stats": q_loss_mask_stats,
     "bigram_novelty": q_bigram_novelty,
+    "novelty_curve": q_novelty_curve,
+    "dup_family_sizes": q_dup_family_sizes,
+    "templated_convs": q_templated_convs,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -2912,6 +2954,11 @@ from ..stages.convstruct import (
     ROLE_ALTERNATION_SQL,
     CONV_WINDOWS_SQL,
     LOSS_MASK_SQL,
+    TEMPLATED_CONVS_SQL,
+)
+from ..stages.novelty import (
+    NOVELTY_CURVE_SQL,
+    DUP_FAMILY_SIZES_SQL,
 )
 from ..stages.rarity import (
     BIGRAM_NOVELTY_SQL_TEMPLATE,
@@ -3312,6 +3359,12 @@ FROM ranked GROUP BY conv_id""",
     # rare-bigram fraction per doc (positional self-join builds the bigrams)
     "bigram_novelty": BIGRAM_NOVELTY_SQL_TEMPLATE.format(
         token_re=TOKEN_RE, rare_max=NOVELTY_RARE_MAX),
+    # first-occurrence-per-full-text election by (min ts, conv_id)
+    "novelty_curve": f"{_TRANSCRIPT_CTE} {NOVELTY_CURVE_SQL}",
+    # exact-duplicate family-size histogram at conversation granularity
+    "dup_family_sizes": f"{_TRANSCRIPT_CTE} {DUP_FAMILY_SIZES_SQL}",
+    # structural template fingerprint groups (role initial + token digits)
+    "templated_convs": f"{_TRANSCRIPT_CTE} {TEMPLATED_CONVS_SQL}",
     "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
     "token_count": f"SELECT doc_id, {_TOKENS_SQL} AS n_tokens FROM documents",
     "quality": f"""

@@ -294,6 +294,159 @@ def loss_mask_stats(turns, budget: int = WINDOW_TOKENS,
     )
 
 
+# --------------------------------------------------------------------------
+# templated_convs
+# --------------------------------------------------------------------------
+
+#: powers of ten for the exact decimal-digit-count bucket
+_POW10 = 10 ** np.arange(1, 19, dtype=np.int64)
+
+#: role -> fingerprint initial (first character of the role string)
+_ROLE_INITIAL = {"user": ord("u"), "assistant": ord("a"), "tool": ord("t")}
+
+
+def _project_struct(t: pa.Table) -> pa.Table:
+    n_tok = pc.cast(pc.count_substring_regex(t["text"], TOKEN_RE), pa.int64())
+    return pa.table(
+        {
+            "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
+            "role": t["role"],
+            "n_tok": n_tok,
+        }
+    )
+
+
+def _fingerprint_partials(t: pa.Table) -> pa.Table:
+    """Per-partition reduce after the conv_id exchange: build each
+    conversation's structural fingerprint (role initial + decimal digit
+    count of the turn's token count, per turn in turn order), then
+    pre-reduce to (fingerprint, n_convs, rep_conv) partials so the second
+    exchange is template-dimension-sized."""
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "fingerprint": pa.array([], pa.string()),
+                "n_convs": pa.array([], pa.int64()),
+                "rep_conv": pa.array([], pa.string()),
+            }
+        )
+    cid = np.asarray(t["conv_id"].combine_chunks(), dtype=object)
+    tix = t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+    role = np.asarray(t["role"].combine_chunks(), dtype=object)
+    tok = t["n_tok"].combine_chunks().to_numpy(zero_copy_only=False)
+
+    order = np.lexsort((tix, cid))
+    cid, role, tok = cid[order], role[order], tok[order]
+    cu = cid.astype("U")
+    starts = np.flatnonzero(np.concatenate([[True], cu[1:] != cu[:-1]]))
+    n_turns = np.diff(np.append(starts, len(cid)))
+
+    # per-turn 2-byte fragment: role initial + digit-count character.
+    # digit count via searchsorted on powers of 10 — exact, unlike float log10
+    digits = np.searchsorted(_POW10, tok, side="right") + 1
+    frag = np.empty((len(cid), 2), dtype=np.uint8)
+    frag[:, 0] = role.astype("U1").astype("S1").view(np.uint8)
+    frag[:, 1] = (ord("0") + digits).astype(np.uint8)
+
+    # fingerprints are contiguous 2-byte runs of the flattened fragment
+    # buffer: build the string array zero-copy from offsets
+    flat = pa.py_buffer(frag.tobytes())
+    offs = np.zeros(len(starts) + 1, dtype=np.int32)
+    np.cumsum(n_turns * 2, out=offs[1:])
+    fp = pa.StringArray.from_buffers(
+        len(starts), pa.py_buffer(offs.tobytes()), flat
+    )
+
+    fpu = np.asarray(fp, dtype=object).astype("U")
+    conv_first = cid[starts].astype("U")
+    o2 = np.lexsort((conv_first, fpu))
+    fpu, conv_first = fpu[o2], conv_first[o2]
+    first = np.flatnonzero(np.concatenate([[True], fpu[1:] != fpu[:-1]]))
+    n_convs = np.diff(np.append(first, len(fpu)))
+    return pa.table(
+        {
+            "fingerprint": pa.array(fpu[first].tolist(), pa.string()),
+            "n_convs": pa.array(n_convs.astype(np.int64), pa.int64()),
+            "rep_conv": pa.array(conv_first[first].tolist(), pa.string()),
+        }
+    )
+
+
+def _template_final(t: pa.Table, min_convs: int) -> pa.Table:
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "fingerprint": pa.array([], pa.string()),
+                "n_convs": pa.array([], pa.int64()),
+                "rep_conv": pa.array([], pa.string()),
+            }
+        )
+    fp = np.asarray(t["fingerprint"].combine_chunks(), dtype=object).astype("U")
+    n = t["n_convs"].combine_chunks().to_numpy(zero_copy_only=False)
+    rep = np.asarray(t["rep_conv"].combine_chunks(), dtype=object).astype("U")
+    order = np.lexsort((rep, fp))
+    fp, n, rep = fp[order], n[order], rep[order]
+    first = np.flatnonzero(np.concatenate([[True], fp[1:] != fp[:-1]]))
+    bounds = np.append(first, len(fp))
+    tot = np.add.reduceat(n, first)
+    keep = tot >= min_convs
+    return pa.table(
+        {
+            "fingerprint": pa.array(fp[first][keep].tolist(), pa.string()),
+            "n_convs": pa.array(tot[keep].astype(np.int64), pa.int64()),
+            "rep_conv": pa.array(rep[first][keep].tolist(), pa.string()),
+        }
+    )
+
+
+def templated_convs(turns, min_convs: int = 2, num_partitions: int = 16):
+    """Structural template detection — the synthetic/templated-data
+    deduplication signal: conversations sharing an identical (role,
+    token-count-digit-bucket) turn sequence.  Returns one row per template
+    with >= ``min_convs`` members: (fingerprint, n_convs, rep_conv =
+    lexicographically first member).
+
+    Fingerprint example ``'u2a3t1u2'``: 4 turns — user with 2-digit token
+    count, assistant 3-digit, tool 1-digit, user 2-digit.  The digit
+    bucket is exact integer (searchsorted on powers of ten; SQL twin
+    LENGTH(CAST(n AS VARCHAR))), so both engines agree bit-for-bit.
+
+    Scale shape: exchange 1 is the conv-keyed (conv_id, turn_idx, role,
+    n_tok) rows — no text; exchange 2 carries per-block pre-reduced
+    (fingerprint, count, min-conv) partials, template-dimension-sized.
+    Hot templates (boilerplate structure shared by millions of convs) cost
+    a bincount, never a pairwise blowup.
+    """
+    keyed = turns.map_batches(_project_struct, batch_format="pyarrow")
+    keyed = keyed.repartition(num_blocks=num_partitions, keys=["conv_id"])
+    partials = keyed.map_batches(
+        _fingerprint_partials, batch_format="pyarrow", batch_size=None
+    )
+    partials = partials.repartition(num_blocks=4, keys=["fingerprint"])
+    return partials.map_batches(
+        lambda t: _template_final(t, min_convs),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+TEMPLATED_CONVS_SQL = """
+SELECT fingerprint,
+       CAST(COUNT(*) AS BIGINT) AS n_convs,
+       MIN(conv_id) AS rep_conv
+FROM (
+  SELECT conv_id,
+         string_agg(
+           substr(role, 1, 1) ||
+           CAST(LENGTH(CAST(len(regexp_extract_all(text, '@TOKEN_RE@'))
+                            AS VARCHAR)) AS VARCHAR),
+           '' ORDER BY turn_idx) AS fingerprint
+  FROM transcripts GROUP BY conv_id)
+GROUP BY fingerprint HAVING COUNT(*) >= 2
+""".replace("@TOKEN_RE@", TOKEN_RE)
+
+
 LOSS_MASK_SQL = f"""
 SELECT conv_id,
        CAST(before // {WINDOW_TOKENS} AS BIGINT) AS window_idx,
