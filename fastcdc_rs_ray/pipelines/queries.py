@@ -655,6 +655,18 @@ def q_prefix_dups(sf_dir: str):
     return prefix_dups(transcripts_from_documents(sf_dir), num_partitions=16)
 
 
+def q_suffix_dups(sf_dir: str):
+    """Context-truncation dedup: conversations whose ordered turn-text
+    sequence is a proper SUFFIX of another's (or a non-first exact copy)
+    — the tail-relogging twin of prefix_dups that context-window
+    eviction produces.  Same plan on reversed turn order: grouped by
+    LAST-turn hash (complete: turn-suffix pairs share their final turn),
+    one successor-after-run check per conv (stages/prefixdup.py)."""
+    from ..stages.prefixdup import suffix_dups
+
+    return suffix_dups(transcripts_from_documents(sf_dir), num_partitions=16)
+
+
 def q_contamination_score(sf_dir: str):
     """Fuzzy decontamination: per-doc DISTINCT word-13-gram overlap
     fraction vs the benchmark slice, flag by exact integer
@@ -2781,6 +2793,7 @@ QUERIES = {
     "table_profile": q_table_profile,
     "contamination_score": q_contamination_score,
     "prefix_dups": q_prefix_dups,
+    "suffix_dups": q_suffix_dups,
     "role_alternation": q_role_alternation,
     "conv_windows": q_conv_windows,
     "lang_balance": q_lang_balance,
@@ -3262,6 +3275,26 @@ conv2 AS (
 )
 SELECT DISTINCT a.conv_id
 FROM conv2 a JOIN conv2 b ON a.first_text = b.first_text
+WHERE (a.full_text = b.full_text AND a.conv_id > b.conv_id)
+   OR (length(b.full_text) > length(a.full_text)
+       AND substring(b.full_text, 1, length(a.full_text)) = a.full_text
+       AND substring(b.full_text, length(a.full_text) + 1, 1) = chr(10))""",
+    # suffix-duplicate conversations: the prefix_dups plan on reversed
+    # turn order (agg DESC, grouped by the LAST turn); same cap.
+    "suffix_dups": f"""{_TRANSCRIPT_CTE},
+conv AS (
+  SELECT conv_id,
+         string_agg(text, chr(10) ORDER BY turn_idx DESC) AS full_text,
+         arg_max(text, turn_idx) AS last_text
+  FROM transcripts GROUP BY conv_id
+),
+conv2 AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY last_text) AS gsz FROM conv
+  ) WHERE gsz <= 4096
+)
+SELECT DISTINCT a.conv_id
+FROM conv2 a JOIN conv2 b ON a.last_text = b.last_text
 WHERE (a.full_text = b.full_text AND a.conv_id > b.conv_id)
    OR (length(b.full_text) > length(a.full_text)
        AND substring(b.full_text, 1, length(a.full_text)) = a.full_text

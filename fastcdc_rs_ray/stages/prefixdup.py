@@ -44,7 +44,7 @@ from ..util import hash_str_array_u64
 MAX_GROUP = 4096
 
 
-def _assemble_rows(t: pa.Table) -> pa.Table:
+def _assemble_rows(t: pa.Table, reverse: bool = False) -> pa.Table:
     if t.num_rows == 0:
         return pa.table(
             {
@@ -56,7 +56,7 @@ def _assemble_rows(t: pa.Table) -> pa.Table:
     cid = np.asarray(t["conv_id"].combine_chunks(), dtype=object)
     tix = t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
     txt = np.asarray(t["text"].combine_chunks(), dtype=object)
-    order = np.lexsort((tix, cid))
+    order = np.lexsort((-tix if reverse else tix, cid))
     cid, txt = cid[order], txt[order]
     uniq, starts = np.unique(cid, return_index=True)
     bounds = np.append(starts, len(cid))
@@ -117,6 +117,31 @@ def prefix_dups(turns, num_partitions: int = 16,
     keyed = turns.repartition(num_blocks=num_partitions, keys=["conv_id"])
     rows = keyed.map_batches(_assemble_rows, batch_format="pyarrow",
                              batch_size=None)
+    rows = rows.repartition(num_blocks=num_partitions, keys=["fh"])
+    return rows.map_batches(_group_prefix_dups(max_group),
+                            batch_format="pyarrow", batch_size=None)
+
+
+def suffix_dups(turns, num_partitions: int = 16,
+                max_group: int = MAX_GROUP):
+    """-> Dataset of conv_id for every SUFFIX-duplicate conversation
+    (proper turn-suffix of another conversation, or a non-first exact
+    copy) — the context-window-truncation twin of :func:`prefix_dups`:
+    agent frameworks that evict early context re-log the TAIL of a long
+    conversation as a fresh one, which no whole-conversation hash or
+    prefix check catches.
+
+    Identical plan run on REVERSED turn order: assembly joins turn texts
+    by ``turn_idx`` descending, so "A is a turn-suffix of B" becomes "A's
+    reversed join is a turn-boundary prefix of B's reversed join", and
+    the same first-element grouping (now the LAST turn — complete, since
+    suffix pairs share their final turn) + successor-after-sorted-run
+    check decides every pair.  Skew cap and oracle mirroring as in
+    :func:`prefix_dups`.
+    """
+    keyed = turns.repartition(num_blocks=num_partitions, keys=["conv_id"])
+    rows = keyed.map_batches(lambda t: _assemble_rows(t, reverse=True),
+                             batch_format="pyarrow", batch_size=None)
     rows = rows.repartition(num_blocks=num_partitions, keys=["fh"])
     return rows.map_batches(_group_prefix_dups(max_group),
                             batch_format="pyarrow", batch_size=None)
