@@ -2238,6 +2238,47 @@ def q_media_frames(sf_dir: str):
                      "n_frames_sampled": pa.array(n, pa.int64())})
 
 
+def q_phash_dups(sf_dir: str):
+    """Image near-dup pairs by DCT perceptual hash (rows-only: pHash is
+    float-DCT-derived, no SQL equivalent): documents + planted copies ->
+    real BMP bytes -> pure-numpy decode -> 64-bit pHash on an actor pool
+    (DCT basis once per actor) -> simhash-tier 4x16-bit pigeonhole
+    exchange -> distinct pairs with Hamming <= 3 (stages/mediadup.py).
+    The planted copies (doc_id % 10 == 0 at id + 10M) must all pair at
+    distance 0; media_dup_gate drives that through the SQL hash gate."""
+    from ..stages.mediadup import phash_dups, with_planted_copies
+
+    docs = with_planted_copies(_documents(sf_dir, ["doc_id", "text"]))
+    return phash_dups(docs, max_hamming=3, num_partitions=16)
+
+
+def q_audio_dups(sf_dir: str):
+    """Audio near-dup pairs by spectral energy-contour fingerprint
+    (rows-only): documents + planted copies -> real 16-bit PCM WAV ->
+    pure-numpy decode -> 8-frame x 8-band binary contour hash ->
+    pigeonhole exchange -> pairs with Hamming <= 3
+    (stages/mediadup.py)."""
+    from ..stages.mediadup import audio_dups, with_planted_copies
+
+    docs = with_planted_copies(_documents(sf_dir, ["doc_id", "text"]))
+    return audio_dups(docs, max_hamming=3, num_partitions=16)
+
+
+def q_media_dup_gate(sf_dir: str):
+    """Falsifiable media-dedup gate, driver-hashable: every EQUAL-TEXT
+    pair in the planted-copy corpus must produce byte-identical BMP and
+    WAV containers through the real codecs and therefore identical pHash
+    AND audio fingerprints — n_phash_match == n_audio_match ==
+    n_text_pairs, with n_text_pairs derived independently by the
+    oracle's SQL text self-join.  A broken encode/decode roundtrip or a
+    non-deterministic hash kernel drives a match count below the pair
+    count (stages/mediadup.py)."""
+    from ..stages.mediadup import media_dup_gate, with_planted_copies
+
+    docs = with_planted_copies(_documents(sf_dir, ["doc_id", "text"]))
+    return media_dup_gate(docs, num_partitions=8)
+
+
 def q_media_real(sf_dir: str):
     """Real-container multimodal decode end-to-end (rows-only: binary
     payloads have no SQL equivalent): deterministic corpus of GENUINE
@@ -2807,6 +2848,7 @@ QUERIES = {
     "novelty_curve": q_novelty_curve,
     "dup_family_sizes": q_dup_family_sizes,
     "templated_convs": q_templated_convs,
+    "media_dup_gate": q_media_dup_gate,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -2912,6 +2954,8 @@ QUERIES = {
     "repetition": q_repetition,
     "media_frames": q_media_frames,
     "media_real": q_media_real,
+    "phash_dups": q_phash_dups,
+    "audio_dups": q_audio_dups,
     "export_chunks_manifest": q_export_chunks_manifest,
     "concurrent_events": q_concurrent_events,
     "events_unpivot": q_events_unpivot,
@@ -3279,6 +3323,21 @@ WHERE (a.full_text = b.full_text AND a.conv_id > b.conv_id)
    OR (length(b.full_text) > length(a.full_text)
        AND substring(b.full_text, 1, length(a.full_text)) = a.full_text
        AND substring(b.full_text, length(a.full_text) + 1, 1) = chr(10))""",
+    # media-dedup gate: equal-text pairs (over the planted-copy corpus,
+    # mirrored from stages/mediadup.with_planted_copies) must all match
+    # in BOTH media signatures; the oracle derives the pair count from a
+    # text group-by and expects zero mismatches.
+    "media_dup_gate": """
+WITH m AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0
+),
+g AS (SELECT COUNT(*) AS c FROM m GROUP BY text)
+SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_text_pairs,
+       CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_phash_match,
+       CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_audio_match
+FROM g""",
     # suffix-duplicate conversations: the prefix_dups plan on reversed
     # turn order (agg DESC, grouped by the LAST turn); same cap.
     "suffix_dups": f"""{_TRANSCRIPT_CTE},
