@@ -2279,6 +2279,40 @@ def q_media_dup_gate(sf_dir: str):
     return media_dup_gate(docs, num_partitions=8)
 
 
+def q_hist_coverage(sf_dir: str):
+    """Histogram-path coverage gate, driver-hashable: the log2 size
+    histogram's per-bucket byte totals must sum to the exact corpus byte
+    count at every normalization level — the reference coverage
+    invariant (src/v2020/mod.rs:1253-1274) checked through the bincount-
+    partial path (stages/invariants.py)."""
+    from ..stages.chunk import chunk_size_histogram
+    from ..stages.invariants import hist_coverage
+
+    conv = assemble(transcripts_from_documents(sf_dir), num_partitions=16)
+    return hist_coverage(chunk_size_histogram(conv))
+
+
+def q_delta_conservation(sf_dir: str):
+    """Snapshot-delta gate, driver-hashable: chunk_delta's bytes_a /
+    bytes_b must equal the mutation's exact byte arithmetic (oracle
+    re-derives both per doc kind), and shared bytes must cover at least
+    every UNCHANGED doc's volume (stages/invariants.py)."""
+    from ..stages.invariants import delta_conservation
+
+    return delta_conservation(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def q_jaccard_twin_exact(sf_dir: str):
+    """Chunk-Jaccard twin gate, driver-hashable: every exact-copy twin
+    family must pair at Jaccard exactly 1.0 in chunk_jaccard_pairs
+    (byte-identical payload => identical chunk set); the oracle derives
+    the family count from the derivation arithmetic
+    (stages/invariants.py)."""
+    from ..stages.invariants import jaccard_twin_exact
+
+    return jaccard_twin_exact(q_chunks(sf_dir), num_partitions=8)
+
+
 def q_media_real(sf_dir: str):
     """Real-container multimodal decode end-to-end (rows-only: binary
     payloads have no SQL equivalent): deterministic corpus of GENUINE
@@ -2849,6 +2883,9 @@ QUERIES = {
     "dup_family_sizes": q_dup_family_sizes,
     "templated_convs": q_templated_convs,
     "media_dup_gate": q_media_dup_gate,
+    "hist_coverage": q_hist_coverage,
+    "delta_conservation": q_delta_conservation,
+    "jaccard_twin_exact": q_jaccard_twin_exact,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -3338,6 +3375,30 @@ SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_text_pairs,
        CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_phash_match,
        CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_audio_match
 FROM g""",
+    # histogram-path byte coverage per normalization level (0/1/3).
+    "hist_coverage": f"""{_TRANSCRIPT_CTE},
+tot AS (SELECT CAST(SUM(strlen(text)) AS BIGINT) AS b FROM transcripts)
+SELECT CAST(lvl AS BIGINT) AS norm_level, b AS total_bytes
+FROM tot, (VALUES (0), (1), (3)) AS v(lvl)
+ORDER BY norm_level""",
+    # snapshot-B mutation byte arithmetic (stages/delta.mutate_snapshot:
+    # unchanged / +56-byte marker x2 / -16 at midpoint / regenerated at
+    # max(len, 64)) + the shared>=unchanged coverage flag.
+    "delta_conservation": """
+SELECT CAST(SUM(strlen(text)) AS BIGINT) AS bytes_a,
+       CAST(SUM(CASE doc_id % 5
+         WHEN 0 THEN strlen(text)
+         WHEN 1 THEN strlen(text) + 56
+         WHEN 2 THEN strlen(text) + 56
+         WHEN 3 THEN (strlen(text) // 2)
+                     + GREATEST(strlen(text) - strlen(text) // 2 - 16, 0)
+         ELSE GREATEST(strlen(text), 64) END) AS BIGINT) AS bytes_b,
+       CAST(1 AS TINYINT) AS shared_covers_unchanged
+FROM documents""",
+    # exact-copy twin families must all pair at Jaccard 1.0.
+    "jaccard_twin_exact": """
+SELECT CAST(COUNT(DISTINCT doc_id // 4) AS BIGINT) AS n_twin_exact
+FROM documents WHERE (doc_id // 4) % 20 = 0""",
     # suffix-duplicate conversations: the prefix_dups plan on reversed
     # turn order (agg DESC, grouped by the LAST turn); same cap.
     "suffix_dups": f"""{_TRANSCRIPT_CTE},

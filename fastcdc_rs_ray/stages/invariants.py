@@ -472,3 +472,81 @@ def manifest_coverage(manifest_root: str, n_partitions: int) -> pa.Table:
             [int(parts["b"].to_numpy().sum())], pa.int64()),
         "n_partitions": pa.array([n_partitions], pa.int64()),
     })
+
+
+def hist_coverage(hist_tbl: pa.Table) -> pa.Table:
+    """Histogram-path coverage: chunk_size_histogram's per-bucket byte
+    totals must sum, per normalization level, to the exact corpus byte
+    count (the coverage invariant src/v2020/mod.rs:1253-1274 checked
+    through the BINCOUNT-PARTIAL path rather than the chunk-row path).
+    Input is the histogram's (norm_level, bucket_lo, n_chunks, bytes)
+    table; output one (norm_level, total_bytes) row per level, sorted."""
+    lvl = hist_tbl["norm_level"].to_numpy()
+    by = hist_tbl["bytes"].to_numpy()
+    levels = np.unique(lvl)
+    tot = [int(by[lvl == v].sum()) for v in levels]
+    return pa.table({
+        "norm_level": pa.array(levels.astype(np.int64), pa.int64()),
+        "total_bytes": pa.array(tot, pa.int64()),
+    })
+
+
+def delta_conservation(docs_ds, cfg=None, num_partitions: int = 8) -> pa.Table:
+    """Snapshot-delta gate: (a) bytes_a / bytes_b reported by
+    `chunk_delta` must equal the exact byte arithmetic of the
+    deterministic snapshot-B mutation (oracle-derivable per doc:
+    unchanged / +marker / +marker / -16-at-midpoint / same-length-
+    regenerated-at-min-64); (b) a deduplicating store must share AT
+    LEAST every unchanged doc's bytes (doc_id % 5 == 0), so
+    `shared_covers_unchanged` must be 1.  Undercounted shared chunks,
+    a coverage bug in either snapshot's chunking, or mutation drift all
+    flip a column (stages/delta.py)."""
+    from .delta import chunk_delta, docs_as_payload, mutate_snapshot
+
+    a = docs_as_payload(docs_ds)
+    b = mutate_snapshot(docs_ds)
+    summary = chunk_delta(a, b, cfg=cfg, num_partitions=num_partitions)
+
+    def unchanged_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ln = pc.binary_length(
+            t["text"].combine_chunks().cast(pa.large_binary())).to_numpy()
+        keep = ids % 5 == 0
+        return pa.table({"b": pa.array([int(ln[keep].sum())], pa.int64())})
+
+    parts = _collect(docs_ds.map_batches(unchanged_partial,
+                                         batch_format="pyarrow"))
+    unchanged = int(parts["b"].to_numpy().sum())
+    shared = int(summary["shared_bytes_b"][0].as_py())
+    return pa.table({
+        "bytes_a": summary["bytes_a"],
+        "bytes_b": summary["bytes_b"],
+        "shared_covers_unchanged": pa.array(
+            [1 if shared >= unchanged else 0], pa.int8()),
+    })
+
+
+def jaccard_twin_exact(chunks_ds, num_partitions: int = 8) -> pa.Table:
+    """Chunk-Jaccard gate: every exact-copy twin family (conv_no %
+    TWIN_MOD == 0) must appear in `chunk_jaccard_pairs` at tau = 1.0 —
+    byte-identical payloads have identical chunk sets, so Jaccard is
+    exactly 1 and the pair (conv-X, twin-X) is guaranteed.  Output the
+    count of such twin pairs found; the oracle derives the expected
+    family count from the derivation arithmetic.  A chunker that cuts
+    differently on identical bytes, an element-key collision regression,
+    or a pair-generation drop all lower the count."""
+    from .dedup import chunk_jaccard_pairs
+
+    pairs = chunk_jaccard_pairs(chunks_ds, tau_milli=1000,
+                                num_partitions=num_partitions)
+    src = np.asarray(pairs["src"], dtype="U")
+    dst = np.asarray(pairs["dst"], dtype="U")
+    n = 0
+    for s, d in zip(src, dst):
+        if s.startswith("conv-") and d == "twin-" + s[5:]:
+            x = int(s[5:])
+            if x % TWIN_MOD == 0:
+                n += 1
+    return pa.table({"n_twin_exact": pa.array([n], pa.int64())})

@@ -119,3 +119,70 @@ def test_manifest_coverage_counts_lost_bytes(ray_session, tmp_path):
     shutil.rmtree(f"{root}/chunks/part=0")
     broken = manifest_coverage(root, n_partitions=2)
     assert broken["covered_bytes"][0].as_py() < total
+
+
+def test_hist_coverage_counts_lost_bytes():
+    from fastcdc_rs_ray.stages.invariants import hist_coverage
+
+    # level 0 covers 100 bytes across two buckets; level 3 dropped bytes
+    hist = pa.table({
+        "norm_level": pa.array([0, 0, 3], pa.int64()),
+        "bucket_lo": pa.array([32, 64, 32], pa.int64()),
+        "n_chunks": pa.array([2, 1, 2], pa.int64()),
+        "bytes": pa.array([36, 64, 90], pa.int64()),
+    })
+    out = hist_coverage(hist).to_pydict()
+    assert out["norm_level"] == [0, 3]
+    assert out["total_bytes"] == [100, 90]  # 90 != corpus -> oracle FAIL
+
+
+def test_delta_conservation_flags_undercounted_share(ray_session, monkeypatch):
+    from fastcdc_rs_ray.stages import invariants
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 5, 7], pa.int64()),     # 0, 5 unchanged
+        "text": pa.array(["a" * 600, "b" * 700, "c" * 650], pa.string()),
+    })
+    out = invariants.delta_conservation(rd.from_arrow(docs)).to_pydict()
+    assert out["shared_covers_unchanged"] == [1]
+    assert out["bytes_a"] == [1950]
+
+    # plant a violation: a delta that undercounts shared bytes
+    import fastcdc_rs_ray.stages.delta as delta_mod
+
+    real = delta_mod.chunk_delta
+
+    def broken(a, b, **kw):
+        t = real(a, b, **kw)
+        d = t.to_pydict()
+        d["shared_bytes_b"] = [0]
+        return pa.table(d)
+
+    monkeypatch.setattr(delta_mod, "chunk_delta", broken)
+    out2 = invariants.delta_conservation(rd.from_arrow(docs)).to_pydict()
+    assert out2["shared_covers_unchanged"] == [0]  # gate fails vs oracle
+
+
+def test_jaccard_twin_exact_counts_a_broken_twin(ray_session):
+    from fastcdc_rs_ray.stages.invariants import jaccard_twin_exact
+
+    # two exact twin families (0, 20); family 40's twin is mutated ->
+    # its chunk set differs -> only 2 counted
+    base = "x" * 400 + "y" * 400
+    rows = []
+    for fam in (0, 20, 40):
+        txt = base + f" family {fam} " + "z" * 300
+        rows.append((f"conv-{fam:08d}", txt))
+        rows.append((f"twin-{fam:08d}",
+                     txt if fam != 40 else txt + "MUTATED TAIL " * 40))
+    conv = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "payload": pa.array([r[1].encode() for r in rows], pa.large_binary()),
+    })
+    from fastcdc_rs_ray.cdc.config import ChunkerConfig
+    from fastcdc_rs_ray.stages.chunk import chunk
+
+    cfg = ChunkerConfig(min_size=64, avg_size=256, max_size=1024)
+    chunks = chunk(rd.from_arrow(conv), cfg)
+    out = jaccard_twin_exact(chunks, num_partitions=4).to_pydict()
+    assert out["n_twin_exact"] == [2]
