@@ -2313,6 +2313,33 @@ def q_jaccard_twin_exact(sf_dir: str):
     return jaccard_twin_exact(q_chunks(sf_dir), num_partitions=8)
 
 
+def q_bpe_train(sf_dir: str):
+    """Distributed byte-level BPE vocabulary training (rows-only: the
+    merge recursion is not SQL-expressible; pytest pins equality against
+    a pure-Python replica).  Corpus reduces ONCE to the Zipf-bounded
+    word-type table via a keyed exchange; each of the 24 merge rounds is
+    one scan of that materialized table with the merge list replayed per
+    block — the kmeans broadcast pattern (stages/bpe.py)."""
+    from ..stages.bpe import bpe_train
+
+    return bpe_train(_documents(sf_dir, ["doc_id", "text"]), n_merges=24)
+
+
+def q_bpe_first_merge(sf_dir: str):
+    """BPE round-0 gate, driver-hashable: the first merge elected by the
+    distributed pair count (count DESC, pair ASC) must equal the most
+    frequent adjacent byte pair over word types, which the oracle
+    re-derives with a SQL char-pair unnest (ASCII corpus: char ==
+    byte).  A broken partial, a lost exchange row, or a tie-break drift
+    flips the row (stages/bpe.py)."""
+    from ..stages.bpe import bpe_train
+
+    t = bpe_train(_documents(sf_dir, ["doc_id", "text"]), n_merges=1)
+    return pa.table({
+        "left_b": t["left"], "right_b": t["right"], "n": t["n"],
+    })
+
+
 def q_media_real(sf_dir: str):
     """Real-container multimodal decode end-to-end (rows-only: binary
     payloads have no SQL equivalent): deterministic corpus of GENUINE
@@ -2886,6 +2913,7 @@ QUERIES = {
     "hist_coverage": q_hist_coverage,
     "delta_conservation": q_delta_conservation,
     "jaccard_twin_exact": q_jaccard_twin_exact,
+    "bpe_first_merge": q_bpe_first_merge,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -2993,6 +3021,7 @@ QUERIES = {
     "media_real": q_media_real,
     "phash_dups": q_phash_dups,
     "audio_dups": q_audio_dups,
+    "bpe_train": q_bpe_train,
     "export_chunks_manifest": q_export_chunks_manifest,
     "concurrent_events": q_concurrent_events,
     "events_unpivot": q_events_unpivot,
@@ -3399,6 +3428,25 @@ FROM documents""",
     "jaccard_twin_exact": """
 SELECT CAST(COUNT(DISTINCT doc_id // 4) AS BIGINT) AS n_twin_exact
 FROM documents WHERE (doc_id // 4) % 20 = 0""",
+    # BPE round 0: most frequent adjacent byte pair over word types,
+    # weighted by type count; tie-break (n DESC, left ASC, right ASC).
+    "bpe_first_merge": """
+WITH w AS (
+  SELECT token, COUNT(*) AS cnt
+  FROM (SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\f]+')) AS token
+        FROM documents)
+  GROUP BY token
+),
+p AS (
+  SELECT ascii(substring(token, i, 1)) AS l,
+         ascii(substring(token, i + 1, 1)) AS r,
+         SUM(cnt) AS n
+  FROM w, unnest(generate_series(1, length(token) - 1)) AS u(i)
+  GROUP BY l, r
+)
+SELECT CAST(l AS BIGINT) AS left_b, CAST(r AS BIGINT) AS right_b,
+       CAST(n AS BIGINT) AS n
+FROM p ORDER BY n DESC, l ASC, r ASC LIMIT 1""",
     # suffix-duplicate conversations: the prefix_dups plan on reversed
     # turn order (agg DESC, grouped by the LAST turn); same cap.
     "suffix_dups": f"""{_TRANSCRIPT_CTE},
