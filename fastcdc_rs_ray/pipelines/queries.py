@@ -643,6 +643,18 @@ def q_doc_rarity(sf_dir: str):
                       num_partitions=16)
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style importance-resampling weights (integer-exact): per
+    non-target doc, target-slice vs whole-corpus token mass + n_tokens —
+    the numerator/denominator of the importance ratio, exact int64.
+    Same two tag-union keyed exchanges as doc_rarity with the target
+    count riding the same token exchange (stages/rarity.py)."""
+    from ..stages.rarity import dsir_weights
+
+    return dsir_weights(_documents(sf_dir, ["doc_id", "text"]),
+                        num_partitions=16)
+
+
 def q_prefix_dups(sf_dir: str):
     """Retry/truncation dedup: conversations whose ordered turn-text
     sequence is a proper prefix of another's (or a non-first exact copy)
@@ -2914,6 +2926,7 @@ QUERIES = {
     "delta_conservation": q_delta_conservation,
     "jaccard_twin_exact": q_jaccard_twin_exact,
     "bpe_first_merge": q_bpe_first_merge,
+    "dsir_weights": q_dsir_weights,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -3352,6 +3365,24 @@ SELECT tok.doc_id, CAST(SUM(cf.c) AS BIGINT) AS freq_sum,
        CAST(COUNT(*) AS BIGINT) AS n_tokens
 FROM tok JOIN cf USING (t) GROUP BY tok.doc_id""".replace(
         "{TOKEN_RE}", TOKEN_RE),
+    # DSIR importance masses: target-slice vs corpus token counts summed
+    # over each non-target doc's token occurrences.
+    "dsir_weights": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS t
+  FROM documents
+), cf AS (
+  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+), tf AS (
+  SELECT t, COUNT(*) AS c FROM tok WHERE doc_id % 50 = 0 GROUP BY t
+)
+SELECT tok.doc_id,
+       CAST(SUM(COALESCE(tf.c, 0)) AS BIGINT) AS tgt_mass,
+       CAST(SUM(cf.c) AS BIGINT) AS raw_mass,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM tok JOIN cf USING (t) LEFT JOIN tf USING (t)
+WHERE tok.doc_id % 50 <> 0
+GROUP BY tok.doc_id""".replace("{TOKEN_RE}", TOKEN_RE),
     # packing conserves every token and never overfills a bin.
     "pack_conservation": f"""
 SELECT CAST(SUM({_TOKENS_SQL}) AS BIGINT) AS total_tokens,

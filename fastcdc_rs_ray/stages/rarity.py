@@ -313,3 +313,140 @@ SELECT bg.doc_id,
             // COUNT(*) AS BIGINT) AS novel_permille
 FROM bg JOIN cf USING (gram) GROUP BY bg.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# dsir_weights — importance-resampling weight components (DSIR family)
+# --------------------------------------------------------------------------
+
+#: target slice = benchmark docs (same convention as stages/decontam.py)
+DSIR_TARGET_MOD = 50
+
+_DSIR_MID = pa.schema([
+    ("token", pa.string()), ("kind", pa.int8()),
+    ("doc_id", pa.int64()), ("v", pa.int64()),
+])
+
+_DSIR_PARTIAL = pa.schema([
+    ("doc_id", pa.int64()), ("tgt_mass", pa.int64()),
+    ("raw_mass", pa.int64()), ("n_tokens", pa.int64()),
+])
+
+
+def _dsir_explode(target_mod: int):
+    """Per-block partials: kind 0 = corpus token count, kind 2 = TARGET-
+    slice token count, kind 1 = per (non-target doc, token) occurrence
+    count.  All three bounded by block content."""
+
+    def f(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _DSIR_MID.empty_table()
+        flat, row_of, n_rows = _flat_tokens(t["text"])
+        if len(flat) == 0:
+            return _DSIR_MID.empty_table()
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_tgt_row = (ids % target_mod) == 0
+        tenc = flat.dictionary_encode()
+        tcode = tenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = len(tenc.dictionary)
+        occ_tgt_row = is_tgt_row[row_of]
+        cnt_all = np.bincount(tcode, minlength=nt)
+        cnt_tgt = np.bincount(tcode[occ_tgt_row], minlength=nt)
+        # kind 1 over non-target docs only (the scored set)
+        sel = ~occ_tgt_row
+        pair = tcode[sel] * n_rows + row_of[sel]
+        upair, pcnt = np.unique(pair, return_counts=True)
+        utok = upair // n_rows
+        udoc = ids[upair % n_rows]
+
+        def _arr(a):
+            return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+        idx_all = pa.array(np.arange(nt), pa.int64())
+        keep_tgt = np.flatnonzero(cnt_tgt)
+        tok0 = _arr(tenc.dictionary.take(idx_all))
+        tok2 = _arr(tenc.dictionary.take(pa.array(keep_tgt, pa.int64())))
+        tok1 = _arr(tenc.dictionary.take(pa.array(utok, pa.int64())))
+        return pa.table({
+            "token": pa.concat_arrays([tok0, tok2, tok1]),
+            "kind": pa.array(np.concatenate([
+                np.zeros(nt, np.int8),
+                np.full(len(keep_tgt), 2, np.int8),
+                np.ones(len(utok), np.int8)]), pa.int8()),
+            "doc_id": pa.array(np.concatenate([
+                np.zeros(nt + len(keep_tgt), np.int64), udoc]), pa.int64()),
+            "v": pa.array(np.concatenate(
+                [cnt_all, cnt_tgt[keep_tgt], pcnt]), pa.int64()),
+        }).cast(_DSIR_MID)
+
+    return f
+
+
+def _dsir_join_block(t: pa.Table) -> pa.Table:
+    if len(t) == 0:
+        return _DSIR_PARTIAL.empty_table()
+    tok = t["token"].combine_chunks().dictionary_encode()
+    inv = tok.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    nt = len(tok.dictionary)
+    kind = t["kind"].combine_chunks().to_numpy(zero_copy_only=False)
+    doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    v = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+    raw = np.zeros(nt, np.int64)
+    tgt = np.zeros(nt, np.int64)
+    np.add.at(raw, inv[kind == 0], v[kind == 0])
+    np.add.at(tgt, inv[kind == 2], v[kind == 2])
+    m1 = kind == 1
+    if not m1.any():
+        return _DSIR_PARTIAL.empty_table()
+    occ = v[m1]
+    c_raw = occ * raw[inv[m1]]
+    c_tgt = occ * tgt[inv[m1]]
+    udoc, dinv = np.unique(doc[m1], return_inverse=True)
+    o_t = np.zeros(len(udoc), np.int64)
+    o_r = np.zeros(len(udoc), np.int64)
+    o_n = np.zeros(len(udoc), np.int64)
+    np.add.at(o_t, dinv, c_tgt)
+    np.add.at(o_r, dinv, c_raw)
+    np.add.at(o_n, dinv, occ)
+    return pa.table({
+        "doc_id": pa.array(udoc, pa.int64()),
+        "tgt_mass": pa.array(o_t, pa.int64()),
+        "raw_mass": pa.array(o_r, pa.int64()),
+        "n_tokens": pa.array(o_n, pa.int64()),
+    }).cast(_DSIR_PARTIAL)
+
+
+def _dsir_final_block(t: pa.Table) -> pa.Table:
+    if len(t) == 0:
+        return _DSIR_PARTIAL.empty_table()
+    doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    udoc, dinv = np.unique(doc, return_inverse=True)
+    out = {"doc_id": pa.array(udoc, pa.int64())}
+    for c in ("tgt_mass", "raw_mass", "n_tokens"):
+        acc = np.zeros(len(udoc), np.int64)
+        np.add.at(acc, dinv,
+                  t[c].combine_chunks().to_numpy(zero_copy_only=False))
+        out[c] = pa.array(acc, pa.int64())
+    return pa.table(out).cast(_DSIR_PARTIAL)
+
+
+def dsir_weights(documents_ds, num_partitions: int = 16,
+                 target_mod: int = DSIR_TARGET_MOD):
+    """Importance-resampling weight components per non-target document
+    (Xie et al. 2023 DSIR, integer-exact variant): tgt_mass = Σ over the
+    doc's token occurrences of that token's count in the TARGET slice
+    (doc_id % target_mod == 0), raw_mass = the same against the whole
+    corpus, n_tokens — the log-likelihood-ratio numerator/denominator
+    masses emitted as exact int64 so ranking/resampling is the
+    consumer's choice and the SQL oracle hash-matches bit-for-bit.
+    Same two-exchange plan as :func:`doc_rarity` (one extra tagged
+    partial kind riding the same token exchange)."""
+    mid = documents_ds.map_batches(_dsir_explode(target_mod),
+                                   batch_format="pyarrow")
+    mid = mid.repartition(num_blocks=num_partitions, keys=["token"])
+    parts = mid.map_batches(_dsir_join_block, batch_format="pyarrow",
+                            batch_size=None)
+    parts = parts.repartition(num_blocks=max(4, num_partitions // 2),
+                              keys=["doc_id"])
+    return parts.map_batches(_dsir_final_block, batch_format="pyarrow",
+                             batch_size=None)
