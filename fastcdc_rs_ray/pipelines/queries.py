@@ -35,6 +35,7 @@ from ..stages.ann import (
     load_queries_from_dataset,
 )
 from ..stages.lsh import candidate_edges
+from ..stages.modelscore import MODEL_SCORE_SQL as _MODEL_SCORE_SQL
 from ..functions.text import (
     PUNCT_CLASS,
     TOKEN_RE,
@@ -641,6 +642,36 @@ def q_doc_rarity(sf_dir: str):
 
     return doc_rarity(_documents(sf_dir, ["doc_id", "text"]),
                       num_partitions=16)
+
+
+def q_profile_drift(sf_dir: str):
+    """Data-drift monitoring between two deterministic event slices
+    (event_id parity stands in for crawl generations): per column, both
+    sides' rows/exact-NDV and a min-max-changed flag.  Two table_profile
+    passes, dimension-sized driver diff (stages/profile.py)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.profile import profile_drift
+
+    cols = ["event_id", "user_id", "event_type"]
+    a = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols,
+                        filter=pc.bit_wise_and(pc.field("event_id"), 1) == 0)
+    b = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols,
+                        filter=pc.bit_wise_and(pc.field("event_id"), 1) == 1)
+    return profile_drift(a, b, int_cols=["event_id", "user_id"],
+                         str_cols=["event_type"], num_partitions=8)
+
+
+def q_model_score(sf_dir: str):
+    """Broadcast-model batch inference with an exact oracle: linear
+    scorer over token counts (integer weights, literal vocab), weights
+    built once per actor in __init__, per-batch scoring fully vectorized
+    (pc.index_in + scatter-add).  The stage shape of any broadcastable
+    per-doc model; zero shuffle (stages/modelscore.py)."""
+    from ..stages.modelscore import model_score
+
+    return model_score(_documents(sf_dir, ["doc_id", "text"]))
 
 
 def q_dsir_weights(sf_dir: str):
@@ -2927,6 +2958,8 @@ QUERIES = {
     "jaccard_twin_exact": q_jaccard_twin_exact,
     "bpe_first_merge": q_bpe_first_merge,
     "dsir_weights": q_dsir_weights,
+    "model_score": q_model_score,
+    "profile_drift": q_profile_drift,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -3365,6 +3398,49 @@ SELECT tok.doc_id, CAST(SUM(cf.c) AS BIGINT) AS freq_sum,
        CAST(COUNT(*) AS BIGINT) AS n_tokens
 FROM tok JOIN cf USING (t) GROUP BY tok.doc_id""".replace(
         "{TOKEN_RE}", TOKEN_RE),
+    # broadcast linear model scoring; vocab/weights literal in both
+    # engines (stages/modelscore.MODEL_WEIGHTS).
+    "model_score": _MODEL_SCORE_SQL.replace("{TOKEN_RE}", TOKEN_RE),
+    # drift between event_id-parity slices; min/max compared as the same
+    # decimal/byte-wise strings table_profile renders.
+    "profile_drift": """
+WITH p AS (
+  SELECT 'event_id' AS col_name,
+    COUNT(*) FILTER (event_id % 2 = 0) AS ra,
+    COUNT(*) FILTER (event_id % 2 = 1) AS rb,
+    COUNT(DISTINCT event_id) FILTER (event_id % 2 = 0) AS na,
+    COUNT(DISTINCT event_id) FILTER (event_id % 2 = 1) AS nb,
+    COALESCE(CAST(MIN(event_id) FILTER (event_id % 2 = 0) AS VARCHAR), '') AS mina,
+    COALESCE(CAST(MIN(event_id) FILTER (event_id % 2 = 1) AS VARCHAR), '') AS minb,
+    COALESCE(CAST(MAX(event_id) FILTER (event_id % 2 = 0) AS VARCHAR), '') AS maxa,
+    COALESCE(CAST(MAX(event_id) FILTER (event_id % 2 = 1) AS VARCHAR), '') AS maxb
+  FROM events
+  UNION ALL
+  SELECT 'user_id',
+    COUNT(*) FILTER (event_id % 2 = 0), COUNT(*) FILTER (event_id % 2 = 1),
+    COUNT(DISTINCT user_id) FILTER (event_id % 2 = 0),
+    COUNT(DISTINCT user_id) FILTER (event_id % 2 = 1),
+    COALESCE(CAST(MIN(user_id) FILTER (event_id % 2 = 0) AS VARCHAR), ''),
+    COALESCE(CAST(MIN(user_id) FILTER (event_id % 2 = 1) AS VARCHAR), ''),
+    COALESCE(CAST(MAX(user_id) FILTER (event_id % 2 = 0) AS VARCHAR), ''),
+    COALESCE(CAST(MAX(user_id) FILTER (event_id % 2 = 1) AS VARCHAR), '')
+  FROM events
+  UNION ALL
+  SELECT 'event_type',
+    COUNT(*) FILTER (event_id % 2 = 0), COUNT(*) FILTER (event_id % 2 = 1),
+    COUNT(DISTINCT event_type) FILTER (event_id % 2 = 0),
+    COUNT(DISTINCT event_type) FILTER (event_id % 2 = 1),
+    COALESCE(MIN(event_type) FILTER (event_id % 2 = 0), ''),
+    COALESCE(MIN(event_type) FILTER (event_id % 2 = 1), ''),
+    COALESCE(MAX(event_type) FILTER (event_id % 2 = 0), ''),
+    COALESCE(MAX(event_type) FILTER (event_id % 2 = 1), '')
+  FROM events
+)
+SELECT col_name, CAST(ra AS BIGINT) AS n_rows_a, CAST(rb AS BIGINT) AS n_rows_b,
+       CAST(na AS BIGINT) AS n_distinct_a, CAST(nb AS BIGINT) AS n_distinct_b,
+       CAST(CASE WHEN mina <> minb OR maxa <> maxb THEN 1 ELSE 0 END AS TINYINT)
+         AS minmax_changed
+FROM p""",
     # DSIR importance masses: target-slice vs corpus token counts summed
     # over each non-target doc's token occurrences.
     "dsir_weights": """

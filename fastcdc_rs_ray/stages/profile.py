@@ -190,3 +190,45 @@ def table_profile(ds, int_cols: list[str], str_cols: list[str],
             "max_s": pa.array(out["max_s"], pa.string()),
         }
     )
+
+
+def profile_drift(ds_a, ds_b, int_cols: list[str], str_cols: list[str],
+                  num_partitions: int = 8) -> pa.Table:
+    """Data-drift report between two corpus slices/generations: one row
+    per profiled column with both sides' row/NDV counts and a
+    min-max-changed flag — the monitoring pass a long-lived ingest runs
+    between crawl generations.  Two :func:`table_profile` executions
+    (each one pass + one keyed exchange); the diff itself is
+    dimension-sized driver work."""
+    a = table_profile(ds_a, int_cols, str_cols, num_partitions)
+    b = table_profile(ds_b, int_cols, str_cols, num_partitions)
+    da = {a["col_name"][i].as_py(): i for i in range(len(a))}
+    db = {b["col_name"][i].as_py(): i for i in range(len(b))}
+    names = sorted(set(da) | set(db))
+    out = {"col_name": [], "n_rows_a": [], "n_rows_b": [],
+           "n_distinct_a": [], "n_distinct_b": [], "minmax_changed": []}
+    for n in names:
+        ia, ib = da.get(n), db.get(n)
+        ra = int(a["n_rows"][ia].as_py()) if ia is not None else 0
+        rb = int(b["n_rows"][ib].as_py()) if ib is not None else 0
+        na = int(a["n_distinct"][ia].as_py()) if ia is not None else 0
+        nb = int(b["n_distinct"][ib].as_py()) if ib is not None else 0
+        mins_a = a["min_s"][ia].as_py() if ia is not None else ""
+        mins_b = b["min_s"][ib].as_py() if ib is not None else ""
+        maxs_a = a["max_s"][ia].as_py() if ia is not None else ""
+        maxs_b = b["max_s"][ib].as_py() if ib is not None else ""
+        out["col_name"].append(n)
+        out["n_rows_a"].append(ra)
+        out["n_rows_b"].append(rb)
+        out["n_distinct_a"].append(na)
+        out["n_distinct_b"].append(nb)
+        out["minmax_changed"].append(
+            1 if (mins_a != mins_b or maxs_a != maxs_b) else 0)
+    return pa.table({
+        "col_name": pa.array(out["col_name"], pa.string()),
+        "n_rows_a": pa.array(out["n_rows_a"], pa.int64()),
+        "n_rows_b": pa.array(out["n_rows_b"], pa.int64()),
+        "n_distinct_a": pa.array(out["n_distinct_a"], pa.int64()),
+        "n_distinct_b": pa.array(out["n_distinct_b"], pa.int64()),
+        "minmax_changed": pa.array(out["minmax_changed"], pa.int8()),
+    })
