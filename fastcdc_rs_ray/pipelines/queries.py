@@ -36,6 +36,7 @@ from ..stages.ann import (
 )
 from ..stages.lsh import candidate_edges
 from ..stages.modelscore import MODEL_SCORE_SQL as _MODEL_SCORE_SQL
+from ..stages.entities import ENTITY_COUNTS_SQL as _ENTITY_COUNTS_SQL
 from ..functions.text import (
     PUNCT_CLASS,
     TOKEN_RE,
@@ -642,6 +643,31 @@ def q_doc_rarity(sf_dir: str):
 
     return doc_rarity(_documents(sf_dir, ["doc_id", "text"]),
                       num_partitions=16)
+
+
+def q_entity_counts(sf_dir: str):
+    """Structured-entity density per document (emails / URLs / numbers /
+    ISO dates) — the URL-farm / contact-spam / numeric-table curation
+    signal.  Vectorized RE2 per block, zero shuffle; pattern literals
+    shared verbatim with the oracle (stages/entities.py)."""
+    from ..stages.entities import entity_counts
+
+    return entity_counts(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def q_video_dups(sf_dir: str):
+    """Video near-dup pairs by frame-pHash-set Jaccard (rows-only:
+    float-DCT frame hashes have no SQL twin; planted copies pytest- and
+    gate-covered via the image/audio signatures): documents + planted
+    copies -> multi-frame containers of REAL 24-bit BMPs (rolled-tile
+    'pan' frames) -> actor-pool decode + per-frame pHash -> distinct
+    (clip, frame-hash) rows -> the ngram tier's KR(elem) + KR(src,dst)
+    pairing with the integer cross-multiplied keep predicate
+    (stages/mediadup.py)."""
+    from ..stages.mediadup import video_dups, with_planted_copies
+
+    docs = with_planted_copies(_documents(sf_dir, ["doc_id", "text"]))
+    return video_dups(docs, tau_milli=500, num_partitions=16)
 
 
 def q_profile_drift(sf_dir: str):
@@ -2960,6 +2986,7 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "model_score": q_model_score,
     "profile_drift": q_profile_drift,
+    "entity_counts": q_entity_counts,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -3068,6 +3095,7 @@ QUERIES = {
     "phash_dups": q_phash_dups,
     "audio_dups": q_audio_dups,
     "bpe_train": q_bpe_train,
+    "video_dups": q_video_dups,
     "export_chunks_manifest": q_export_chunks_manifest,
     "concurrent_events": q_concurrent_events,
     "events_unpivot": q_events_unpivot,
@@ -3401,6 +3429,9 @@ FROM tok JOIN cf USING (t) GROUP BY tok.doc_id""".replace(
     # broadcast linear model scoring; vocab/weights literal in both
     # engines (stages/modelscore.MODEL_WEIGHTS).
     "model_score": _MODEL_SCORE_SQL.replace("{TOKEN_RE}", TOKEN_RE),
+    # structured-entity densities; pattern literals shared verbatim
+    # (both engines run RE2).
+    "entity_counts": _ENTITY_COUNTS_SQL,
     # drift between event_id-parity slices; min/max compared as the same
     # decimal/byte-wise strings table_profile renders.
     "profile_drift": """

@@ -303,3 +303,170 @@ def media_dup_gate(docs_ds, num_partitions: int = 8):
         c: pa.array([int(pc.sum(tbl[c]).as_py() or 0)], pa.int64())
         for c in ("n_text_pairs", "n_phash_match", "n_audio_match")
     })
+
+
+# --------------------------------------------------------------------------
+# video tier: multi-frame containers, per-frame pHash, frame-set Jaccard
+# --------------------------------------------------------------------------
+
+VIDEO_FRAMES = 4
+
+
+def encode_bmp_sequence(frames: list[np.ndarray]) -> bytes:
+    """Real-codec multi-frame container: 4-byte little-endian frame
+    count + concatenated genuine 24-bit BMPs (each self-sized via its
+    header).  Stands in for a video container while keeping a REAL
+    image codec in the decode loop — compressed video (H.264 etc.)
+    would slot into the same seam when a codec lib exists."""
+    import struct
+
+    return struct.pack("<I", len(frames)) + b"".join(
+        encode_bmp(f) for f in frames)
+
+
+def decode_bmp_sequence(data: bytes) -> list[np.ndarray]:
+    import struct
+
+    n = struct.unpack_from("<I", data, 0)[0]
+    pos, out = 4, []
+    for _ in range(n):
+        size = struct.unpack_from("<I", data, pos + 2)[0]
+        out.append(decode_bmp(data[pos: pos + size]))
+        pos += size
+    return out
+
+
+def docs_to_videos(t: pa.Table, id_col: str = "doc_id",
+                   text_col: str = "text") -> pa.Table:
+    """documents batch -> (doc_id, payload) multi-frame containers:
+    frame f tiles the doc's UTF-8 bytes rolled by f * 64 (a synthetic
+    'pan'), so equal text => byte-identical container and frame set."""
+    ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    txt = np.asarray(t[text_col].combine_chunks(), dtype=object)
+    payloads = []
+    for s in txt:
+        base = _tile_bytes(s, IMG_SIDE * IMG_SIDE)
+        frames = [np.roll(base, -64 * f).reshape(IMG_SIDE, IMG_SIDE)
+                  for f in range(VIDEO_FRAMES)]
+        payloads.append(encode_bmp_sequence(frames))
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.large_binary()),
+    })
+
+
+class VideoPHasher:
+    """Actor-pool stage: decode frame sequences, emit one (doc_id, elem)
+    row per DISTINCT frame pHash (the clip's fingerprint set)."""
+
+    def __init__(self) -> None:
+        self.dct = _dct_matrix(32)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        pay = t["payload"].combine_chunks()
+        out_id, out_el = [], []
+        for i in range(len(pay)):
+            hs = {phash_frame(f, self.dct)
+                  for f in decode_bmp_sequence(pay[i].as_py())}
+            out_id.extend([int(ids[i])] * len(hs))
+            out_el.extend(sorted(hs))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "elem": pa.array(np.asarray(out_el, np.uint64), pa.uint64()),
+        })
+
+
+def video_dups(docs_ds, tau_milli: int = 500, num_partitions: int = 16,
+               batch_size: int = 64, concurrency=(2, 8)):
+    """documents -> (src, dst) video near-dup pairs by frame-pHash-set
+    Jaccard >= tau_milli/1000 — keyframe-set overlap, the standard video
+    dedup evidence.  Pairing/combine reuses the ngram tier's discipline:
+    explode with set_size riding along, KR(elem), per-group pairs,
+    KR(src, dst) exact count + integer cross-multiplied keep predicate
+    (1000*c >= tau*(na+nb-c)); the payloads never leave their block."""
+    vids = docs_ds.map_batches(docs_to_videos, batch_format="pyarrow")
+    elems = vids.map_batches(VideoPHasher, batch_size=batch_size,
+                             batch_format="pyarrow", concurrency=concurrency)
+
+    def with_size(t: pa.Table) -> pa.Table:
+        # rows of one doc are contiguous (emitted per payload above) but
+        # recount defensively per block
+        if len(t) == 0:
+            return pa.table({"elem": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "set_size": pa.array([], pa.int64())})
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        el = t["elem"].combine_chunks().to_numpy()
+        uniq, inv, cnt = np.unique(ids, return_inverse=True,
+                                   return_counts=True)
+        return pa.table({
+            "elem": pa.array(el, pa.uint64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "set_size": pa.array(cnt[inv], pa.int64()),
+        })
+
+    rows = elems.map_batches(with_size, batch_format="pyarrow",
+                             batch_size=None)
+    rows = rows.repartition(num_blocks=num_partitions, keys=["elem"])
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+            "src_size": pa.array([], pa.int64()),
+            "dst_size": pa.array([], pa.int64())})
+        n = len(t)
+        if n < 2:
+            return empty
+        el = t["elem"].combine_chunks().to_numpy()
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        sz = t["set_size"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, el))
+        el, ids, sz = el[order], ids[order], sz[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(el[1:] != el[:-1]) + 1, [n]])
+        src_l, dst_l, ss_l, ds_l = [], [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            g = e - s
+            if g < 2 or g > 4096:
+                continue
+            gi, gz = ids[s:e], sz[s:e]
+            ii, jj = np.triu_indices(g, k=1)
+            src_l.append(gi[ii]); dst_l.append(gi[jj])
+            ss_l.append(gz[ii]); ds_l.append(gz[jj])
+        if not src_l:
+            return empty
+        return pa.table({
+            "src": pa.array(np.concatenate(src_l), pa.int64()),
+            "dst": pa.array(np.concatenate(dst_l), pa.int64()),
+            "src_size": pa.array(np.concatenate(ss_l), pa.int64()),
+            "dst_size": pa.array(np.concatenate(ds_l), pa.int64()),
+        })
+
+    pairs = rows.map_batches(emit_pairs, batch_format="pyarrow",
+                             batch_size=None)
+    pairs = pairs.repartition(num_blocks=max(4, num_partitions // 4),
+                              keys=["src", "dst"])
+
+    def combine_filter(t: pa.Table) -> pa.Table:
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})
+        n = len(t)
+        if n == 0 or "src" not in t.column_names:
+            return empty
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        a = t["src_size"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["dst_size"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        src, dst, a, b = src[order], dst[order], a[order], b[order]
+        new = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        firsts = np.concatenate([[0], np.flatnonzero(new) + 1])
+        c = np.diff(np.concatenate([firsts, [n]])).astype(np.int64)
+        av, bv = a[firsts], b[firsts]
+        keep = firsts[1000 * c >= tau_milli * (av + bv - c)]
+        return pa.table({"src": pa.array(src[keep], pa.int64()),
+                         "dst": pa.array(dst[keep], pa.int64())})
+
+    return pairs.map_batches(combine_filter, batch_format="pyarrow",
+                             batch_size=None)

@@ -109,3 +109,31 @@ def test_gate_falsifiable_on_signature_mismatch():
     assert out["n_text_pairs"] == [3]
     assert out["n_phash_match"] == [1]   # < 3: gate would FAIL vs oracle
     assert out["n_audio_match"] == [3]
+
+
+def test_video_roundtrip_and_dups(ray_session):
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.mediadup import (
+        VIDEO_FRAMES,
+        decode_bmp_sequence,
+        docs_to_videos,
+        video_dups,
+    )
+
+    # container roundtrip: frames survive encode->decode exactly
+    t = _docs([LONG_A])
+    payload = docs_to_videos(t)["payload"][0].as_py()
+    frames = decode_bmp_sequence(payload)
+    assert len(frames) == VIDEO_FRAMES
+    base = _tile_bytes(LONG_A, IMG_SIDE * IMG_SIDE)
+    assert (frames[0].reshape(-1) == base).all()
+    assert (frames[1].reshape(-1) == np.roll(base, -64)).all()
+
+    # pairing: exact copies pair; unrelated don't
+    texts = [LONG_A, LONG_B, LONG_A, "third body of text " * 30]
+    pairs = video_dups(rd.from_arrow(_docs(texts)),
+                       num_partitions=4).to_pandas()
+    got = set(zip(pairs["src"], pairs["dst"]))
+    assert (0, 2) in got
+    assert all(p == (0, 2) for p in got)
