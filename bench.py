@@ -115,6 +115,17 @@ BENCH_QUERIES = [
     "assistant_share",
     "loss_mask_stats",
     "bigram_novelty",
+    "novelty_curve",
+    "templated_convs",
+    "suffix_dups",
+    "phash_dups",
+    "audio_dups",
+    "video_dups",
+    "bpe_train",
+    "dsir_weights",
+    "model_score",
+    "profile_drift",
+    "entity_counts",
 ]
 
 
