@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "model_score",
     "profile_drift",
     "entity_counts",
+    "part_components",
 ]
 
 

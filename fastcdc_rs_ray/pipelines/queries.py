@@ -2536,6 +2536,72 @@ def q_part_reachability(sf_dir: str):
                         source=0, max_hops=4)
 
 
+def q_part_components(sf_dir: str):
+    """Connected components of a sparse co-purchase part graph (edges
+    restricted to orders with l_orderkey % 101 == 0 — avg degree ~0.5, a
+    mix of singletons and up-to-~60-part components at sf0.01): the
+    flagship's distributed min-label-propagation + pointer-jumping CC
+    (stages/cc.py) run on an int64 vertex universe, with a WITH RECURSIVE
+    min-label DuckDB oracle.  This puts the flagship's CC algorithm —
+    otherwise only pytest/rows-only verified — behind the driver's SQL
+    hash gate on a real multi-component graph.  component = min p_partkey
+    of the component; edge-less parts are singletons."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.cc import connected_components_distributed
+    from ..stages.pagerank import copurchase_edges
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_linenumber"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ok % 101 == 0))
+
+    edges = copurchase_edges(
+        li.map_batches(pick, batch_format="pyarrow"), num_partitions=8)
+    members = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).map_batches(
+        lambda t: pa.table({"conv_id": pc.cast(t["p_partkey"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    cc = connected_components_distributed(
+        edges, members, max_rounds=30, num_partitions=8,
+        vertex_type=pa.int64())
+    return cc.map_batches(
+        lambda t: pa.table({
+            "p_partkey": pc.cast(t["conv_id"], pa.int64()),
+            "component": pc.cast(t["cluster_id"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+PART_COMPONENTS_SQL = """
+WITH RECURSIVE base AS (
+  SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+  WHERE l_orderkey % 101 = 0
+), d AS (
+  SELECT src, dst FROM (
+    SELECT l_partkey AS src,
+           lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_linenumber, l_partkey) AS dst
+    FROM base
+  ) WHERE dst IS NOT NULL
+), e AS (
+  SELECT src, dst FROM d UNION SELECT dst AS src, src AS dst FROM d
+), r(node, lab) AS (
+  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT) FROM part
+  UNION
+  SELECT e.dst, r.lab FROM r JOIN e ON e.src = r.node
+)
+SELECT CAST(node AS BIGINT) AS p_partkey, CAST(min(lab) AS BIGINT) AS component
+FROM r GROUP BY node
+"""
+
+
 def q_pair_edit_distance(sf_dir: str):
     """Character-level verify tier: exact Levenshtein for every n-gram
     Jaccard candidate pair (vectorized multi-pair DP; candidate-sized)."""
@@ -2987,6 +3053,7 @@ QUERIES = {
     "model_score": q_model_score,
     "profile_drift": q_profile_drift,
     "entity_counts": q_entity_counts,
+    "part_components": q_part_components,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -3817,6 +3884,7 @@ ORACLE_SQL["urgent_vs_purchase"] = FULL_OUTER_COUNTS_SQL
 ORACLE_SQL["watermark_windows"] = WATERMARK_WINDOWS_SQL
 ORACLE_SQL["value_quantiles_sketch"] = VALUE_QUANTILES_SKETCH_SQL
 ORACLE_SQL["concurrent_events"] = CONCURRENT_EVENTS_SQL
+ORACLE_SQL["part_components"] = PART_COMPONENTS_SQL
 ORACLE_SQL["part_reachability"] = """
 WITH RECURSIVE e AS (
   SELECT src, dst FROM (

@@ -87,12 +87,52 @@ def connected_components_driver(edges_ds, members_ds):
     )
 
 
+def _to_pandas_exact(t: pa.Table):
+    """to_pandas that keeps int64 columns exact under nulls (plain
+    to_pandas promotes nullable int64 to float64, which corrupts ids
+    above 2^53)."""
+    import pandas as pd
+
+    return t.to_pandas(
+        types_mapper={pa.int64(): pd.Int64Dtype()}.get)
+
+
+def _hash_col_u64(arr: pa.Array) -> np.ndarray:
+    """Per-row u64 hash of a string OR integer vertex column (fingerprint
+    input)."""
+    from ..util import hash_str_array_u64
+
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return hash_str_array_u64(arr)
+    return arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(
+        np.uint64)
+
+
+def _sever(mds):
+    """Re-wrap a MaterializedDataset's blocks as a fresh Dataset, dropping
+    the logical-plan history.  Each CC round unions two datasets derived
+    from the previous round's labels, so the carried plan DAG doubles
+    every round; Ray Data walks that DAG as a tree at execution setup and
+    per-round wall time turns exponential (measured 1 s -> 35 s by round
+    12 at 2,000 constant rows; flat ~0.9 s/round with the sever).
+    Zero-copy: block object refs only."""
+    import ray.data as rd
+
+    return rd.from_arrow_refs(mds.to_arrow_refs())
+
+
 def connected_components_distributed(
-    edges_ds, members_ds, max_rounds: int = 50, num_partitions: int = 32
+    edges_ds, members_ds, max_rounds: int = 50, num_partitions: int = 32,
+    vertex_type: pa.DataType = pa.string(),
 ):
     """Iterative min-label propagation, fully inside Ray Data (see module
     docstring).  Exercised at small scale in tests; equivalent output to the
-    driver variant."""
+    driver variant.
+
+    ``vertex_type`` is the Arrow type of src/dst/conv_id (string for the
+    flagship's conv keys; int64 for numeric graphs such as the co-purchase
+    part graph).  cluster_id = component-minimum vertex under that type's
+    natural order."""
     from ..util import shuffle_safe_partitions
 
     # Each round's plan holds TWO keyed hash-shuffles live at once
@@ -114,7 +154,8 @@ def connected_components_distributed(
             }
         )
 
-    edges = edges_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    edges = _sever(
+        edges_ds.map_batches(both_dirs, batch_format="pyarrow").materialize())
     labels = (
         members_ds.select_columns(["conv_id"])
         .map_batches(
@@ -123,6 +164,7 @@ def connected_components_distributed(
         )
         .materialize()
     )
+    labels = _sever(labels)
 
     def _fingerprint(ds) -> int:
         """Order-insensitive xor of per-row (v, label) hashes.  Reduced to
@@ -130,12 +172,12 @@ def connected_components_distributed(
         label table itself (it is corpus-sized)."""
 
         def block_xor(b: pa.Table) -> pa.Table:
-            from ..util import hash_str_array_u64, mix64
+            from ..util import mix64
 
             if len(b) == 0:
                 return pa.table({"x": pa.array([], pa.uint64())})
-            hv = hash_str_array_u64(b["v"].combine_chunks())
-            hl = hash_str_array_u64(b["label"].combine_chunks())
+            hv = _hash_col_u64(b["v"].combine_chunks())
+            hl = _hash_col_u64(b["label"].combine_chunks())
             x = np.bitwise_xor.reduce(mix64(hv ^ hl))
             return pa.table({"x": pa.array([x], pa.uint64())})
 
@@ -148,14 +190,33 @@ def connected_components_distributed(
                     b["x"].combine_chunks().to_numpy())
         return int(s)
 
+    def _settle(deadline_s: float = 10.0) -> None:
+        """Wait for the previous round's hash-shuffle aggregator actors to
+        release their CPU reservations.  Teardown is asynchronous; without
+        this, reservations accumulate round over round and later rounds'
+        shuffles queue behind phantom CPUs (measured: per-round wall
+        doubling from 1 s to 35 s by round 12 on a 32-cpu session — 162 s
+        total vs 27 s with the settle)."""
+        import time
+
+        import ray
+
+        total = float(ray.cluster_resources().get("CPU", 0.0))
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < deadline_s:
+            if ray.available_resources().get("CPU", 0.0) >= total - 0.01:
+                return
+            time.sleep(0.1)
+
     prev_fp = _fingerprint(labels)
     for _ in range(max_rounds):
+        _settle()
         e2 = edges.map_batches(
             lambda t: pa.table(
                 {
                     "v": t["v"],
                     "u": t["u"],
-                    "label": pa.nulls(len(t), pa.string()),
+                    "label": pa.nulls(len(t), vertex_type),
                 }
             ),
             batch_format="pyarrow",
@@ -164,7 +225,7 @@ def connected_components_distributed(
             lambda t: pa.table(
                 {
                     "v": t["v"],
-                    "u": pa.nulls(len(t), pa.string()),
+                    "u": pa.nulls(len(t), vertex_type),
                     "label": t["label"],
                 }
             ),
@@ -175,7 +236,7 @@ def connected_components_distributed(
         def propagate(t: pa.Table) -> pa.Table:
             import pandas as pd
 
-            df = t.to_pandas()
+            df = _to_pandas_exact(t)
             lab = df[df["label"].notna()][["v", "label"]]
             edg = df[df["u"].notna()][["v", "u"]]
             merged = edg.merge(lab, on="v", how="left")
@@ -193,15 +254,13 @@ def connected_components_distributed(
         cand = cand.repartition(num_blocks=num_partitions, keys=["v"])
 
         def combine(t: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            df = t.to_pandas()
+            df = _to_pandas_exact(t)
             out = df.groupby("v", as_index=False)["label"].min()
             return pa.Table.from_pandas(out, preserve_index=False)
 
-        labels = cand.map_batches(
+        labels = _sever(cand.map_batches(
             combine, batch_format="pyarrow", batch_size=None
-        ).materialize()
+        ).materialize())
 
         # pointer jump: label[v] <- label[label[v]].  Tag-union keyed on the
         # LABEL value: each vertex row asks for its label's label, each
@@ -211,12 +270,12 @@ def connected_components_distributed(
         queries = labels.map_batches(
             lambda t: pa.table(
                 {"key": t["label"], "v": t["v"],
-                 "label": pa.nulls(len(t), pa.string())}),
+                 "label": pa.nulls(len(t), vertex_type)}),
             batch_format="pyarrow",
         )
         values = labels.map_batches(
             lambda t: pa.table(
-                {"key": t["v"], "v": pa.nulls(len(t), pa.string()),
+                {"key": t["v"], "v": pa.nulls(len(t), vertex_type),
                  "label": t["label"]}),
             batch_format="pyarrow",
         )
@@ -224,9 +283,7 @@ def connected_components_distributed(
             num_blocks=num_partitions, keys=["key"])
 
         def jump(t: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            df = t.to_pandas()
+            df = _to_pandas_exact(t)
             vals = df[df["v"].isna()][["key", "label"]]
             qs = df[df["label"].isna()][["key", "v"]]
             m = qs.merge(vals, on="key", how="left")
@@ -236,9 +293,9 @@ def connected_components_distributed(
             return pa.Table.from_pandas(
                 m[["v", "label"]], preserve_index=False)
 
-        labels = tagged.map_batches(
+        labels = _sever(tagged.map_batches(
             jump, batch_format="pyarrow", batch_size=None
-        ).materialize()
+        ).materialize())
 
         fp = _fingerprint(labels)
         if fp == prev_fp:

@@ -70,3 +70,43 @@ def test_nonconvergence_raises(ray_session):
             rd.from_arrow(edges), rd.from_arrow(members),
             max_rounds=2, num_partitions=4,
         )
+
+
+def test_int64_vertices_match_union_find(ray_session):
+    """vertex_type=pa.int64(): the numeric-graph path (part_components).
+    Random multigraph with self-loops; reference = plain python union-find
+    over ints."""
+    import numpy as np
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    n = 150
+    src = rng.integers(0, n, 120).astype(np.int64)
+    dst = rng.integers(0, n, 120).astype(np.int64)
+    edges = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64())})
+    members = pa.table({"conv_id": pa.array(np.arange(n, dtype=np.int64))})
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(src, dst):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    want = {v: find(v) for v in range(n)}
+
+    out = connected_components_distributed(
+        rd.from_arrow(edges), rd.from_arrow(members),
+        num_partitions=4, vertex_type=pa.int64(),
+    ).to_pandas()
+    assert out.conv_id.dtype == "int64" and out.cluster_id.dtype == "int64"
+    got = dict(zip(out.conv_id, out.cluster_id))
+    assert got == want
