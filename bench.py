@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     "profile_drift",
     "entity_counts",
     "part_components",
+    "embedding_gram",
+    "kcenter_coreset",
+    "bm25_components",
 ]
 
 

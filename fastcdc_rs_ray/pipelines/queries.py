@@ -2033,6 +2033,45 @@ def q_embedding_centroids(sf_dir: str):
     )
 
 
+def q_bm25_components(sf_dir: str):
+    """BM25 relevance components (tf, df, dl) per (doc, query token) for
+    a fixed query set — integer-exact IR scoring with ZERO keyed
+    exchange: |Q|-sized df partials merge on the driver and broadcast,
+    then one streaming emit pass (stages/bm25.py)."""
+    from ..stages.bm25 import bm25_components
+
+    return bm25_components(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def q_kcenter_coreset(sf_dir: str):
+    """Farthest-point k-center coreset selection over the embeddings
+    (diversity sampling): k broadcast rounds, one candidate row per block
+    per round, exact int64 distances (rows-only: iterative/greedy — the
+    selection is pytest-pinned against a single-matrix numpy replica in
+    tests/test_coreset.py)."""
+    import ray.data as rd
+
+    from ..stages.coreset import kcenter_select
+
+    return kcenter_select(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]), k=16)
+
+
+def q_embedding_gram(sf_dir: str):
+    """Exact quantized Gram matrix of the embedding table (the
+    covariance / PCA building block): grid-sized int64 matmul partials
+    per block, zero keyed exchange, Python-bigint driver merge with an
+    overflow RAISE (stages/vecagg.py embedding_gram)."""
+    import ray.data as rd
+
+    from ..stages.vecagg import embedding_gram
+
+    return embedding_gram(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["embedding"]))
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding column (rows-only:
     iterative — not SQL-expressible; pytest pins bit-equality against the
@@ -3054,6 +3093,8 @@ QUERIES = {
     "profile_drift": q_profile_drift,
     "entity_counts": q_entity_counts,
     "part_components": q_part_components,
+    "embedding_gram": q_embedding_gram,
+    "bm25_components": q_bm25_components,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -3138,6 +3179,7 @@ QUERIES = {
     "media_pipeline": q_media_pipeline,
     "embedding_centroids": q_embedding_centroids,
     "kmeans_clusters": q_kmeans_clusters,
+    "kcenter_coreset": q_kcenter_coreset,
     "funnel_conversions": q_funnel_conversions,
     "tfidf_terms": q_tfidf_terms,
     "dedup_incremental": q_dedup_incremental,
@@ -3283,7 +3325,7 @@ from ..stages.sample import (
     TRAIN_VAL_SPLIT_SQL,
     WEIGHTED_SAMPLE_SQL,
 )
-from ..stages.vecagg import EMBEDDING_CENTROIDS_SQL
+from ..stages.vecagg import EMBEDDING_CENTROIDS_SQL, EMBEDDING_GRAM_SQL
 from ..stages.funnel import FUNNEL_CONVERSIONS_SQL
 from ..stages.tfidf import TFIDF_TERMS_SQL
 from ..stages.bloomjoin import BLOOM_SEMI_STATS_SQL
@@ -3873,6 +3915,10 @@ FROM pairs JOIN documents a ON a.doc_id = src
            JOIN documents b ON b.doc_id = dst
 """
 ORACLE_SQL["embedding_centroids"] = EMBEDDING_CENTROIDS_SQL
+ORACLE_SQL["embedding_gram"] = EMBEDDING_GRAM_SQL
+from ..stages.bm25 import BM25_QUERY, bm25_sql  # noqa: E402
+
+ORACLE_SQL["bm25_components"] = bm25_sql(BM25_QUERY, TOKEN_RE)
 ORACLE_SQL["funnel_conversions"] = FUNNEL_CONVERSIONS_SQL
 ORACLE_SQL["tfidf_terms"] = TFIDF_TERMS_SQL
 ORACLE_SQL["dedup_incremental"] = """

@@ -149,3 +149,79 @@ JOIN documents ON vec_id = doc_id
 CROSS JOIN range(1, 65) t(i)
 GROUP BY lang, i
 """
+
+
+def embedding_gram(embeddings_ds, dim: int = 64, quant: float = QUANT):
+    """-> (i, j, gram_q) upper triangle (1-based, i <= j) of the exact
+    quantized Gram matrix  G = Q^T Q,  Q = floor(float64(embedding) * 1e6).
+
+    The covariance / PCA building block: each block contributes one
+    (dim x dim) int64 matmul partial — GRID-sized, so the op needs ZERO
+    keyed exchange; the driver merges dim^2 x blocks rows in Python
+    arbitrary-precision ints (no silent wrap) and the result is emitted
+    as int64.  Quantization matches embedding_centroids (floor after an
+    exact float32->float64 cast: no rounding-rule divergence vs SQL).
+
+    Overflow bounds: per-block partial |G_ij| <= block_rows * quant^2
+    (4096-row blocks with |x|<=1: ~4e15, safe in int64); the MERGED value
+    must also fit int64 — with |x|<=1 that holds to ~9.2e6 rows per 1e6
+    quant, and the driver RAISES (not wraps) beyond it.  The 100 TB
+    configuration drops quant to 1e3 (exact to ~9.2e12 rows) — same code
+    path, one constant.
+    """
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        iu, ju = np.triu_indices(dim)
+        if len(t) == 0:
+            return pa.table({
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+            })
+        emb = t["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat * quant).astype(np.int64).reshape(len(t), dim)
+        g = q.T @ q
+        return pa.table({
+            "i": pa.array(iu + 1, pa.int64()),
+            "j": pa.array(ju + 1, pa.int64()),
+            "s": pa.array(g[iu, ju], pa.int64()),
+        })
+
+    acc: dict[tuple[int, int], int] = {}
+    parts = embeddings_ds.select_columns(["embedding"]).map_batches(
+        gram_partial, batch_format="pyarrow", batch_size=4096)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        ii = b["i"].to_numpy(zero_copy_only=False)
+        jj = b["j"].to_numpy(zero_copy_only=False)
+        ss = b["s"].to_numpy(zero_copy_only=False)
+        for i, j, s in zip(ii.tolist(), jj.tolist(), ss.tolist()):
+            acc[(i, j)] = acc.get((i, j), 0) + s
+    lim = (1 << 63) - 1
+    bad = [k for k, v in acc.items() if abs(v) > lim]
+    if bad:
+        raise OverflowError(
+            f"embedding_gram: merged cell(s) {bad[:3]} exceed int64; "
+            f"lower quant (see docstring overflow bounds)")
+    keys = sorted(acc)
+    return pa.table({
+        "i": pa.array([k[0] for k in keys], pa.int64()),
+        "j": pa.array([k[1] for k in keys], pa.int64()),
+        "gram_q": pa.array([acc[k] for k in keys], pa.int64()),
+    })
+
+
+EMBEDDING_GRAM_SQL = """
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       CAST(SUM(
+         CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000)
+              AS BIGINT)
+         * CAST(FLOOR(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * 1000000)
+                AS BIGINT)
+       ) AS BIGINT) AS gram_q
+FROM embeddings
+CROSS JOIN range(1, 65) t(i)
+CROSS JOIN range(1, 65) u(j)
+WHERE j >= i
+GROUP BY i, j
+"""
