@@ -130,6 +130,9 @@ BENCH_QUERIES = [
     "embedding_gram",
     "kcenter_coreset",
     "bm25_components",
+    "padding_waste",
+    "embedding_pca",
+    "bpe_encode",
 ]
 
 

@@ -2033,6 +2033,31 @@ def q_embedding_centroids(sf_dir: str):
     )
 
 
+def q_embedding_pca(sf_dir: str):
+    """Exact int64 projection of every embedding onto the corpus's top
+    principal direction: gram -> driver power iteration -> broadcast
+    quantized direction -> one streaming dot-product pass (rows-only:
+    eigenvectors aren't SQL-expressible; pytest-pinned in
+    tests/test_pca.py)."""
+    import ray.data as rd
+
+    from ..stages.vecagg import embedding_pca_projection
+
+    return embedding_pca_projection(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]))
+
+
+def q_padding_waste(sf_dir: str):
+    """Batch-padding efficiency audit: pad tokens burned per fixed
+    sequence-length bucket if every doc pads to its smallest covering
+    boundary — grid-sized block partials, zero exchange
+    (stages/packing.py padding_waste)."""
+    from ..stages.packing import padding_waste
+
+    return padding_waste(_documents(sf_dir, ["doc_id", "text"]))
+
+
 def q_bm25_components(sf_dir: str):
     """BM25 relevance components (tf, df, dl) per (doc, query token) for
     a fixed query set — integer-exact IR scoring with ZERO keyed
@@ -2431,6 +2456,21 @@ def q_bpe_train(sf_dir: str):
     from ..stages.bpe import bpe_train
 
     return bpe_train(_documents(sf_dir, ["doc_id", "text"]), n_merges=24)
+
+
+def q_bpe_encode(sf_dir: str):
+    """Tokenizer loop closed: train the byte-level BPE vocab (24 merges,
+    same config as bpe_train), then ENCODE every document with it in one
+    broadcast streaming pass — (doc_id, n_words, n_bytes, n_bpe)
+    fertility stats (rows-only: merge recursion isn't SQL-expressible;
+    pytest pins per-doc n_bpe against a pure-Python encoder in
+    tests/test_bpe_encode.py)."""
+    from ..stages.bpe import bpe_encode_stats, bpe_train
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    mt = bpe_train(docs, n_merges=24)
+    merges = list(zip(mt["left"].to_pylist(), mt["right"].to_pylist()))
+    return bpe_encode_stats(docs, merges)
 
 
 def q_bpe_first_merge(sf_dir: str):
@@ -3095,6 +3135,7 @@ QUERIES = {
     "part_components": q_part_components,
     "embedding_gram": q_embedding_gram,
     "bm25_components": q_bm25_components,
+    "padding_waste": q_padding_waste,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -3180,6 +3221,8 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "kmeans_clusters": q_kmeans_clusters,
     "kcenter_coreset": q_kcenter_coreset,
+    "embedding_pca": q_embedding_pca,
+    "bpe_encode": q_bpe_encode,
     "funnel_conversions": q_funnel_conversions,
     "tfidf_terms": q_tfidf_terms,
     "dedup_incremental": q_dedup_incremental,
@@ -3919,6 +3962,9 @@ ORACLE_SQL["embedding_gram"] = EMBEDDING_GRAM_SQL
 from ..stages.bm25 import BM25_QUERY, bm25_sql  # noqa: E402
 
 ORACLE_SQL["bm25_components"] = bm25_sql(BM25_QUERY, TOKEN_RE)
+from ..stages.packing import padding_waste_sql  # noqa: E402
+
+ORACLE_SQL["padding_waste"] = padding_waste_sql(_TOKENS_SQL)
 ORACLE_SQL["funnel_conversions"] = FUNNEL_CONVERSIONS_SQL
 ORACLE_SQL["tfidf_terms"] = TFIDF_TERMS_SQL
 ORACLE_SQL["dedup_incremental"] = """

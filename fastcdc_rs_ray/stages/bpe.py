@@ -217,3 +217,81 @@ def bpe_train_reference(word_counts: dict[str, int],
             words[w] = ns
         out.append((a, b, best))
     return out
+
+
+_ENC = pa.schema([
+    ("doc_id", pa.int64()), ("n_words", pa.int64()),
+    ("n_bytes", pa.int64()), ("n_bpe", pa.int64()),
+])
+
+
+def bpe_encode_stats(docs_ds, merges: list[tuple[int, int]],
+                     text_col: str = "text"):
+    """documents -> (doc_id, n_words, n_bytes, n_bpe): encode every doc
+    with a TRAINED merge list and report the tokenizer-fertility stats
+    (n_bpe = symbol count after all merges; n_bytes = UTF-8 token bytes
+    before merging; bytes-per-token = the compression the tokenizer
+    achieves on this doc — the curation signal for tokenizer-hostile
+    text).
+
+    One streaming pass, zero exchange: the merge list broadcasts in the
+    task closure (<= n_merges pairs); each block encodes its DISTINCT
+    words once (dictionary encode, then the same _apply_merge replay the
+    trainer uses) and scatters the per-word encoded lengths back to docs
+    with one bincount.  Deterministic: encoding is a pure function of
+    (word, merge list)."""
+    merges = list(merges)
+
+    def enc(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _ENC.empty_table()
+        flat_words, row_of, n_rows = _flat_tokens(t[text_col])
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(flat_words) == 0:
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(np.zeros(n_rows, np.int64), pa.int64()),
+                "n_bytes": pa.array(np.zeros(n_rows, np.int64), pa.int64()),
+                "n_bpe": pa.array(np.zeros(n_rows, np.int64), pa.int64()),
+            }).cast(_ENC)
+        dec = flat_words.dictionary_encode()
+        wcode = dec.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = dec.dictionary
+        flat, lens = _words_to_symbols(uniq)
+        raw_len = lens.copy()
+        for r, (a, b) in enumerate(merges):
+            flat, lens = _apply_merge(flat, lens, a, b, 256 + r)
+        n_words = np.bincount(row_of, minlength=n_rows).astype(np.int64)
+        n_bytes = np.bincount(row_of, weights=raw_len[wcode],
+                              minlength=n_rows).astype(np.int64)
+        n_bpe = np.bincount(row_of, weights=lens[wcode],
+                            minlength=n_rows).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "n_bpe": pa.array(n_bpe, pa.int64()),
+        }).cast(_ENC)
+
+    return docs_ds.select_columns(["doc_id", text_col]).map_batches(
+        enc, batch_format="pyarrow")
+
+
+def bpe_encode_reference(text: str, merges: list[tuple[int, int]]) -> int:
+    """Pure-Python per-doc n_bpe replica for pytest."""
+    total = 0
+    for word in text.split():
+        syms = list(word.encode("utf-8"))
+        for r, (a, b) in enumerate(merges):
+            nid = 256 + r
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(nid)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        total += len(syms)
+    return total

@@ -109,3 +109,87 @@ def pack_docs(documents_ds, budget: int = DEFAULT_BUDGET, n_groups: int = 32,
 
     return counted.map_batches(pack_block, batch_format="pyarrow",
                                batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# padding_waste — batch-padding efficiency audit per length bucket
+# --------------------------------------------------------------------------
+
+#: fixed-boundary length buckets (tokens); docs longer than the last
+#: boundary land in the overflow bucket (bound = -1, waste 0 — they get
+#: split/truncated upstream, not padded)
+PAD_BOUNDS = (64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def padding_waste(documents_ds, bounds: tuple[int, ...] = PAD_BOUNDS):
+    """-> (bound, n_docs, sum_tokens, sum_waste): if every document were
+    padded to its smallest covering bucket boundary, how many pad tokens
+    does each bucket burn?  The batching-efficiency audit run before
+    picking sequence-length buckets for training (waste = Σ bound - len).
+
+    Grid-sized per-block partials (|bounds|+1 rows), driver merge, ZERO
+    exchange; token definition shared with ``token_count`` (RE2
+    ``\\S+`` == the SQL oracle's regexp_extract_all)."""
+    import pyarrow.compute as pc
+
+    from ..functions.text import TOKEN_RE
+
+    barr = np.asarray(bounds, np.int64)
+    nb = len(barr)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "sum_tokens": pa.array([], pa.int64()),
+                             "sum_waste": pa.array([], pa.int64())})
+        n = pc.count_substring_regex(t["text"], TOKEN_RE).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(barr, n, side="left")  # nb == overflow
+        waste = np.where(idx < nb, barr[np.minimum(idx, nb - 1)] - n, 0)
+        return pa.table({
+            "i": pa.array(np.arange(nb + 1), pa.int64()),
+            "n_docs": pa.array(np.bincount(idx, minlength=nb + 1)
+                               .astype(np.int64), pa.int64()),
+            "sum_tokens": pa.array(np.bincount(idx, weights=n,
+                                               minlength=nb + 1)
+                                   .astype(np.int64), pa.int64()),
+            "sum_waste": pa.array(np.bincount(idx, weights=waste,
+                                              minlength=nb + 1)
+                                  .astype(np.int64), pa.int64()),
+        })
+
+    acc = np.zeros((3, nb + 1), np.int64)
+    for b in documents_ds.select_columns(["text"]).map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        if b.num_rows:
+            i = b["i"].to_numpy(zero_copy_only=False)
+            for r, c in enumerate(("n_docs", "sum_tokens", "sum_waste")):
+                np.add.at(acc[r], i, b[c].to_numpy(zero_copy_only=False))
+    keep = acc[0] > 0  # drop empty buckets (matches the SQL GROUP BY)
+    bound_of = np.append(barr, -1)
+    return pa.table({
+        "bound": pa.array(bound_of[keep], pa.int64()),
+        "n_docs": pa.array(acc[0][keep], pa.int64()),
+        "sum_tokens": pa.array(acc[1][keep], pa.int64()),
+        "sum_waste": pa.array(acc[2][keep], pa.int64()),
+    })
+
+
+def padding_waste_sql(tokens_sql: str,
+                      bounds: tuple[int, ...] = PAD_BOUNDS) -> str:
+    case = " ".join(f"WHEN n <= {b} THEN {b}" for b in bounds)
+    return f"""
+WITH tok AS (
+  SELECT {tokens_sql} AS n FROM documents
+), asg AS (
+  SELECT n, CASE {case} ELSE -1 END AS bound FROM tok
+)
+SELECT CAST(bound AS BIGINT) AS bound,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CASE WHEN bound = -1 THEN 0 ELSE bound - n END) AS BIGINT)
+           AS sum_waste
+FROM asg GROUP BY bound
+"""

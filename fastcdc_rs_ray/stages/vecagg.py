@@ -225,3 +225,62 @@ CROSS JOIN range(1, 65) u(j)
 WHERE j >= i
 GROUP BY i, j
 """
+
+
+def embedding_pca_projection(embeddings_ds, dim: int = 64,
+                             quant: float = QUANT, n_iter: int = 64):
+    """-> (vec_id, proj_q): exact int64 projection of every embedding
+    onto the corpus's top principal direction (uncentered PCA / top
+    right-singular vector).
+
+    Two stages:
+    1. the distributed part is :func:`embedding_gram` (grid-sized
+       partials, zero exchange); the driver runs ``n_iter`` fixed power
+       iterations on the tiny dim x dim matrix (start vector = ones,
+       sign fixed so the largest-|component| entry is positive) and
+       quantizes the direction to int64 (floor(v * 1e6));
+    2. one streaming map_batches computes the exact integer dot product
+       q . w per row (|q|,|w| <= 1e6 -> 6.4e13 max at dim 64, safe) —
+       bit-identical under any partitioning because the broadcast w is
+       the single source of float work.
+
+    rows-only in the registry (eigenvectors are not SQL-expressible);
+    pytest pins parity with a single-matrix numpy replica and partition
+    invariance (tests/test_pca.py)."""
+    import ray
+
+    gram = embedding_gram(embeddings_ds, dim=dim, quant=quant)
+    g = np.zeros((dim, dim), np.float64)
+    gi = gram["i"].to_numpy(zero_copy_only=False) - 1
+    gj = gram["j"].to_numpy(zero_copy_only=False) - 1
+    gv = gram["gram_q"].to_numpy(zero_copy_only=False).astype(np.float64)
+    g[gi, gj] = gv
+    g[gj, gi] = gv
+    v = np.ones(dim, np.float64) / np.sqrt(dim)
+    for _ in range(n_iter):
+        v = g @ v
+        nrm = np.linalg.norm(v)
+        if nrm == 0.0:
+            v = np.ones(dim, np.float64) / np.sqrt(dim)
+            break
+        v = v / nrm
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    w = np.floor(v * quant).astype(np.int64)
+    wref = ray.put(w)
+
+    def project(t: pa.Table, _wref=wref) -> pa.Table:
+        ww = ray.get(_wref)
+        if len(t) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "proj_q": pa.array([], pa.int64())})
+        emb = t["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat * quant).astype(np.int64).reshape(len(t), dim)
+        return pa.table({
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+            "proj_q": pa.array(q @ ww, pa.int64()),
+        })
+
+    return embeddings_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        project, batch_format="pyarrow")
