@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "padding_waste",
     "embedding_pca",
     "bpe_encode",
+    "kcenter_round1",
+    "embed_outliers",
 ]
 
 

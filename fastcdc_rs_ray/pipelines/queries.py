@@ -2068,6 +2068,59 @@ def q_bm25_components(sf_dir: str):
     return bm25_components(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def q_embed_outliers(sf_dir: str):
+    """Embedding-space outlier/mislabel detector: per-vector EXACT
+    squared distance to its own label centroid in the division-free
+    n*q - S integer basis — two streaming passes, zero keyed exchange
+    (stages/vecagg.py embed_outliers)."""
+    import ray.data as rd
+
+    from ..stages.vecagg import embed_outliers
+
+    return embed_outliers(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"]))
+
+
+def q_kcenter_round1(sf_dir: str):
+    """Falsifiable gate for the k-center coreset (the bpe_first_merge
+    pattern): the selection's first TWO rows — seed center (min vec_id)
+    and the farthest vector from it with the (dist DESC, vec_id ASC)
+    tie-break — recomputed exactly by the oracle from the quantized
+    embeddings.  Wrong quantization, distance arithmetic, seed rule or
+    tie-break all flip the hash."""
+    import ray.data as rd
+
+    from ..stages.coreset import kcenter_select
+
+    return kcenter_select(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]), k=2)
+
+
+KCENTER_ROUND1_SQL = """
+WITH f AS (SELECT MIN(vec_id) AS fid FROM embeddings),
+qv AS (
+  SELECT e.vec_id, i,
+         CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM embeddings e CROSS JOIN range(1, 65) t(i)
+), d AS (
+  SELECT a.vec_id, CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+  FROM qv a JOIN qv b ON a.i = b.i JOIN f ON b.vec_id = f.fid
+  GROUP BY a.vec_id
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS rank, fid AS vec_id,
+         CAST(-1 AS BIGINT) AS dist_q FROM f
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), vec_id, d2 FROM d
+  WHERE vec_id <> (SELECT fid FROM f)
+  ORDER BY rank, dist_q DESC, vec_id ASC LIMIT 2
+)
+"""
+
+
 def q_kcenter_coreset(sf_dir: str):
     """Farthest-point k-center coreset selection over the embeddings
     (diversity sampling): k broadcast rounds, one candidate row per block
@@ -3136,6 +3189,8 @@ QUERIES = {
     "embedding_gram": q_embedding_gram,
     "bm25_components": q_bm25_components,
     "padding_waste": q_padding_waste,
+    "kcenter_round1": q_kcenter_round1,
+    "embed_outliers": q_embed_outliers,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -3965,6 +4020,10 @@ ORACLE_SQL["bm25_components"] = bm25_sql(BM25_QUERY, TOKEN_RE)
 from ..stages.packing import padding_waste_sql  # noqa: E402
 
 ORACLE_SQL["padding_waste"] = padding_waste_sql(_TOKENS_SQL)
+ORACLE_SQL["kcenter_round1"] = KCENTER_ROUND1_SQL
+from ..stages.vecagg import EMBED_OUTLIERS_SQL  # noqa: E402
+
+ORACLE_SQL["embed_outliers"] = EMBED_OUTLIERS_SQL
 ORACLE_SQL["funnel_conversions"] = FUNNEL_CONVERSIONS_SQL
 ORACLE_SQL["tfidf_terms"] = TFIDF_TERMS_SQL
 ORACLE_SQL["dedup_incremental"] = """

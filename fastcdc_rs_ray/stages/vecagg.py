@@ -284,3 +284,114 @@ def embedding_pca_projection(embeddings_ds, dim: int = 64,
 
     return embeddings_ds.select_columns(["vec_id", "embedding"]).map_batches(
         project, batch_format="pyarrow")
+
+
+#: outlier-distance quantization — coarser than QUANT so the exact
+#: integer n*q - S arithmetic stays in int64 (see embed_outliers bounds)
+OUTLIER_QUANT = 1_000.0
+
+
+def embed_outliers(embeddings_ds, dim: int = 64,
+                   quant: float = OUTLIER_QUANT):
+    """-> (vec_id, label, dist2): per-vector EXACT squared distance to
+    its own label's centroid, in the cross-multiplied integer basis
+
+        dist2 = sum_i (n_label * q_i(v) - S_label_i)^2
+
+    (q = floor(f64(x) * 1e3), S = per-label component sums, n = label
+    count) — the division-free form of ||q - S/n||^2 scaled by n^2, so
+    the within-label outlier RANKING is exact and the SQL oracle
+    hash-matches.  The embedding-space outlier/mislabel detector of the
+    curation tier.
+
+    Two streaming passes, ZERO keyed exchange: pass 1 reduces each block
+    to (labels x dim) int64 partial sums + counts (grid-sized; driver
+    merge + ray.put broadcast), pass 2 computes dist2 vectorized per row.
+
+    Overflow bound: |n*q - S| <= 2 * n * quant, so dist2 <= dim * 4 *
+    n^2 * quant^2 — at quant 1e3 and dim 64 that is int64-safe to
+    n ~ 1.9e5 rows per label; larger labels need a coarser quant (one
+    constant, same code path — the embedding_gram discipline)."""
+    import ray
+
+    def sum_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        lab = pc.cast(t["label"], pa.int64()).to_numpy(zero_copy_only=False)
+        flat = t["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat * quant).astype(np.int64).reshape(len(t), dim)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        s = np.zeros((len(ulab), dim), np.int64)
+        np.add.at(s, inv, q)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ulab, dim), pa.int64()),
+            "i": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                  len(ulab)), pa.int64()),
+            "s": pa.array(s.reshape(-1), pa.int64()),
+            "n": pa.array(np.repeat(n, dim), pa.int64()),
+        })
+
+    sums: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    src = embeddings_ds.select_columns(["vec_id", "embedding", "label"])
+    for b in src.map_batches(sum_partial, batch_format="pyarrow"
+                             ).iter_batches(batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        lab = b["label"].to_numpy(zero_copy_only=False)
+        i = b["i"].to_numpy(zero_copy_only=False)
+        s = b["s"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        for L in np.unique(lab):
+            m = lab == L
+            sums.setdefault(int(L), np.zeros(dim, np.int64))
+            sums[int(L)][i[m]] += s[m]
+            counts[int(L)] = counts.get(int(L), 0) + int(n[m][0])
+    labs = sorted(sums)
+    S = np.stack([sums[L] for L in labs]) if labs else np.zeros((0, dim),
+                                                                np.int64)
+    N = np.asarray([counts[L] for L in labs], np.int64)
+    lab_index = {L: k for k, L in enumerate(labs)}
+    bref = ray.put((S, N, lab_index))
+
+    def dist(t: pa.Table, _bref=bref) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "dist2": pa.array([], pa.int64())})
+        Sm, Nm, idx = ray.get(_bref)
+        lab = pc.cast(t["label"], pa.int64()).to_numpy(zero_copy_only=False)
+        k = np.asarray([idx[int(L)] for L in lab], np.int64)
+        flat = t["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat * quant).astype(np.int64).reshape(len(t), dim)
+        diff = Nm[k][:, None] * q - Sm[k]
+        d2 = np.einsum("ij,ij->i", diff, diff)
+        return pa.table({
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+            "label": pa.array(lab, pa.int64()),
+            "dist2": pa.array(d2, pa.int64()),
+        })
+
+    return src.map_batches(dist, batch_format="pyarrow")
+
+
+EMBED_OUTLIERS_SQL = """
+WITH qv AS (
+  SELECT vec_id, label, i,
+         CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000)
+              AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+), s AS (
+  SELECT label, i, SUM(q) AS s, COUNT(*) AS n FROM qv GROUP BY label, i
+)
+SELECT qv.vec_id, CAST(qv.label AS BIGINT) AS label,
+       CAST(SUM((s.n * qv.q - s.s) * (s.n * qv.q - s.s)) AS BIGINT) AS dist2
+FROM qv JOIN s ON qv.label = s.label AND qv.i = s.i
+GROUP BY qv.vec_id, qv.label
+"""
