@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "bpe_encode",
     "kcenter_round1",
     "embed_outliers",
+    "embedding_xty",
+    "ridge_fit",
 ]
 
 

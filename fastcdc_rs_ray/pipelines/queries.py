@@ -2068,6 +2068,35 @@ def q_bm25_components(sf_dir: str):
     return bm25_components(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def q_embedding_xty(sf_dir: str):
+    """X^T y over the embedding table (y = label): the second exact
+    sufficient statistic of closed-form ridge training — zero-exchange
+    dim-vector grid partials (stages/vecagg.py embedding_xty)."""
+    import ray.data as rd
+
+    from ..stages.vecagg import embedding_xty
+
+    return embedding_xty(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["embedding", "label"]))
+
+
+def q_ridge_fit(sf_dir: str):
+    """Closed-form ridge regression trained distributed (exact G and
+    X^T y grid partials, driver 64x64 solve) and applied as an exact
+    integer dot product (rows-only: the solve isn't SQL-expressible —
+    BOTH sufficient statistics are separately SQL-gated via
+    embedding_gram and embedding_xty; pytest pins a planted-signal
+    recovery in tests/test_ridge.py)."""
+    import ray.data as rd
+
+    from ..stages.vecagg import ridge_fit_scores
+
+    return ridge_fit_scores(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"]))
+
+
 def q_embed_outliers(sf_dir: str):
     """Embedding-space outlier/mislabel detector: per-vector EXACT
     squared distance to its own label centroid in the division-free
@@ -3191,6 +3220,7 @@ QUERIES = {
     "padding_waste": q_padding_waste,
     "kcenter_round1": q_kcenter_round1,
     "embed_outliers": q_embed_outliers,
+    "embedding_xty": q_embedding_xty,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -3277,6 +3307,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "kcenter_coreset": q_kcenter_coreset,
     "embedding_pca": q_embedding_pca,
+    "ridge_fit": q_ridge_fit,
     "bpe_encode": q_bpe_encode,
     "funnel_conversions": q_funnel_conversions,
     "tfidf_terms": q_tfidf_terms,
@@ -4021,9 +4052,10 @@ from ..stages.packing import padding_waste_sql  # noqa: E402
 
 ORACLE_SQL["padding_waste"] = padding_waste_sql(_TOKENS_SQL)
 ORACLE_SQL["kcenter_round1"] = KCENTER_ROUND1_SQL
-from ..stages.vecagg import EMBED_OUTLIERS_SQL  # noqa: E402
+from ..stages.vecagg import EMBED_OUTLIERS_SQL, EMBEDDING_XTY_SQL  # noqa: E402
 
 ORACLE_SQL["embed_outliers"] = EMBED_OUTLIERS_SQL
+ORACLE_SQL["embedding_xty"] = EMBEDDING_XTY_SQL
 ORACLE_SQL["funnel_conversions"] = FUNNEL_CONVERSIONS_SQL
 ORACLE_SQL["tfidf_terms"] = TFIDF_TERMS_SQL
 ORACLE_SQL["dedup_incremental"] = """

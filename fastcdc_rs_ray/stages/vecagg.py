@@ -395,3 +395,107 @@ SELECT qv.vec_id, CAST(qv.label AS BIGINT) AS label,
 FROM qv JOIN s ON qv.label = s.label AND qv.i = s.i
 GROUP BY qv.vec_id, qv.label
 """
+
+
+def embedding_xty(embeddings_ds, dim: int = 64, quant: float = QUANT):
+    """-> (i, xty_q) [1-based]: exact int64 X^T y over the embedding
+    table with y = the integer ``label`` column — the second sufficient
+    statistic of closed-form ridge regression (X^T X is
+    :func:`embedding_gram`).  Same zero-exchange grid-partial plan:
+    each block contributes one dim-vector int64 partial, the driver
+    merges in Python bigints and RAISES on int64 overflow."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        y = pc.cast(t["label"], pa.int64()).to_numpy(zero_copy_only=False)
+        flat = t["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat * quant).astype(np.int64).reshape(len(t), dim)
+        s = q.T @ y
+        return pa.table({
+            "i": pa.array(np.arange(1, dim + 1), pa.int64()),
+            "s": pa.array(s, pa.int64()),
+        })
+
+    acc = [0] * dim
+    for b in embeddings_ds.select_columns(["embedding", "label"]).map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        ii = b["i"].to_numpy(zero_copy_only=False)
+        ss = b["s"].to_numpy(zero_copy_only=False)
+        for i, s in zip(ii.tolist(), ss.tolist()):
+            acc[i - 1] += s
+    lim = (1 << 63) - 1
+    if any(abs(v) > lim for v in acc):
+        raise OverflowError("embedding_xty: merged component exceeds "
+                            "int64; lower quant")
+    return pa.table({
+        "i": pa.array(range(1, dim + 1), pa.int64()),
+        "xty_q": pa.array(acc, pa.int64()),
+    })
+
+
+EMBEDDING_XTY_SQL = """
+SELECT CAST(i AS BIGINT) AS i,
+       CAST(SUM(
+         CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000)
+              AS BIGINT) * CAST(label AS BIGINT)
+       ) AS BIGINT) AS xty_q
+FROM embeddings
+CROSS JOIN range(1, 65) t(i)
+GROUP BY i
+"""
+
+
+def ridge_fit_scores(embeddings_ds, dim: int = 64, quant: float = QUANT,
+                     lam_q2: int = 10**12):
+    """-> (vec_id, score_q): closed-form ridge regression trained
+    DISTRIBUTED and applied in one broadcast pass.
+
+    Training is exact sufficient statistics — G = X^T X
+    (:func:`embedding_gram`) and b = X^T y (:func:`embedding_xty`), both
+    zero-exchange grid partials — followed by a driver-side 64x64 solve
+    of (G + lam_q2 * I) w = b (lam_q2 is lambda in the quantized basis:
+    G scales as quant^2, so lam_q2 = 1e12 means lambda = 1 in raw
+    units).  The solve is the only float step; the learned direction
+    re-quantizes to int64 (floor(w_unit * 1e6), w scaled to unit max
+    |component|) and scoring is an exact integer dot product — the
+    embedding_pca discipline, so scores are bit-identical under any
+    partitioning.  pytest pins parity with a single-matrix numpy replica
+    and sign/ranking recovery of a planted linear signal
+    (tests/test_ridge.py)."""
+    import ray
+
+    gram = embedding_gram(embeddings_ds, dim=dim, quant=quant)
+    xty = embedding_xty(embeddings_ds, dim=dim, quant=quant)
+    g = np.zeros((dim, dim), np.float64)
+    gi = gram["i"].to_numpy(zero_copy_only=False) - 1
+    gj = gram["j"].to_numpy(zero_copy_only=False) - 1
+    gv = gram["gram_q"].to_numpy(zero_copy_only=False).astype(np.float64)
+    g[gi, gj] = gv
+    g[gj, gi] = gv
+    b = xty["xty_q"].to_numpy(zero_copy_only=False).astype(np.float64)
+    w = np.linalg.solve(g + float(lam_q2) * np.eye(dim), b)
+    mx = np.max(np.abs(w))
+    if mx > 0:
+        w = w / mx
+    wq = np.floor(w * quant).astype(np.int64)
+    wref = ray.put(wq)
+
+    def score(t: pa.Table, _wref=wref) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "score_q": pa.array([], pa.int64())})
+        ww = ray.get(_wref)
+        flat = t["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat * quant).astype(np.int64).reshape(len(t), dim)
+        return pa.table({
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+            "score_q": pa.array(q @ ww, pa.int64()),
+        })
+
+    return embeddings_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        score, batch_format="pyarrow")
