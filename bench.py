@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "embed_outliers",
     "embedding_xty",
     "ridge_fit",
+    "ingest_text",
 ]
 
 

@@ -2317,6 +2317,18 @@ def q_ingest_jsonl(sf_dir: str):
         _scratch_dir(sf_dir, "jsonl"))
 
 
+def q_ingest_text(sf_dir: str):
+    """Plain-text line source path (Ray Data ``read_text``): documents ->
+    tab-separated line shards (once, per-block deterministic) ->
+    distributed read_text -> vectorized parse -> per-lang rollup; oracle
+    checks against the parquet original."""
+    from ..sources.textio import ingest_text_rollup
+
+    return ingest_text_rollup(
+        _documents(sf_dir, columns=["doc_id", "text", "lang"]),
+        _scratch_dir(sf_dir, "textlines"))
+
+
 def q_ingest_jsonl_gz(sf_dir: str):
     """Compressed JSONL path: distributed gzip shard sink (one
     deterministic .json.gz per block) -> distributed read_json over the
@@ -3318,6 +3330,7 @@ QUERIES = {
     "watermark_windows": q_watermark_windows,
     "value_quantiles_sketch": q_value_quantiles_sketch,
     "ingest_jsonl": q_ingest_jsonl,
+    "ingest_text": q_ingest_text,
     "ingest_jsonl_gz": q_ingest_jsonl_gz,
     "ingest_quarantine": q_ingest_quarantine,
     "ingest_csv": q_ingest_csv,
@@ -4107,6 +4120,7 @@ from ..sources.textio import (  # noqa: E402
 )
 
 ORACLE_SQL["ingest_jsonl"] = INGEST_JSONL_SQL
+ORACLE_SQL["ingest_text"] = INGEST_JSONL_SQL  # same rollup, same oracle
 ORACLE_SQL["ingest_jsonl_gz"] = INGEST_JSONL_SQL
 ORACLE_SQL["ingest_csv"] = INGEST_CSV_SQL
 ORACLE_SQL["ingest_quarantine"] = INGEST_QUARANTINE_SQL

@@ -320,3 +320,56 @@ UNION ALL
 SELECT '__quarantined__', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
 FROM documents WHERE doc_id % {QUARANTINE_MOD} = 0
 """
+
+
+def ingest_text_rollup(documents_ds, out_dir: str):
+    """documents -> plain-text line dump -> ``read_text`` -> per-lang
+    rollup: the line-oriented reader surface (Ray Data ``read_text``,
+    one read task per shard) next to read_json/read_csv.
+
+    Dump format: one ``doc_id\\tlang\\ttext`` line per document, one .txt
+    shard per block (named by the block's min doc_id — deterministic,
+    resumable, parallel on re-read).  The driver corpora contain no tabs
+    or newlines inside ``text`` (asserted at dump time: a violation
+    RAISES rather than corrupting the round-trip); a general corpus
+    would escape them first.  Parsing back is vectorized
+    ``split_pattern(max_splits=2)`` — no per-row Python."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    done = out_dir.rstrip("/") + ".done"
+    if not os.path.exists(done):
+        os.makedirs(out_dir, exist_ok=True)
+
+        def write_shard(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table({"n": pa.array([], pa.int64())})
+            bad = pc.sum(pc.count_substring_regex(
+                t["text"], "[\t\n\r]")).as_py()
+            if bad:
+                raise ValueError(
+                    "ingest_text: text contains tab/newline; escape first")
+            ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            lang = t["lang"].combine_chunks().to_pylist()
+            text = t["text"].combine_chunks().to_pylist()
+            name = os.path.join(out_dir, f"{int(ids.min()):012d}.txt")
+            with open(name, "wb") as f:
+                for i, la, tx in zip(ids.tolist(), lang, text):
+                    f.write(f"{i}\t{la}\t{tx}\n".encode())
+            return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+        documents_ds.map_batches(
+            write_shard, batch_format="pyarrow").materialize()
+        with open(done, "w") as f:
+            f.write("ok")
+
+    ds = rd.read_text(out_dir, file_extensions=["txt"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["text"], "\t", max_splits=2)
+        return pa.table({
+            "lang": pc.list_element(parts, 1),
+            "text": pc.list_element(parts, 2),
+        })
+
+    return _lang_rollup(ds.map_batches(parse, batch_format="pyarrow"))
