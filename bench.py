@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "embedding_xty",
     "ridge_fit",
     "ingest_text",
+    "cluster_terms",
 ]
 
 

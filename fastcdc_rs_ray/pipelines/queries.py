@@ -2189,6 +2189,19 @@ def q_kmeans_clusters(sf_dir: str):
     return out
 
 
+def q_cluster_terms(sf_dir: str):
+    """Topic-modeling-lite: k-means buckets the embedding space, then
+    each cluster is named by its most distinctive tokens (integer
+    cross-multiplied in-cluster/corpus frequency rational) — one doc-id
+    keyed exchange attaches clusters to token partials, dimension-sized
+    driver merge (rows-only: k-means is iterative; pytest plants
+    vocab-disjoint blobs in tests/test_topics.py)."""
+    from ..stages.topics import cluster_terms
+
+    return cluster_terms(_documents(sf_dir, ["doc_id", "text"]),
+                         _embeddings(sf_dir), k=8, n_iter=10)
+
+
 def q_funnel_conversions(sf_dir: str):
     """Ordered-event funnel (purchase strictly after first signup) by
     signup day — the sequence predicate collapses to a mergeable per-user
@@ -3320,6 +3333,7 @@ QUERIES = {
     "kcenter_coreset": q_kcenter_coreset,
     "embedding_pca": q_embedding_pca,
     "ridge_fit": q_ridge_fit,
+    "cluster_terms": q_cluster_terms,
     "bpe_encode": q_bpe_encode,
     "funnel_conversions": q_funnel_conversions,
     "tfidf_terms": q_tfidf_terms,
