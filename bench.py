@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "ridge_fit",
     "ingest_text",
     "cluster_terms",
+    "media_thumbs",
 ]
 
 

@@ -2595,6 +2595,23 @@ def q_bpe_first_merge(sf_dir: str):
     })
 
 
+def q_media_thumbs(sf_dir: str):
+    """Real image transform both directions (rows-only: binary payloads):
+    genuine BMP bytes -> pure-numpy decode -> nearest-neighbor 16x16
+    thumbnail -> BMP re-encode, WAV rows pass through; result projected
+    to exact size/gray-sum metadata (pytest round-trips the thumbnail
+    bytes in tests/test_media_thumbs.py)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import media_thumbnails, synth_real_media_table
+
+    n_docs = _documents(sf_dir, ["doc_id"]).count()
+    media = rd.from_arrow(
+        synth_real_media_table(n=min(max(n_docs // 4, 32), 512)))
+    return media_thumbnails(media).select_columns(
+        ["media_id", "kind", "src_bytes", "thumb_bytes", "gray_sum"])
+
+
 def q_media_real(sf_dir: str):
     """Real-container multimodal decode end-to-end (rows-only: binary
     payloads have no SQL equivalent): deterministic corpus of GENUINE
@@ -3357,6 +3374,7 @@ QUERIES = {
     "repetition": q_repetition,
     "media_frames": q_media_frames,
     "media_real": q_media_real,
+    "media_thumbs": q_media_thumbs,
     "phash_dups": q_phash_dups,
     "audio_dups": q_audio_dups,
     "bpe_train": q_bpe_train,

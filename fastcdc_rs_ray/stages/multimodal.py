@@ -393,3 +393,64 @@ def resize_media(ds, out_w: int = 16, out_h: int = 16,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def media_thumbnails(media_ds, thumb: int = 16, concurrency: int = 2):
+    """Real image transform end-to-end: decode each BMP payload
+    (pure-numpy parser), nearest-neighbor downscale to ``thumb`` x
+    ``thumb``, re-encode as BMP, and emit the new payload beside exact
+    size/brightness metadata — the thumbnailing stage of an image
+    curation pipeline with REAL container bytes in both directions.
+
+    Actor-pool map_batches (state — none to load here, but the stage
+    keeps the actor signature the real-codec version needs); WAV rows
+    pass through untouched with thumb_bytes = null.  Deterministic:
+    nearest-neighbor index arithmetic only, no float resampling."""
+
+    class Thumb:
+        def __init__(self):
+            self.thumb = thumb  # codec/setup state would load here, once
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table({
+                    "media_id": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.string()),
+                    "src_bytes": pa.array([], pa.int64()),
+                    "thumb_bytes": pa.array([], pa.int64()),
+                    "gray_sum": pa.array([], pa.int64()),
+                    "thumb": pa.array([], pa.large_binary()),
+                })
+            ids, kinds, sb, tb, mg, out = [], [], [], [], [], []
+            mid = t["id"].to_pylist()
+            payloads = t["payload"].to_pylist()
+            for i, data in zip(mid, payloads):
+                ids.append(i)
+                sb.append(len(data))
+                if data[:2] == b"BM":
+                    frame = decode_bmp(data)
+                    h, w = frame.shape
+                    yi = (np.arange(self.thumb) * h) // self.thumb
+                    xi = (np.arange(self.thumb) * w) // self.thumb
+                    small = frame[yi][:, xi]
+                    enc = encode_bmp(small)
+                    kinds.append("image")
+                    tb.append(len(enc))
+                    mg.append(int(small.astype(np.int64).sum()))
+                    out.append(enc)
+                else:
+                    kinds.append("audio")
+                    tb.append(None)
+                    mg.append(None)
+                    out.append(None)
+            return pa.table({
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "src_bytes": pa.array(sb, pa.int64()),
+                "thumb_bytes": pa.array(tb, pa.int64()),
+                "gray_sum": pa.array(mg, pa.int64()),
+                "thumb": pa.array(out, pa.large_binary()),
+            })
+
+    return media_ds.map_batches(Thumb, batch_format="pyarrow",
+                                concurrency=concurrency, batch_size=16)
