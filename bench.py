@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "ingest_text",
     "cluster_terms",
     "media_thumbs",
+    "data_card",
 ]
 
 

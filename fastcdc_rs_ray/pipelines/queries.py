@@ -2068,6 +2068,16 @@ def q_bm25_components(sf_dir: str):
     return bm25_components(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def q_data_card(sf_dir: str):
+    """One-row corpus data card (counts, sizes, token total, exact
+    duplicate rate): fused scalar partials + ONE text-hash keyed
+    exchange for the global distinct count (stages/datacard.py)."""
+    from ..stages.datacard import data_card
+
+    return data_card(
+        _documents(sf_dir, ["doc_id", "text", "lang", "source"]))
+
+
 def q_embedding_xty(sf_dir: str):
     """X^T y over the embedding table (y = label): the second exact
     sufficient statistic of closed-form ridge training — zero-exchange
@@ -3263,6 +3273,7 @@ QUERIES = {
     "kcenter_round1": q_kcenter_round1,
     "embed_outliers": q_embed_outliers,
     "embedding_xty": q_embedding_xty,
+    "data_card": q_data_card,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -4101,6 +4112,9 @@ from ..stages.vecagg import EMBED_OUTLIERS_SQL, EMBEDDING_XTY_SQL  # noqa: E402
 
 ORACLE_SQL["embed_outliers"] = EMBED_OUTLIERS_SQL
 ORACLE_SQL["embedding_xty"] = EMBEDDING_XTY_SQL
+from ..stages.datacard import DATA_CARD_SQL_TEMPLATE  # noqa: E402
+
+ORACLE_SQL["data_card"] = DATA_CARD_SQL_TEMPLATE.format(token_re=TOKEN_RE)
 ORACLE_SQL["funnel_conversions"] = FUNNEL_CONVERSIONS_SQL
 ORACLE_SQL["tfidf_terms"] = TFIDF_TERMS_SQL
 ORACLE_SQL["dedup_incremental"] = """
