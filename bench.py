@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "cluster_terms",
     "media_thumbs",
     "data_card",
+    "chunk_param_sweep",
 ]
 
 

@@ -2068,6 +2068,18 @@ def q_bm25_components(sf_dir: str):
     return bm25_components(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def q_chunk_param_sweep(sf_dir: str):
+    """Chunk-size vs dedup-ratio tradeoff curve over the documents
+    corpus: one row per chunker config (avg 4K/16K/64K) with total vs
+    distinct chunk bytes (rows-only: chunk keys are engine-side; the
+    coverage + monotonicity invariants are pytest-pinned in
+    tests/test_param_sweep.py)."""
+    from ..stages.delta import chunk_param_sweep, docs_as_payload
+
+    return chunk_param_sweep(
+        docs_as_payload(_documents(sf_dir, ["doc_id", "text"])))
+
+
 def q_data_card(sf_dir: str):
     """One-row corpus data card (counts, sizes, token total, exact
     duplicate rate): fused scalar partials + ONE text-hash keyed
@@ -3362,6 +3374,7 @@ QUERIES = {
     "embedding_pca": q_embedding_pca,
     "ridge_fit": q_ridge_fit,
     "cluster_terms": q_cluster_terms,
+    "chunk_param_sweep": q_chunk_param_sweep,
     "bpe_encode": q_bpe_encode,
     "funnel_conversions": q_funnel_conversions,
     "tfidf_terms": q_tfidf_terms,

@@ -238,3 +238,95 @@ def chunk_delta(payload_a_ds, payload_b_ds,
         "new_bytes_b": pa.array([new_bytes], pa.int64()),
         "dedup_bp": pa.array([dedup_bp], pa.int64()),
     })
+
+
+#: default sweep: the reference's canonical 3 size classes
+#: (examples run 16/32/64 KiB; scaled down x4 to bite on transcript-sized
+#: payloads while keeping the same min:avg:max = 1:4:16 shape)
+SWEEP_CONFIGS = (
+    (1024, 4096, 16384),
+    (4096, 16384, 65535),
+    (16384, 65536, 262144),
+)
+
+
+def chunk_param_sweep(docs_ds, configs=SWEEP_CONFIGS, num_partitions: int = 8):
+    """-> one row per chunker config: (avg_size, total_chunks,
+    distinct_chunks, total_bytes, distinct_bytes, dedup_bp) — the
+    chunk-size vs dedup-ratio tradeoff curve a backup / crawl-store
+    operator tunes against (smaller chunks find more shared bytes, cost
+    more index entries; the fundamental CDC knob).
+
+    Plan: per config, the snapshot-delta tier's fused scan
+    (:func:`_chunk_key_partials`: gear boundaries + strong span-hash
+    chunk identity + per-block distinct pre-reduce, ``snap`` = config
+    index); the per-config partials UNION into ONE key-keyed exchange
+    (any one chunk key exists under one config only in expectation, and
+    per-partition distinct is correct regardless); per-partition reduce
+    emits per-config scalar partials; driver merges |configs|-sized
+    rows.  total_bytes is the corpus byte count for EVERY config — the
+    coverage invariant across the sweep (pytest-pinned, along with
+    finer-chunks-find-at-least-as-many-shared-bytes on a planted
+    partial-overlap corpus)."""
+    from ..util import shuffle_safe_partitions
+
+    num_partitions = shuffle_safe_partitions(num_partitions)
+    parts = None
+    for i, (mn, av, mx) in enumerate(configs):
+        cfg = ChunkerConfig(min_size=mn, avg_size=av, max_size=mx)
+        p = _chunk_key_partials(docs_ds, cfg, snap=i)
+        parts = p if parts is None else parts.union(p)
+    ex = parts.repartition(num_blocks=num_partitions, keys=["key"])
+
+    def reduce(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            ("snap", pa.int8()), ("total_chunks", pa.int64()),
+            ("distinct_chunks", pa.int64()), ("total_bytes", pa.int64()),
+            ("distinct_bytes", pa.int64())])
+        if len(t) == 0:
+            return out_schema.empty_table()
+        snap = t["snap"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = t["key"].combine_chunks().to_numpy()
+        ln = t["length"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        byts = t["bytes"].combine_chunks().to_numpy(zero_copy_only=False)
+        rows = []
+        for s in np.unique(snap):
+            m = snap == s
+            uk, first = np.unique(key[m], return_index=True)
+            rows.append((
+                int(s), int(n[m].sum()), len(uk), int(byts[m].sum()),
+                int(ln[m][first].sum())))
+        sn, tc, dc, tb, db = zip(*rows)
+        return pa.table({
+            "snap": pa.array(sn, pa.int8()),
+            "total_chunks": pa.array(tc, pa.int64()),
+            "distinct_chunks": pa.array(dc, pa.int64()),
+            "total_bytes": pa.array(tb, pa.int64()),
+            "distinct_bytes": pa.array(db, pa.int64()),
+        }).cast(out_schema)
+
+    acc = {i: [0, 0, 0, 0] for i in range(len(configs))}
+    for b in ex.map_batches(reduce, batch_format="pyarrow",
+                            batch_size=None).iter_batches(
+            batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            a = acc[int(b["snap"][i].as_py())]
+            a[0] += b["total_chunks"][i].as_py()
+            a[1] += b["distinct_chunks"][i].as_py()
+            a[2] += b["total_bytes"][i].as_py()
+            a[3] += b["distinct_bytes"][i].as_py()
+    rows = []
+    for i, (mn, av, mx) in enumerate(configs):
+        tc, dc, tb, db = acc[i]
+        dedup_bp = (tb - db) * 10000 // tb if tb else 0
+        rows.append((av, tc, dc, tb, db, dedup_bp))
+    av, tc, dc, tb, db, bp = zip(*rows)
+    return pa.table({
+        "avg_size": pa.array(av, pa.int64()),
+        "total_chunks": pa.array(tc, pa.int64()),
+        "distinct_chunks": pa.array(dc, pa.int64()),
+        "total_bytes": pa.array(tb, pa.int64()),
+        "distinct_bytes": pa.array(db, pa.int64()),
+        "dedup_bp": pa.array(bp, pa.int64()),
+    })
