@@ -2068,6 +2068,17 @@ def q_bm25_components(sf_dir: str):
     return bm25_components(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def q_pareto_docs(sf_dir: str):
+    """Skyline / Pareto-front selection over (stopword-permille,
+    token-count): the weightless multi-criteria curation pick — local
+    pair skylines per block (dominance is global-monotone, so pruning
+    is lossless), driver merge, broadcast-filter emit; NOT EXISTS
+    dominance oracle (stages/skyline.py)."""
+    from ..stages.skyline import pareto_docs
+
+    return pareto_docs(_documents(sf_dir, ["doc_id", "text"]))
+
+
 def q_chunk_param_sweep(sf_dir: str):
     """Chunk-size vs dedup-ratio tradeoff curve over the documents
     corpus: one row per chunker config (avg 4K/16K/64K) with total vs
@@ -3286,6 +3297,7 @@ QUERIES = {
     "embed_outliers": q_embed_outliers,
     "embedding_xty": q_embedding_xty,
     "data_card": q_data_card,
+    "pareto_docs": q_pareto_docs,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -4128,6 +4140,11 @@ ORACLE_SQL["embedding_xty"] = EMBEDDING_XTY_SQL
 from ..stages.datacard import DATA_CARD_SQL_TEMPLATE  # noqa: E402
 
 ORACLE_SQL["data_card"] = DATA_CARD_SQL_TEMPLATE.format(token_re=TOKEN_RE)
+from ..stages.skyline import PARETO_DOCS_SQL_TEMPLATE  # noqa: E402
+
+ORACLE_SQL["pareto_docs"] = PARETO_DOCS_SQL_TEMPLATE.format(
+    token_re=TOKEN_RE,
+    stopwords=", ".join("'" + w + "'" for w in STOPWORDS["en"]))
 ORACLE_SQL["funnel_conversions"] = FUNNEL_CONVERSIONS_SQL
 ORACLE_SQL["tfidf_terms"] = TFIDF_TERMS_SQL
 ORACLE_SQL["dedup_incremental"] = """

@@ -6,14 +6,20 @@ Two interchangeable implementations behind one interface
 - :func:`connected_components_driver` — union-find on the driver, streaming
   edge batches (O(V) driver memory; fine up to ~10^8 vertices).
 - :func:`connected_components_distributed` — iterative min-label
-  propagation WITH pointer jumping: each round (a) flows every vertex's
-  label to its neighbors over a vertex-keyed exchange and keeps the
-  per-vertex minimum, then (b) shortcuts ``label[v] <- label[label[v]]``
-  via a label-keyed exchange.  Plain one-hop propagation alone needs
-  O(diameter) rounds — an LSH consecutive-chain component's diameter is
-  its member count, so a 10^6-member hot band would need 10^6 rounds; the
-  jump step halves the pointer depth each round, giving O(log diameter)
-  convergence with no driver state (the 10^12-turn scale path).  If the
+  propagation in the hash-to-min family (Rastogi et al. 2013): each
+  round, TWO keyed exchanges.  Stage 1 (keyed on k) co-locates label[k]
+  with its consumers and emits candidates: neighbor propagation (edge
+  rows), the forward pointer jump ``label[label[v]]`` (query rows), and
+  v's own label.  Stage 2 (keyed on v) takes the per-vertex minimum AND
+  emits the REVERSE message — the new label sent to the OLD label vertex,
+  consumed as a plain candidate next round.  The reverse message is what
+  makes this O(log n) rounds: forward jumping alone bottoms out at local
+  minima whose own labels improve only at one hop per round, i.e.
+  O(diameter) total (measured: 81 rounds on the sf0.1 co-purchase graph,
+  301 on a simulated 1000-node path; with the reverse message, 19 and 31
+  rounds on simulated 1k/100k-node paths).  Plain one-hop propagation is
+  hopeless for an LSH consecutive-chain component whose diameter is its
+  member count — a 10^6-member hot band would need 10^6 rounds.  If the
   fixpoint is not reached within ``max_rounds`` the function RAISES
   rather than returning silently-fragmented clusters.
 
@@ -208,94 +214,123 @@ def connected_components_distributed(
                 return
             time.sleep(0.1)
 
+    cand_schema = pa.schema([
+        ("v", vertex_type), ("label", vertex_type), ("tag", pa.int8())])
+    stage1_schema = pa.schema([
+        ("k", vertex_type), ("u", vertex_type),
+        ("origin", vertex_type), ("label", vertex_type)])
+
+    rev = None  # reverse-pointer candidates carried from the previous round
     prev_fp = _fingerprint(labels)
     for _ in range(max_rounds):
         _settle()
+        # ---- stage 1 (keyed on k): every consumer of label[k] meets the
+        # label row of k — edge rows (neighbor propagation), query rows
+        # (forward pointer jump label[label[v]]).
         e2 = edges.map_batches(
-            lambda t: pa.table(
-                {
-                    "v": t["v"],
-                    "u": t["u"],
-                    "label": pa.nulls(len(t), vertex_type),
-                }
-            ),
+            lambda t: pa.table({
+                "k": t["v"], "u": t["u"],
+                "origin": pa.nulls(len(t), vertex_type),
+                "label": pa.nulls(len(t), vertex_type),
+            }).cast(stage1_schema),
             batch_format="pyarrow",
         )
         l2 = labels.map_batches(
-            lambda t: pa.table(
-                {
-                    "v": t["v"],
-                    "u": pa.nulls(len(t), vertex_type),
-                    "label": t["label"],
-                }
-            ),
+            lambda t: pa.table({
+                "k": t["v"], "u": pa.nulls(len(t), vertex_type),
+                "origin": pa.nulls(len(t), vertex_type), "label": t["label"],
+            }).cast(stage1_schema),
             batch_format="pyarrow",
         )
-        both = e2.union(l2).repartition(num_blocks=num_partitions, keys=["v"])
+        q2 = labels.map_batches(
+            lambda t: pa.table({
+                "k": t["label"], "u": pa.nulls(len(t), vertex_type),
+                "origin": t["v"],
+                "label": pa.nulls(len(t), vertex_type),
+            }).cast(stage1_schema),
+            batch_format="pyarrow",
+        )
+        stage1 = e2.union(l2).union(q2).repartition(
+            num_blocks=num_partitions, keys=["k"])
 
-        def propagate(t: pa.Table) -> pa.Table:
+        def answer(t: pa.Table, _cs=cand_schema) -> pa.Table:
+            import pandas as pd
+
+            if len(t) == 0:
+                return _cs.empty_table()
+            df = _to_pandas_exact(t)
+            lab = df[df["label"].notna()][["k", "label"]]
+            ident = lab.rename(columns={"k": "v"}).copy()
+            ident["tag"] = np.int8(1)  # v's OWN label, tagged old
+            edg = df[df["u"].notna()][["k", "u"]].merge(lab, on="k",
+                                                        how="left")
+            nb = edg[["u", "label"]].rename(columns={"u": "v"}).dropna()
+            nb["tag"] = np.int8(0)
+            qs = df[df["origin"].notna()][["k", "origin"]].merge(
+                lab, on="k", how="left")
+            jmp = qs[["origin", "label"]].rename(
+                columns={"origin": "v"}).dropna()
+            jmp["tag"] = np.int8(0)
+            out = pd.concat([ident, nb, jmp])
+            return pa.Table.from_pandas(
+                out[["v", "label", "tag"]], preserve_index=False).cast(_cs)
+
+        cand = stage1.map_batches(answer, batch_format="pyarrow",
+                                  batch_size=None)
+        if rev is not None:
+            cand = cand.union(rev)
+        cand = cand.repartition(num_blocks=num_partitions, keys=["v"])
+
+        # ---- stage 2 (keyed on v): new label = min of all candidates.
+        # ALSO emit the hash-to-min REVERSE message — send the new label
+        # to the OLD label vertex (tag-2 rows, consumed as plain
+        # candidates next round).  Without it, every pointer chain
+        # bottoms out at a local minimum whose own label improves only at
+        # propagation speed, and convergence is O(diameter) (measured: 81
+        # rounds on the sf0.1 co-purchase graph, 301 on a simulated
+        # 1000-path); with it the min's reach compounds geometrically —
+        # O(log n) rounds (simulated: 19 on the 1000-path, 31 on a
+        # 100k-path).
+        def combine(t: pa.Table, _cs=cand_schema) -> pa.Table:
+            if len(t) == 0:
+                return _cs.empty_table()
             import pandas as pd
 
             df = _to_pandas_exact(t)
-            lab = df[df["label"].notna()][["v", "label"]]
-            edg = df[df["u"].notna()][["v", "u"]]
-            merged = edg.merge(lab, on="v", how="left")
-            cand = merged[["u", "label"]].rename(columns={"u": "v"}).dropna()
-            allc = pd.concat([lab, cand])
-            out = allc.groupby("v", as_index=False)["label"].min()
-            return pa.Table.from_pandas(out, preserve_index=False)
-
-        # After this propagation the new label of u is min(own, neighbors');
-        # but candidates for u land in u's partition only if we shuffle them
-        # there — propagate emits (v=u, label) rows which ARE in v's
-        # partition of the *next* round.  One more min-combine round fixes
-        # the split: repartition by v and take per-vertex min.
-        cand = both.map_batches(propagate, batch_format="pyarrow", batch_size=None)
-        cand = cand.repartition(num_blocks=num_partitions, keys=["v"])
-
-        def combine(t: pa.Table) -> pa.Table:
-            df = _to_pandas_exact(t)
-            out = df.groupby("v", as_index=False)["label"].min()
-            return pa.Table.from_pandas(out, preserve_index=False)
-
-        labels = _sever(cand.map_batches(
-            combine, batch_format="pyarrow", batch_size=None
-        ).materialize())
-
-        # pointer jump: label[v] <- label[label[v]].  Tag-union keyed on the
-        # LABEL value: each vertex row asks for its label's label, each
-        # label-table row answers for its own vertex id.  Labels only ever
-        # decrease, so label[l] <= l and the jump halves pointer-chain depth
-        # every round (O(log diameter) total rounds).
-        queries = labels.map_batches(
-            lambda t: pa.table(
-                {"key": t["label"], "v": t["v"],
-                 "label": pa.nulls(len(t), vertex_type)}),
-            batch_format="pyarrow",
-        )
-        values = labels.map_batches(
-            lambda t: pa.table(
-                {"key": t["v"], "v": pa.nulls(len(t), vertex_type),
-                 "label": t["label"]}),
-            batch_format="pyarrow",
-        )
-        tagged = queries.union(values).repartition(
-            num_blocks=num_partitions, keys=["key"])
-
-        def jump(t: pa.Table) -> pa.Table:
-            df = _to_pandas_exact(t)
-            vals = df[df["v"].isna()][["key", "label"]]
-            qs = df[df["label"].isna()][["key", "v"]]
-            m = qs.merge(vals, on="key", how="left")
-            # every label IS a vertex id, so a miss can't happen; keep the
-            # key as a defensive identity fallback
-            m["label"] = m["label"].fillna(m["key"])
+            new = df.groupby("v", as_index=False)["label"].min()
+            new["tag"] = np.int8(2)  # label rows
+            old = df[df["tag"] == 1][["v", "label"]].rename(
+                columns={"label": "old"})
+            m = new.merge(old, on="v", how="left")
+            snd = m[m["old"].notna() & (m["old"] != m["label"])]
+            rev_rows = pd.DataFrame({
+                "v": snd["old"], "label": snd["label"],
+                "tag": np.int8(3),  # reverse candidates for next round
+            })
+            out = pd.concat([new[["v", "label", "tag"]], rev_rows])
             return pa.Table.from_pandas(
-                m[["v", "label"]], preserve_index=False)
+                out, preserve_index=False).cast(_cs)
 
-        labels = _sever(tagged.map_batches(
-            jump, batch_format="pyarrow", batch_size=None
-        ).materialize())
+        both = _sever(cand.map_batches(
+            combine, batch_format="pyarrow", batch_size=None).materialize())
+
+        def pick_labels(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(t["tag"], 2)).select(["v", "label"])
+
+        def pick_rev(t: pa.Table, _cs=cand_schema) -> pa.Table:
+            import pyarrow.compute as pc
+
+            f = t.filter(pc.equal(t["tag"], 3))
+            return pa.table({
+                "v": f["v"], "label": f["label"],
+                "tag": pa.array(np.zeros(len(f), np.int8), pa.int8()),
+            }).cast(_cs)
+
+        labels = _sever(both.map_batches(
+            pick_labels, batch_format="pyarrow").materialize())
+        rev = both.map_batches(pick_rev, batch_format="pyarrow")
 
         fp = _fingerprint(labels)
         if fp == prev_fp:
@@ -306,7 +341,7 @@ def connected_components_distributed(
             f"connected_components_distributed did not converge within "
             f"{max_rounds} rounds — returning would silently fragment "
             f"clusters; raise max_rounds (rounds needed ~ log2 of the "
-            f"largest component diameter)")
+            f"largest component size)")
 
     return labels.map_batches(
         lambda t: pa.table({"conv_id": t["v"], "cluster_id": t["label"]}),
