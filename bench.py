@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "media_thumbs",
     "data_card",
     "chunk_param_sweep",
+    "pareto_docs",
 ]
 
 
