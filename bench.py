@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "data_card",
     "chunk_param_sweep",
     "pareto_docs",
+    "merge_snapshot",
 ]
 
 

@@ -2068,6 +2068,17 @@ def q_bm25_components(sf_dir: str):
     return bm25_components(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def q_merge_snapshot(sf_dir: str):
+    """MERGE INTO (upsert + delete) — the lakehouse write-side shape:
+    base rows and a deterministic change set tag-union through ONE
+    doc_id-keyed exchange; per-partition precedence resolve
+    (delete > update > base, inserts are fresh keys).  Text never moves
+    (stages/merge.py)."""
+    from ..stages.merge import merge_snapshot
+
+    return merge_snapshot(_documents(sf_dir, ["doc_id", "text"]))
+
+
 def q_pareto_docs(sf_dir: str):
     """Skyline / Pareto-front selection over (stopword-permille,
     token-count): the weightless multi-criteria curation pick — local
@@ -3298,6 +3309,7 @@ QUERIES = {
     "embedding_xty": q_embedding_xty,
     "data_card": q_data_card,
     "pareto_docs": q_pareto_docs,
+    "merge_snapshot": q_merge_snapshot,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -4145,6 +4157,9 @@ from ..stages.skyline import PARETO_DOCS_SQL_TEMPLATE  # noqa: E402
 ORACLE_SQL["pareto_docs"] = PARETO_DOCS_SQL_TEMPLATE.format(
     token_re=TOKEN_RE,
     stopwords=", ".join("'" + w + "'" for w in STOPWORDS["en"]))
+from ..stages.merge import MERGE_SNAPSHOT_SQL  # noqa: E402
+
+ORACLE_SQL["merge_snapshot"] = MERGE_SNAPSHOT_SQL
 ORACLE_SQL["funnel_conversions"] = FUNNEL_CONVERSIONS_SQL
 ORACLE_SQL["tfidf_terms"] = TFIDF_TERMS_SQL
 ORACLE_SQL["dedup_incremental"] = """
