@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "chunk_param_sweep",
     "pareto_docs",
     "merge_snapshot",
+    "category_rollup",
 ]
 
 

@@ -2068,6 +2068,20 @@ def q_bm25_components(sf_dir: str):
     return bm25_components(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def q_category_rollup(sf_dir: str):
+    """Hierarchical subtree sums over the parent = key // 4 taxonomy of
+    the part dimension (the org-chart/category rollup): level-by-level
+    upward waves, per-block pre-reduce, ~8 rounds; recursive ancestor
+    CTE oracle (stages/hierarchy.py)."""
+    import ray.data as rd
+
+    from ..stages.hierarchy import category_rollup
+
+    return category_rollup(
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_retailprice"]))
+
+
 def q_merge_snapshot(sf_dir: str):
     """MERGE INTO (upsert + delete) — the lakehouse write-side shape:
     base rows and a deterministic change set tag-union through ONE
@@ -3310,6 +3324,7 @@ QUERIES = {
     "data_card": q_data_card,
     "pareto_docs": q_pareto_docs,
     "merge_snapshot": q_merge_snapshot,
+    "category_rollup": q_category_rollup,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -4160,6 +4175,9 @@ ORACLE_SQL["pareto_docs"] = PARETO_DOCS_SQL_TEMPLATE.format(
 from ..stages.merge import MERGE_SNAPSHOT_SQL  # noqa: E402
 
 ORACLE_SQL["merge_snapshot"] = MERGE_SNAPSHOT_SQL
+from ..stages.hierarchy import category_rollup_sql  # noqa: E402
+
+ORACLE_SQL["category_rollup"] = category_rollup_sql()
 ORACLE_SQL["funnel_conversions"] = FUNNEL_CONVERSIONS_SQL
 ORACLE_SQL["tfidf_terms"] = TFIDF_TERMS_SQL
 ORACLE_SQL["dedup_incremental"] = """
