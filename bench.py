@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "pareto_docs",
     "merge_snapshot",
     "category_rollup",
+    "interval_coverage",
 ]
 
 

@@ -2068,6 +2068,21 @@ def q_bm25_components(sf_dir: str):
     return bm25_components(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def q_interval_coverage(sf_dir: str):
+    """Overlapping-interval coalescing (union length): total covered
+    microseconds + island count per user when every event opens a 300 s
+    window — one keyed exchange of (user, ts) int64 rows, segmented
+    cummax sweep per partition; classic islands SQL oracle
+    (stages/intervals.py)."""
+    import ray.data as rd
+
+    from ..stages.intervals import interval_coverage
+
+    return interval_coverage(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"]))
+
+
 def q_category_rollup(sf_dir: str):
     """Hierarchical subtree sums over the parent = key // 4 taxonomy of
     the part dimension (the org-chart/category rollup): level-by-level
@@ -3325,6 +3340,7 @@ QUERIES = {
     "pareto_docs": q_pareto_docs,
     "merge_snapshot": q_merge_snapshot,
     "category_rollup": q_category_rollup,
+    "interval_coverage": q_interval_coverage,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -4178,6 +4194,9 @@ ORACLE_SQL["merge_snapshot"] = MERGE_SNAPSHOT_SQL
 from ..stages.hierarchy import category_rollup_sql  # noqa: E402
 
 ORACLE_SQL["category_rollup"] = category_rollup_sql()
+from ..stages.intervals import interval_coverage_sql  # noqa: E402
+
+ORACLE_SQL["interval_coverage"] = interval_coverage_sql()
 ORACLE_SQL["funnel_conversions"] = FUNNEL_CONVERSIONS_SQL
 ORACLE_SQL["tfidf_terms"] = TFIDF_TERMS_SQL
 ORACLE_SQL["dedup_incremental"] = """
