@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "merge_snapshot",
     "category_rollup",
     "interval_coverage",
+    "part_msf",
 ]
 
 

@@ -2068,6 +2068,32 @@ def q_bm25_components(sf_dir: str):
     return bm25_components(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def q_part_msf(sf_dir: str):
+    """Borůvka minimum spanning forest of the sparse weighted
+    co-purchase graph (weights = |price difference| cents from the
+    broadcast part dimension): per round one elect pass picks each
+    component's minimum outgoing edge under a total order; component
+    count at least halves per round (rows-only: iterative —
+    pytest-pinned vs a Kruskal replica in tests/test_msf.py)."""
+    import ray.data as rd
+
+    from ..stages.msf import minimum_spanning_forest
+    from ..stages.pagerank import copurchase_edges
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_linenumber"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ok % 101 == 0))
+
+    edges = copurchase_edges(
+        li.map_batches(pick, batch_format="pyarrow"), num_partitions=8)
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_retailprice"])
+    return minimum_spanning_forest(edges, part)
+
+
 def q_interval_coverage(sf_dir: str):
     """Overlapping-interval coalescing (union length): total covered
     microseconds + island count per user when every event opens a 300 s
@@ -3425,6 +3451,7 @@ QUERIES = {
     "media_pipeline": q_media_pipeline,
     "embedding_centroids": q_embedding_centroids,
     "kmeans_clusters": q_kmeans_clusters,
+    "part_msf": q_part_msf,
     "kcenter_coreset": q_kcenter_coreset,
     "embedding_pca": q_embedding_pca,
     "ridge_fit": q_ridge_fit,
