@@ -328,8 +328,10 @@ def connected_components_distributed(
                 "tag": pa.array(np.zeros(len(f), np.int8), pa.int8()),
             }).cast(_cs)
 
-        labels = _sever(both.map_batches(
-            pick_labels, batch_format="pyarrow").materialize())
+        # labels/rev stay LAZY over the severed round output: each
+        # consumer re-runs a trivial filter map instead of paying a
+        # materialize execution per round
+        labels = both.map_batches(pick_labels, batch_format="pyarrow")
         rev = both.map_batches(pick_rev, batch_format="pyarrow")
 
         fp = _fingerprint(labels)
