@@ -2134,6 +2134,81 @@ def q_merge_snapshot(sf_dir: str):
     return merge_snapshot(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def q_bpe_encode_bytes(sf_dir: str):
+    """Driver-hashable slice of bpe_encode: the (n_words, n_bytes)
+    bookkeeping columns are SQL-exact even though n_bpe isn't — a wrong
+    tokenizer split or UTF-8 length accounting flips this hash."""
+    out = q_bpe_encode(sf_dir)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_words", "n_bytes"]),
+        batch_format="pyarrow")
+
+
+BPE_ENCODE_BYTES_SQL_TEMPLATE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{token_re}')) AS BIGINT)
+           AS n_words,
+       CAST(strlen(replace(replace(replace(replace(replace(text,
+            ' ', ''), chr(9), ''), chr(10), ''), chr(13), ''), chr(12), ''))
+           AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def q_msf_size_gate(sf_dir: str):
+    """Falsifiable MSF gate: a spanning forest's edge count equals
+    (touched vertices) - (components among them) — the oracle derives
+    the right-hand side with the recursive min-label CTE on the SAME
+    %101 co-purchase graph, the engine emits its forest's actual edge
+    count.  A forest with a cycle, a missed merge, or a dropped
+    component flips the single hashed row."""
+    msf = q_part_msf(sf_dir)
+    return pa.table({"n_edges": pa.array([msf.num_rows], pa.int64())})
+
+
+MSF_SIZE_GATE_SQL = """
+WITH RECURSIVE base AS (
+  SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+  WHERE l_orderkey % 101 = 0
+), d AS (
+  SELECT src, dst FROM (
+    SELECT l_partkey AS src,
+           lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_linenumber, l_partkey) AS dst
+    FROM base
+  ) WHERE dst IS NOT NULL AND src <> dst
+), e AS (
+  SELECT src, dst FROM d UNION SELECT dst AS src, src AS dst FROM d
+), touched AS (
+  SELECT DISTINCT src AS v FROM e
+), r(node, lab) AS (
+  SELECT v, v FROM touched
+  UNION
+  SELECT e.dst, r.lab FROM r JOIN e ON e.src = r.node
+), comp AS (
+  SELECT node, MIN(lab) AS c FROM r GROUP BY node
+)
+SELECT CAST((SELECT COUNT(*) FROM touched)
+            - (SELECT COUNT(DISTINCT c) FROM comp) AS BIGINT) AS n_edges
+"""
+
+
+def q_sweep_coverage_gate(sf_dir: str):
+    """Falsifiable sweep gate: every chunker config's total chunk bytes
+    must equal the corpus byte count (the reference coverage invariant,
+    src/v2020/mod.rs:1253-1274, across the whole parameter sweep)."""
+    out = q_chunk_param_sweep(sf_dir)
+    return out.select(["avg_size", "total_bytes"])
+
+
+SWEEP_COVERAGE_GATE_SQL_TEMPLATE = """
+SELECT CAST(a AS BIGINT) AS avg_size,
+       CAST((SELECT SUM(strlen(text)) FROM documents) AS BIGINT)
+           AS total_bytes
+FROM (VALUES {avg_values}) t(a)
+"""
+
+
 def q_pareto_docs(sf_dir: str):
     """Skyline / Pareto-front selection over (stopword-permille,
     token-count): the weightless multi-criteria curation pick — local
@@ -3367,6 +3442,9 @@ QUERIES = {
     "merge_snapshot": q_merge_snapshot,
     "category_rollup": q_category_rollup,
     "interval_coverage": q_interval_coverage,
+    "bpe_encode_bytes": q_bpe_encode_bytes,
+    "msf_size_gate": q_msf_size_gate,
+    "sweep_coverage_gate": q_sweep_coverage_gate,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -4224,6 +4302,13 @@ ORACLE_SQL["category_rollup"] = category_rollup_sql()
 from ..stages.intervals import interval_coverage_sql  # noqa: E402
 
 ORACLE_SQL["interval_coverage"] = interval_coverage_sql()
+ORACLE_SQL["bpe_encode_bytes"] = BPE_ENCODE_BYTES_SQL_TEMPLATE.format(
+    token_re=TOKEN_RE)
+ORACLE_SQL["msf_size_gate"] = MSF_SIZE_GATE_SQL
+from ..stages.delta import SWEEP_CONFIGS  # noqa: E402
+
+ORACLE_SQL["sweep_coverage_gate"] = SWEEP_COVERAGE_GATE_SQL_TEMPLATE.format(
+    avg_values=", ".join(f"({av})" for _, av, _ in SWEEP_CONFIGS))
 ORACLE_SQL["funnel_conversions"] = FUNNEL_CONVERSIONS_SQL
 ORACLE_SQL["tfidf_terms"] = TFIDF_TERMS_SQL
 ORACLE_SQL["dedup_incremental"] = """
