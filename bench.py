@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "category_rollup",
     "interval_coverage",
     "part_msf",
+    "zonemap_scan",
 ]
 
 

@@ -2494,6 +2494,22 @@ def _scratch_dir(sf_dir: str, kind: str) -> str:
     return f"/tmp/graft_ingest/{kind}_{tag}"
 
 
+def q_zonemap_scan(sf_dir: str):
+    """Zone-map scan pruning: events staged once as ts-sorted shards;
+    a middle-third time-window rollup reads ONLY the shards whose
+    parquet FOOTER [min, max] overlaps the predicate (driver touches
+    footers, never data) + residual filter — 'prune at the read' beyond
+    column projection; oracle derives the same bounds from the table
+    (sources/zonemap.py; pruning proven real+lossless in
+    tests/test_zonemap.py)."""
+    import ray.data as rd
+
+    from ..sources.zonemap import zonemap_scan
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return zonemap_scan(ev, _scratch_dir(sf_dir, "zonemap"))
+
+
 def q_ingest_jsonl(sf_dir: str):
     """JSONL source path: documents -> JSONL dump (once) -> read_json ->
     per-lang rollup; oracle checks against the parquet original."""
@@ -3546,6 +3562,7 @@ QUERIES = {
     "value_quantiles_sketch": q_value_quantiles_sketch,
     "ingest_jsonl": q_ingest_jsonl,
     "ingest_text": q_ingest_text,
+    "zonemap_scan": q_zonemap_scan,
     "ingest_jsonl_gz": q_ingest_jsonl_gz,
     "ingest_quarantine": q_ingest_quarantine,
     "ingest_csv": q_ingest_csv,
@@ -4361,6 +4378,9 @@ from ..sources.textio import (  # noqa: E402
 
 ORACLE_SQL["ingest_jsonl"] = INGEST_JSONL_SQL
 ORACLE_SQL["ingest_text"] = INGEST_JSONL_SQL  # same rollup, same oracle
+from ..sources.zonemap import ZONEMAP_SCAN_SQL  # noqa: E402
+
+ORACLE_SQL["zonemap_scan"] = ZONEMAP_SCAN_SQL
 ORACLE_SQL["ingest_jsonl_gz"] = INGEST_JSONL_SQL
 ORACLE_SQL["ingest_csv"] = INGEST_CSV_SQL
 ORACLE_SQL["ingest_quarantine"] = INGEST_QUARANTINE_SQL

@@ -1,0 +1,167 @@
+"""Zone-map scan pruning: skip parquet shards by footer statistics.
+
+"Prune at the read" beyond column projection: a 100 TB corpus laid out
+as time-sorted shards lets a time-range query open only the shards whose
+footer [min, max] overlaps the predicate — the driver reads FOOTERS
+(bytes, not data), plans the file list, and Ray's distributed
+read_parquet touches nothing else.  The residual filter inside
+map_batches keeps the result exact at shard boundaries.
+
+Staging (once, deterministic): events sorted by ts into N equal-row
+shards — the layout a zone-mapped store maintains anyway.  pytest proves
+the pruning is REAL (files opened strictly fewer than files staged) and
+LOSSLESS (equal to the full-scan filter); the SQL oracle checks the
+rollup against the unsharded original.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+N_SHARDS = 16
+
+#: predicate: the middle third of the event-time span
+WINDOW_LO_FRAC, WINDOW_HI_FRAC = (1, 3), (2, 3)
+
+
+def ensure_sorted_shards(events_ds, out_dir: str, n_shards: int = N_SHARDS):
+    """Stage events as ts-sorted equal-row parquet shards (once)."""
+    done = out_dir.rstrip("/") + ".done"
+    if os.path.exists(done):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    # the events table is benchmark-scale here; a 100 TB deployment
+    # writes shards from a range-sorted Dataset (corpus_shuffle's plan) —
+    # the LAYOUT contract (sorted, footer stats) is what matters
+    t = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in events_ds.iter_batches(batch_format="pyarrow"))
+    ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    order = np.argsort(ts, kind="stable")
+    t = t.take(pa.array(order, pa.int64()))
+    n = len(t)
+    per = (n + n_shards - 1) // n_shards
+    for i in range(n_shards):
+        lo = i * per
+        if lo >= n:
+            break
+        pq.write_table(t.slice(lo, per),
+                       os.path.join(out_dir, f"{i:04d}.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+
+
+def plan_files(out_dir: str, lo_us: int, hi_us: int) -> tuple[list[str],
+                                                              int]:
+    """Footer-only planning: shards whose ts range overlaps [lo, hi]."""
+    names = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    keep = []
+    for f in names:
+        path = os.path.join(out_dir, f)
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("ts")
+        st = md.row_group(0).column(idx).statistics
+        mn = st.min
+        mx = pq.ParquetFile(path).metadata.row_group(
+            md.num_row_groups - 1).column(idx).statistics.max
+        mn_us = int(mn.timestamp() * 1_000_000) if hasattr(mn, "timestamp") \
+            else int(mn)
+        mx_us = int(mx.timestamp() * 1_000_000) if hasattr(mx, "timestamp") \
+            else int(mx)
+        if mx_us >= lo_us and mn_us <= hi_us:
+            keep.append(path)
+    return keep, len(names)
+
+
+def window_bounds_us(out_dir: str) -> tuple[int, int]:
+    """[lo, hi] = the middle third of the staged span (exact ints from
+    the first/last shard footers)."""
+    names = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    first = pq.ParquetFile(os.path.join(out_dir, names[0])).metadata
+    last = pq.ParquetFile(os.path.join(out_dir, names[-1])).metadata
+    idx = first.schema.to_arrow_schema().get_field_index("ts")
+
+    def us(v):
+        return int(v.timestamp() * 1_000_000) if hasattr(v, "timestamp") \
+            else int(v)
+
+    mn = us(first.row_group(0).column(idx).statistics.min)
+    mx = us(last.row_group(last.num_row_groups - 1).column(idx)
+            .statistics.max)
+    span = mx - mn
+    lo = mn + span * WINDOW_LO_FRAC[0] // WINDOW_LO_FRAC[1]
+    hi = mn + span * WINDOW_HI_FRAC[0] // WINDOW_HI_FRAC[1]
+    return lo, hi
+
+
+def zonemap_scan(events_ds, out_dir: str):
+    """-> (event_type, n, sum_value_c): rollup of events inside the
+    middle-third time window, reading ONLY footer-overlapping shards."""
+    import ray.data as rd
+
+    ensure_sorted_shards(events_ds, out_dir)
+    lo, hi = window_bounds_us(out_dir)
+    files, _total = plan_files(out_dir, lo, hi)
+
+    ds = rd.read_parquet(files, columns=["ts", "event_type", "value"])
+
+    def rollup(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = (ts >= lo) & (ts <= hi)  # residual filter (shard edges)
+        et = t["event_type"].combine_chunks().filter(
+            pa.array(m)).dictionary_encode()
+        val = np.round(t["value"].combine_chunks().to_numpy(
+            zero_copy_only=False)[m] * 100).astype(np.int64)
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = len(et.dictionary)
+        if nt == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_value_c": pa.array([], pa.int64())})
+        n = np.bincount(codes, minlength=nt).astype(np.int64)
+        s = np.bincount(codes, weights=val, minlength=nt).astype(np.int64)
+        d = et.dictionary
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        return pa.table({"event_type": d,
+                         "n": pa.array(n, pa.int64()),
+                         "sum_value_c": pa.array(s, pa.int64())})
+
+    parts = ds.map_batches(rollup, batch_format="pyarrow")
+    acc: dict[str, list[int]] = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for et, n, s in zip(b["event_type"].to_pylist(),
+                            b["n"].to_pylist(), b["sum_value_c"].to_pylist()):
+            a = acc.setdefault(et, [0, 0])
+            a[0] += n
+            a[1] += s
+    ks = sorted(acc)
+    return pa.table({
+        "event_type": pa.array(ks, pa.string()),
+        "n": pa.array([acc[k][0] for k in ks], pa.int64()),
+        "sum_value_c": pa.array([acc[k][1] for k in ks], pa.int64()),
+    })
+
+
+#: the oracle derives the SAME middle-third bounds from the events table
+#: itself (footer min/max == true min/max; integer floor division on
+#: both sides)
+ZONEMAP_SCAN_SQL = """
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_c
+FROM events, b
+WHERE epoch_us(ts) >= b.mn + (b.mx - b.mn) * 1 // 3
+  AND epoch_us(ts) <= b.mn + (b.mx - b.mn) * 2 // 3
+GROUP BY event_type
+"""
