@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "interval_coverage",
     "part_msf",
     "zonemap_scan",
+    "bucketed_join",
 ]
 
 

@@ -2494,6 +2494,18 @@ def _scratch_dir(sf_dir: str, kind: str) -> str:
     return f"/tmp/graft_ingest/{kind}_{tag}"
 
 
+def q_bucketed_join(sf_dir: str):
+    """Co-partitioned (bucketed) storage join: orders and lineitem
+    staged once into B bucket files by the same key hash; the join runs
+    bucket-by-bucket with ZERO exchange (one task per bucket opens its
+    two files, joins locally, RAISES if the layout contract is broken) —
+    the storage layout that deletes the shuffle (sources/bucketed.py;
+    plain-join SQL oracle)."""
+    from ..sources.bucketed import bucketed_join_rollup
+
+    return bucketed_join_rollup(sf_dir, _scratch_dir(sf_dir, "buckets"))
+
+
 def q_zonemap_scan(sf_dir: str):
     """Zone-map scan pruning: events staged once as ts-sorted shards;
     a middle-third time-window rollup reads ONLY the shards whose
@@ -3563,6 +3575,7 @@ QUERIES = {
     "ingest_jsonl": q_ingest_jsonl,
     "ingest_text": q_ingest_text,
     "zonemap_scan": q_zonemap_scan,
+    "bucketed_join": q_bucketed_join,
     "ingest_jsonl_gz": q_ingest_jsonl_gz,
     "ingest_quarantine": q_ingest_quarantine,
     "ingest_csv": q_ingest_csv,
@@ -4381,6 +4394,9 @@ ORACLE_SQL["ingest_text"] = INGEST_JSONL_SQL  # same rollup, same oracle
 from ..sources.zonemap import ZONEMAP_SCAN_SQL  # noqa: E402
 
 ORACLE_SQL["zonemap_scan"] = ZONEMAP_SCAN_SQL
+from ..sources.bucketed import BUCKETED_JOIN_SQL  # noqa: E402
+
+ORACLE_SQL["bucketed_join"] = BUCKETED_JOIN_SQL
 ORACLE_SQL["ingest_jsonl_gz"] = INGEST_JSONL_SQL
 ORACLE_SQL["ingest_csv"] = INGEST_CSV_SQL
 ORACLE_SQL["ingest_quarantine"] = INGEST_QUARANTINE_SQL
