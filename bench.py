@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "part_msf",
     "zonemap_scan",
     "bucketed_join",
+    "inverted_lookup",
 ]
 
 

@@ -2494,6 +2494,18 @@ def _scratch_dir(sf_dir: str, kind: str) -> str:
     return f"/tmp/graft_ingest/{kind}_{tag}"
 
 
+def q_inverted_lookup(sf_dir: str):
+    """Inverted-index point lookup: token -> posting-list shards staged
+    once (hash-sharded, token-sorted); the query opens ONLY the shards
+    its tokens hash to and binary-searches the runs — the corpus is
+    never scanned at query time (sources/inverted.py; tokenizer-shared
+    SQL oracle)."""
+    from ..sources.inverted import inverted_lookup
+
+    return inverted_lookup(_documents(sf_dir, ["doc_id", "text"]),
+                           _scratch_dir(sf_dir, "inverted"))
+
+
 def q_bucketed_join(sf_dir: str):
     """Co-partitioned (bucketed) storage join: orders and lineitem
     staged once into B bucket files by the same key hash; the join runs
@@ -3576,6 +3588,7 @@ QUERIES = {
     "ingest_text": q_ingest_text,
     "zonemap_scan": q_zonemap_scan,
     "bucketed_join": q_bucketed_join,
+    "inverted_lookup": q_inverted_lookup,
     "ingest_jsonl_gz": q_ingest_jsonl_gz,
     "ingest_quarantine": q_ingest_quarantine,
     "ingest_csv": q_ingest_csv,
@@ -4397,6 +4410,9 @@ ORACLE_SQL["zonemap_scan"] = ZONEMAP_SCAN_SQL
 from ..sources.bucketed import BUCKETED_JOIN_SQL  # noqa: E402
 
 ORACLE_SQL["bucketed_join"] = BUCKETED_JOIN_SQL
+from ..sources.inverted import LOOKUP_TOKENS, inverted_lookup_sql  # noqa: E402
+
+ORACLE_SQL["inverted_lookup"] = inverted_lookup_sql(LOOKUP_TOKENS, TOKEN_RE)
 ORACLE_SQL["ingest_jsonl_gz"] = INGEST_JSONL_SQL
 ORACLE_SQL["ingest_csv"] = INGEST_CSV_SQL
 ORACLE_SQL["ingest_quarantine"] = INGEST_QUARANTINE_SQL
