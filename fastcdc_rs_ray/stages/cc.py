@@ -25,6 +25,14 @@ Two interchangeable implementations behind one interface
 
 cluster_id = min conv_id of the component (deterministic, permutation
 invariant).  Vertices with no edges are their own singleton clusters.
+
+Pattern context (PAPERS.md): the reverse-message formulation is the
+hash-to-min family (Rastogi et al., "Finding Connected Components in
+Map-Reduce in Logarithmic Rounds", ICDE 2013); load-balanced
+distributed union-find structures (BTS, ICDE 2024) are the published
+next step when per-key skew in the label exchange itself becomes the
+bottleneck — our exchange rows are already per-vertex (not per-edge)
+after the stage-2 min, which is the same balancing goal.
 """
 
 from __future__ import annotations
