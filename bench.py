@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "zonemap_scan",
     "bucketed_join",
     "inverted_lookup",
+    "bloom_skip_scan",
 ]
 
 

@@ -2494,6 +2494,20 @@ def _scratch_dir(sf_dir: str, kind: str) -> str:
     return f"/tmp/graft_ingest/{kind}_{tag}"
 
 
+def q_bloom_skip_scan(sf_dir: str):
+    """Bloom file skipping: per-shard Bloom sidecars prune a point
+    lookup on event_id (a column the ts-sorted layout is NOT sorted by)
+    — the planner reads KB sidecars, never data; the residual filter
+    keeps the answer exact under Bloom false positives
+    (sources/bloomskip.py; plain-filter SQL oracle)."""
+    import ray.data as rd
+
+    from ..sources.bloomskip import bloom_skip_scan
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return bloom_skip_scan(ev, _scratch_dir(sf_dir, "bloomskip"))
+
+
 def q_inverted_lookup(sf_dir: str):
     """Inverted-index point lookup: token -> posting-list shards staged
     once (hash-sharded, token-sorted); the query opens ONLY the shards
@@ -3589,6 +3603,7 @@ QUERIES = {
     "zonemap_scan": q_zonemap_scan,
     "bucketed_join": q_bucketed_join,
     "inverted_lookup": q_inverted_lookup,
+    "bloom_skip_scan": q_bloom_skip_scan,
     "ingest_jsonl_gz": q_ingest_jsonl_gz,
     "ingest_quarantine": q_ingest_quarantine,
     "ingest_csv": q_ingest_csv,
@@ -4413,6 +4428,9 @@ ORACLE_SQL["bucketed_join"] = BUCKETED_JOIN_SQL
 from ..sources.inverted import LOOKUP_TOKENS, inverted_lookup_sql  # noqa: E402
 
 ORACLE_SQL["inverted_lookup"] = inverted_lookup_sql(LOOKUP_TOKENS, TOKEN_RE)
+from ..sources.bloomskip import BLOOM_SKIP_SCAN_SQL  # noqa: E402
+
+ORACLE_SQL["bloom_skip_scan"] = BLOOM_SKIP_SCAN_SQL
 ORACLE_SQL["ingest_jsonl_gz"] = INGEST_JSONL_SQL
 ORACLE_SQL["ingest_csv"] = INGEST_CSV_SQL
 ORACLE_SQL["ingest_quarantine"] = INGEST_QUARANTINE_SQL
