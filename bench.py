@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "bucketed_join",
     "inverted_lookup",
     "bloom_skip_scan",
+    "ann_recall_report",
 ]
 
 

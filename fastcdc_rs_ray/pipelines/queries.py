@@ -1012,6 +1012,50 @@ def q_ann_topk_ivf(sf_dir: str):
     return ann_topk_ivf(ds, qids, qmat, k=ANN_K, n_cells=16, n_probe=8)
 
 
+def q_ann_recall_report(sf_dir: str):
+    """IVF probe/recall tradeoff, measured: for n_probe in {1, 2, 4, 8}
+    of 16 cells, the top-k SET overlap vs the exact brute force per
+    query, reported as (n_probe, mean_recall_permille, min_recall_
+    permille).  Deterministic (the coarse quantizer is the
+    bit-deterministic integer k-means), so the curve is stable run to
+    run (rows-only: recall is a property of the index, not
+    SQL-derivable; ann_ivf_parity separately gates the n_probe ==
+    n_cells lossless endpoint)."""
+    from ..stages.ann import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+        load_queries_from_dataset,
+    )
+
+    ds = _embeddings(sf_dir)
+    qids, qmat = load_queries_from_dataset(ds, ANN_N_QUERIES)
+    def pairs(t):
+        cols = t.column_names
+        nid = "neighbor_id" if "neighbor_id" in cols else "vec_id"
+        out: dict[int, set[int]] = {}
+        for q, v in zip(t["query_id"].to_pylist(), t[nid].to_pylist()):
+            out.setdefault(q, set()).add(v)
+        return out
+
+    truth = pairs(ann_topk_bruteforce(ds, qids, qmat, k=ANN_K))
+    rows = []
+    for n_probe in (1, 2, 4, 8):
+        mine = pairs(ann_topk_ivf(ds, qids, qmat, k=ANN_K, n_cells=16,
+                                  n_probe=n_probe))
+        recalls = [
+            len(mine.get(q, set()) & t) * 1000 // max(len(t), 1)
+            for q, t in truth.items()
+        ]
+        rows.append((n_probe, sum(recalls) // max(len(recalls), 1),
+                     min(recalls) if recalls else 0))
+    np_, mean_, min_ = zip(*rows)
+    return pa.table({
+        "n_probe": pa.array(np_, pa.int64()),
+        "mean_recall_permille": pa.array(mean_, pa.int64()),
+        "min_recall_permille": pa.array(min_, pa.int64()),
+    })
+
+
 def q_ann_topk_pq(sf_dir: str):
     """PQ two-phase ANN: uint8-code ADC scan for a rerank*k shortlist
     (4*dim/m-fold compressed reads — the memory-compression scale path
@@ -3584,6 +3628,7 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "kmeans_clusters": q_kmeans_clusters,
     "part_msf": q_part_msf,
+    "ann_recall_report": q_ann_recall_report,
     "kcenter_coreset": q_kcenter_coreset,
     "embedding_pca": q_embedding_pca,
     "ridge_fit": q_ridge_fit,
