@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "inverted_lookup",
     "bloom_skip_scan",
     "ann_recall_report",
+    "export_partitioned",
 ]
 
 

@@ -2576,6 +2576,60 @@ def q_bucketed_join(sf_dir: str):
     return bucketed_join_rollup(sf_dir, _scratch_dir(sf_dir, "buckets"))
 
 
+def q_export_partitioned(sf_dir: str):
+    """Hive-partitioned sink surface (Ray native `write_parquet(
+    partition_cols=["lang"])`): documents written once as lang=<v>/
+    directories, then ONE partition re-read by its directory path alone
+    (no filter — the layout IS the predicate) and rolled up; the oracle
+    filters the original table.  Partition-directory layout is what lets
+    a 100 TB consumer read one language without touching the rest."""
+    import os
+
+    import ray.data as rd
+
+    out_dir = _scratch_dir(sf_dir, "partsink")
+    done = out_dir.rstrip("/") + ".done"
+    if not os.path.exists(done):
+        os.makedirs(out_dir, exist_ok=True)
+        _documents(sf_dir, ["doc_id", "text", "lang"]).write_parquet(
+            out_dir, partition_cols=["lang"])
+        with open(done, "w") as f:
+            f.write("ok")
+    langs = sorted(d.split("=", 1)[1] for d in os.listdir(out_dir)
+                   if d.startswith("lang="))
+    target = langs[0]  # deterministic: lexicographically first language
+    part = rd.read_parquet(os.path.join(out_dir, f"lang={target}"))
+
+    def rollup(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "n_docs": pa.array([len(t)], pa.int64()),
+            "sum_chars": pa.array(
+                [pc.sum(pc.utf8_length(t["text"])).as_py() or 0],
+                pa.int64()),
+        })
+
+    n = s = 0
+    for b in part.map_batches(rollup, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            n += b["n_docs"][i].as_py()
+            s += b["sum_chars"][i].as_py()
+    return pa.table({"lang": pa.array([target], pa.string()),
+                     "n_docs": pa.array([n], pa.int64()),
+                     "sum_chars": pa.array([s], pa.int64())})
+
+
+EXPORT_PARTITIONED_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(strlen(text)) AS BIGINT) AS sum_chars
+FROM documents
+WHERE lang = (SELECT MIN(lang) FROM documents)
+GROUP BY lang
+"""
+
+
 def q_zonemap_scan(sf_dir: str):
     """Zone-map scan pruning: events staged once as ts-sorted shards;
     a middle-third time-window rollup reads ONLY the shards whose
@@ -3649,6 +3703,7 @@ QUERIES = {
     "bucketed_join": q_bucketed_join,
     "inverted_lookup": q_inverted_lookup,
     "bloom_skip_scan": q_bloom_skip_scan,
+    "export_partitioned": q_export_partitioned,
     "ingest_jsonl_gz": q_ingest_jsonl_gz,
     "ingest_quarantine": q_ingest_quarantine,
     "ingest_csv": q_ingest_csv,
@@ -4476,6 +4531,7 @@ ORACLE_SQL["inverted_lookup"] = inverted_lookup_sql(LOOKUP_TOKENS, TOKEN_RE)
 from ..sources.bloomskip import BLOOM_SKIP_SCAN_SQL  # noqa: E402
 
 ORACLE_SQL["bloom_skip_scan"] = BLOOM_SKIP_SCAN_SQL
+ORACLE_SQL["export_partitioned"] = EXPORT_PARTITIONED_SQL
 ORACLE_SQL["ingest_jsonl_gz"] = INGEST_JSONL_SQL
 ORACLE_SQL["ingest_csv"] = INGEST_CSV_SQL
 ORACLE_SQL["ingest_quarantine"] = INGEST_QUARANTINE_SQL
