@@ -2590,6 +2590,12 @@ def q_export_partitioned(sf_dir: str):
     out_dir = _scratch_dir(sf_dir, "partsink")
     done = out_dir.rstrip("/") + ".done"
     if not os.path.exists(done):
+        # crash-idempotent: write_parquet generates fresh UUID filenames
+        # per attempt, so a partial previous attempt must be cleared or
+        # its files would double-count on the re-read
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
         _documents(sf_dir, ["doc_id", "text", "lang"]).write_parquet(
             out_dir, partition_cols=["lang"])

@@ -26,38 +26,23 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..functions.bloom import BloomFilter
+from .zonemap import _col_range_us, ensure_sorted_shards
 
 N_SHARDS = 16
 PROBE_MOD = 9973
 
 
 def ensure_bloom_shards(events_ds, out_dir: str, n_shards: int = N_SHARDS):
-    done = out_dir.rstrip("/") + ".done"
-    if os.path.exists(done):
-        return
-    os.makedirs(out_dir, exist_ok=True)
-    t = pa.concat_tables(
-        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in events_ds.iter_batches(batch_format="pyarrow"))
-    ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
-        zero_copy_only=False)
-    order = np.argsort(ts, kind="stable")
-    t = t.take(pa.array(order, pa.int64()))
-    n = len(t)
-    per = (n + n_shards - 1) // n_shards
-    for i in range(n_shards):
-        lo = i * per
-        if lo >= n:
-            break
-        sl = t.slice(lo, per)
-        pq.write_table(sl, os.path.join(out_dir, f"{i:04d}.parquet"))
+    """zonemap's ts-sorted staging + one Bloom sidecar per shard."""
+
+    def write_bloom(i: int, sl: pa.Table) -> None:
         ids = sl["event_id"].combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.uint64)
         bf = BloomFilter.build(ids, log2_bits=17, k=4)
         with open(os.path.join(out_dir, f"{i:04d}.bloom"), "wb") as f:
             pickle.dump((bf.words, bf.log2_bits, bf.k), f)
-    with open(done, "w") as f:
-        f.write("ok")
+
+    ensure_sorted_shards(events_ds, out_dir, n_shards, sidecar=write_bloom)
 
 
 def plan_shards(out_dir: str, probe_ids: np.ndarray) -> tuple[list[str],
@@ -81,9 +66,9 @@ def probe_ids_from(out_dir: str, mod: int = PROBE_MOD) -> np.ndarray:
     lo, hi = None, None
     for f in names:
         md = pq.ParquetFile(os.path.join(out_dir, f)).metadata
-        idx = md.schema.to_arrow_schema().get_field_index("event_id")
-        st = md.row_group(0).column(idx).statistics
-        mn, mx = int(st.min), int(st.max)
+        # event_id is NOT sorted within ts-sorted shards: aggregate the
+        # range over every row group of every shard
+        mn, mx = _col_range_us(md, "event_id")
         lo = mn if lo is None else min(lo, mn)
         hi = mx if hi is None else max(hi, mx)
     first = ((lo + mod - 1) // mod) * mod

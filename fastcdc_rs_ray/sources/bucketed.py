@@ -22,7 +22,6 @@ import os
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..util import mix64
@@ -84,8 +83,9 @@ def bucketed_join_rollup(sf_dir: str, out_dir: str,
             pos = np.searchsorted(ok_s, lk)
             # co-partitioning contract: every lineitem's order is in this
             # bucket; RAISE on violation rather than dropping rows
-            if len(ok_s) == 0 or (pos >= len(ok_s)).any() or \
-                    (ok_s[np.minimum(pos, len(ok_s) - 1)] != lk).any():
+            if len(lk) and (
+                    len(ok_s) == 0 or (pos >= len(ok_s)).any() or
+                    (ok_s[np.minimum(pos, len(ok_s) - 1)] != lk).any()):
                 raise ValueError(
                     f"bucket {i}: lineitem order key missing from the "
                     f"co-partitioned orders bucket — layout contract broken")

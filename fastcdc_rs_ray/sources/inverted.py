@@ -105,18 +105,19 @@ def inverted_lookup(documents_ds, out_dir: str,
     ds = rd.from_items(items, override_num_blocks=max(1, len(items)))
 
     def lookup(t: pa.Table, _dir=out_dir) -> pa.Table:
-        toks_out, docs_out = [], []
+        out = []
         for sh, tks in zip(t["shard"].to_pylist(), t["tokens"].to_pylist()):
             f = pq.read_table(os.path.join(_dir, f"idx_{sh:03d}.parquet"))
-            col = np.asarray(f["token"].to_pylist(), dtype=object).astype("U")
-            d = f["doc_id"].to_numpy(zero_copy_only=False)
-            for tk in tks:
-                lo = np.searchsorted(col, tk, side="left")
-                hi = np.searchsorted(col, tk, side="right")
-                toks_out.extend([tk] * (hi - lo))
-                docs_out.extend(d[lo:hi].tolist())
-        return pa.table({"token": pa.array(toks_out, pa.string()),
-                         "doc_id": pa.array(docs_out, pa.int64())})
+            # vectorized membership on the Arrow column — no pylist /
+            # fixed-width unicode round-trip (a parquet reader with
+            # row-group token zone maps would narrow the read further;
+            # the sorted runs keep matches contiguous either way)
+            m = pc.is_in(f["token"], value_set=pa.array(tks, pa.string()))
+            out.append(f.filter(m))
+        if not out:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64())})
+        return pa.concat_tables(out).select(["token", "doc_id"])
 
     return ds.map_batches(lookup, batch_format="pyarrow")
 

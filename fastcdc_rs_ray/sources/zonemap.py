@@ -20,7 +20,6 @@ import os
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 N_SHARDS = 16
@@ -29,8 +28,11 @@ N_SHARDS = 16
 WINDOW_LO_FRAC, WINDOW_HI_FRAC = (1, 3), (2, 3)
 
 
-def ensure_sorted_shards(events_ds, out_dir: str, n_shards: int = N_SHARDS):
-    """Stage events as ts-sorted equal-row parquet shards (once)."""
+def ensure_sorted_shards(events_ds, out_dir: str, n_shards: int = N_SHARDS,
+                         sidecar=None):
+    """Stage events as ts-sorted equal-row parquet shards (once).
+    ``sidecar(shard_index, shard_table)`` — optional per-shard extra
+    artifact writer (bloomskip's Bloom sidecars reuse this staging)."""
     done = out_dir.rstrip("/") + ".done"
     if os.path.exists(done):
         return
@@ -51,10 +53,27 @@ def ensure_sorted_shards(events_ds, out_dir: str, n_shards: int = N_SHARDS):
         lo = i * per
         if lo >= n:
             break
-        pq.write_table(t.slice(lo, per),
-                       os.path.join(out_dir, f"{i:04d}.parquet"))
+        sl = t.slice(lo, per)
+        pq.write_table(sl, os.path.join(out_dir, f"{i:04d}.parquet"))
+        if sidecar is not None:
+            sidecar(i, sl)
     with open(done, "w") as f:
         f.write("ok")
+
+
+def _col_range_us(md, col: str) -> tuple[int, int]:
+    """Exact [min, max] of an int64-physical column over ALL row groups
+    of one footer (min_raw/max_raw are the raw int64 epoch-us values —
+    the converted .min/.max are NAIVE datetimes whose .timestamp() is
+    timezone-dependent and float-truncated)."""
+    idx = md.schema.to_arrow_schema().get_field_index(col)
+    lo = hi = None
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(idx).statistics
+        mn, mx = int(st.min_raw), int(st.max_raw)
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    return lo, hi
 
 
 def plan_files(out_dir: str, lo_us: int, hi_us: int) -> tuple[list[str],
@@ -64,36 +83,20 @@ def plan_files(out_dir: str, lo_us: int, hi_us: int) -> tuple[list[str],
     keep = []
     for f in names:
         path = os.path.join(out_dir, f)
-        md = pq.ParquetFile(path).metadata
-        idx = md.schema.to_arrow_schema().get_field_index("ts")
-        st = md.row_group(0).column(idx).statistics
-        mn = st.min
-        mx = pq.ParquetFile(path).metadata.row_group(
-            md.num_row_groups - 1).column(idx).statistics.max
-        mn_us = int(mn.timestamp() * 1_000_000) if hasattr(mn, "timestamp") \
-            else int(mn)
-        mx_us = int(mx.timestamp() * 1_000_000) if hasattr(mx, "timestamp") \
-            else int(mx)
+        mn_us, mx_us = _col_range_us(pq.ParquetFile(path).metadata, "ts")
         if mx_us >= lo_us and mn_us <= hi_us:
             keep.append(path)
     return keep, len(names)
 
 
 def window_bounds_us(out_dir: str) -> tuple[int, int]:
-    """[lo, hi] = the middle third of the staged span (exact ints from
-    the first/last shard footers)."""
+    """[lo, hi] = the middle third of the staged span (exact raw-int
+    footer stats; shards are ts-sorted so first/last files bound it)."""
     names = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
-    first = pq.ParquetFile(os.path.join(out_dir, names[0])).metadata
-    last = pq.ParquetFile(os.path.join(out_dir, names[-1])).metadata
-    idx = first.schema.to_arrow_schema().get_field_index("ts")
-
-    def us(v):
-        return int(v.timestamp() * 1_000_000) if hasattr(v, "timestamp") \
-            else int(v)
-
-    mn = us(first.row_group(0).column(idx).statistics.min)
-    mx = us(last.row_group(last.num_row_groups - 1).column(idx)
-            .statistics.max)
+    mn, _ = _col_range_us(
+        pq.ParquetFile(os.path.join(out_dir, names[0])).metadata, "ts")
+    _, mx = _col_range_us(
+        pq.ParquetFile(os.path.join(out_dir, names[-1])).metadata, "ts")
     span = mx - mn
     lo = mn + span * WINDOW_LO_FRAC[0] // WINDOW_LO_FRAC[1]
     hi = mn + span * WINDOW_HI_FRAC[0] // WINDOW_HI_FRAC[1]
