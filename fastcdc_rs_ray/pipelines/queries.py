@@ -2538,6 +2538,15 @@ def _scratch_dir(sf_dir: str, kind: str) -> str:
     return f"/tmp/graft_ingest/{kind}_{tag}"
 
 
+def _fp(sf_dir: str) -> str:
+    """Source fingerprint for staged layouts under _scratch_dir: keyed
+    on the sf_dir parquet files' size+mtime so regenerated testdata
+    invalidates stale dumps (staging.staged re-stages on mismatch)."""
+    from ..sources.staging import dir_fingerprint
+
+    return dir_fingerprint(sf_dir)
+
+
 def q_bloom_skip_scan(sf_dir: str):
     """Bloom file skipping: per-shard Bloom sidecars prune a point
     lookup on event_id (a column the ts-sorted layout is NOT sorted by)
@@ -2549,7 +2558,8 @@ def q_bloom_skip_scan(sf_dir: str):
     from ..sources.bloomskip import bloom_skip_scan
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet")
-    return bloom_skip_scan(ev, _scratch_dir(sf_dir, "bloomskip"))
+    return bloom_skip_scan(ev, _scratch_dir(sf_dir, "bloomskip"),
+                           fingerprint=_fp(sf_dir))
 
 
 def q_inverted_lookup(sf_dir: str):
@@ -2561,7 +2571,8 @@ def q_inverted_lookup(sf_dir: str):
     from ..sources.inverted import inverted_lookup
 
     return inverted_lookup(_documents(sf_dir, ["doc_id", "text"]),
-                           _scratch_dir(sf_dir, "inverted"))
+                           _scratch_dir(sf_dir, "inverted"),
+                           fingerprint=_fp(sf_dir))
 
 
 def q_bucketed_join(sf_dir: str):
@@ -2573,7 +2584,8 @@ def q_bucketed_join(sf_dir: str):
     plain-join SQL oracle)."""
     from ..sources.bucketed import bucketed_join_rollup
 
-    return bucketed_join_rollup(sf_dir, _scratch_dir(sf_dir, "buckets"))
+    return bucketed_join_rollup(sf_dir, _scratch_dir(sf_dir, "buckets"),
+                                fingerprint=_fp(sf_dir))
 
 
 def q_export_partitioned(sf_dir: str):
@@ -2649,7 +2661,8 @@ def q_zonemap_scan(sf_dir: str):
     from ..sources.zonemap import zonemap_scan
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet")
-    return zonemap_scan(ev, _scratch_dir(sf_dir, "zonemap"))
+    return zonemap_scan(ev, _scratch_dir(sf_dir, "zonemap"),
+                        fingerprint=_fp(sf_dir))
 
 
 def q_ingest_jsonl(sf_dir: str):
@@ -2659,7 +2672,7 @@ def q_ingest_jsonl(sf_dir: str):
 
     return ingest_jsonl_rollup(
         _documents(sf_dir, columns=["doc_id", "text", "lang"]),
-        _scratch_dir(sf_dir, "jsonl"))
+        _scratch_dir(sf_dir, "jsonl"), fingerprint=_fp(sf_dir))
 
 
 def q_ingest_text(sf_dir: str):
@@ -2671,7 +2684,7 @@ def q_ingest_text(sf_dir: str):
 
     return ingest_text_rollup(
         _documents(sf_dir, columns=["doc_id", "text", "lang"]),
-        _scratch_dir(sf_dir, "textlines"))
+        _scratch_dir(sf_dir, "textlines"), fingerprint=_fp(sf_dir))
 
 
 def q_ingest_jsonl_gz(sf_dir: str):
@@ -2682,7 +2695,7 @@ def q_ingest_jsonl_gz(sf_dir: str):
 
     return ingest_jsonl_gz_rollup(
         _documents(sf_dir, columns=["doc_id", "text", "lang"]),
-        _scratch_dir(sf_dir, "jsonlgz"))
+        _scratch_dir(sf_dir, "jsonlgz"), fingerprint=_fp(sf_dir))
 
 
 def q_ingest_quarantine(sf_dir: str):
@@ -2695,7 +2708,7 @@ def q_ingest_quarantine(sf_dir: str):
 
     return ingest_quarantine_rollup(
         _documents(sf_dir, columns=["doc_id", "text", "lang"]),
-        _scratch_dir(sf_dir, "jsonlq"))
+        _scratch_dir(sf_dir, "jsonlq"), fingerprint=_fp(sf_dir))
 
 
 def q_ingest_csv(sf_dir: str):
@@ -2707,7 +2720,8 @@ def q_ingest_csv(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "value"])
-    return ingest_csv_rollup(ds, _scratch_dir(sf_dir, "csv"))
+    return ingest_csv_rollup(ds, _scratch_dir(sf_dir, "csv"),
+                             fingerprint=_fp(sf_dir))
 
 
 def q_ingest_arrow_ipc(sf_dir: str):
@@ -2718,7 +2732,7 @@ def q_ingest_arrow_ipc(sf_dir: str):
 
     return ingest_arrow_ipc_rollup(
         _documents(sf_dir, columns=["doc_id", "text", "lang"]),
-        _scratch_dir(sf_dir, "arrowipc"))
+        _scratch_dir(sf_dir, "arrowipc"), fingerprint=_fp(sf_dir))
 
 
 def q_ingest_orc(sf_dir: str):
@@ -2728,7 +2742,7 @@ def q_ingest_orc(sf_dir: str):
 
     return ingest_orc_rollup(
         _documents(sf_dir, columns=["doc_id", "text", "lang"]),
-        _scratch_dir(sf_dir, "orc"))
+        _scratch_dir(sf_dir, "orc"), fingerprint=_fp(sf_dir))
 
 
 def q_decontaminate(sf_dir: str):
@@ -3505,7 +3519,7 @@ def q_ingest_mixed_schema(sf_dir: str):
 
     return ingest_mixed_schema_rollup(
         _documents(sf_dir, columns=["doc_id", "text", "lang"]),
-        _scratch_dir(sf_dir, "mixedschema"))
+        _scratch_dir(sf_dir, "mixedschema"), fingerprint=_fp(sf_dir))
 
 
 def q_chunk_jaccard_dups(sf_dir: str):

@@ -32,17 +32,19 @@ N_SHARDS = 16
 PROBE_MOD = 9973
 
 
-def ensure_bloom_shards(events_ds, out_dir: str, n_shards: int = N_SHARDS):
+def ensure_bloom_shards(events_ds, out_dir: str, n_shards: int = N_SHARDS,
+                        fingerprint: str = "static"):
     """zonemap's ts-sorted staging + one Bloom sidecar per shard."""
 
-    def write_bloom(i: int, sl: pa.Table) -> None:
+    def write_bloom(i: int, sl: pa.Table, shard_dir: str) -> None:
         ids = sl["event_id"].combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.uint64)
         bf = BloomFilter.build(ids, log2_bits=17, k=4)
-        with open(os.path.join(out_dir, f"{i:04d}.bloom"), "wb") as f:
+        with open(os.path.join(shard_dir, f"{i:04d}.bloom"), "wb") as f:
             pickle.dump((bf.words, bf.log2_bits, bf.k), f)
 
-    ensure_sorted_shards(events_ds, out_dir, n_shards, sidecar=write_bloom)
+    ensure_sorted_shards(events_ds, out_dir, n_shards, sidecar=write_bloom,
+                         fingerprint=fingerprint)
 
 
 def plan_shards(out_dir: str, probe_ids: np.ndarray) -> tuple[list[str],
@@ -75,10 +77,11 @@ def probe_ids_from(out_dir: str, mod: int = PROBE_MOD) -> np.ndarray:
     return np.arange(first, hi + 1, mod, dtype=np.int64)
 
 
-def bloom_skip_scan(events_ds, out_dir: str, mod: int = PROBE_MOD):
+def bloom_skip_scan(events_ds, out_dir: str, mod: int = PROBE_MOD,
+                    fingerprint: str = "static"):
     import ray.data as rd
 
-    ensure_bloom_shards(events_ds, out_dir)
+    ensure_bloom_shards(events_ds, out_dir, fingerprint=fingerprint)
     probes = probe_ids_from(out_dir, mod)
     files, _total = plan_shards(out_dir, probes)
     if not files:  # nothing can match: exact zero row, no read at all

@@ -25,6 +25,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..util import mix64
+from .staging import staged
 
 N_BUCKETS = 8
 
@@ -34,36 +35,36 @@ def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
         np.int64)
 
 
-def ensure_bucketed(sf_dir: str, out_dir: str, n_buckets: int = N_BUCKETS):
+def ensure_bucketed(sf_dir: str, out_dir: str, n_buckets: int = N_BUCKETS,
+                    fingerprint: str = "static"):
     """Stage orders and lineitem into co-partitioned bucket files
-    (once).  Distributed writers would hash-shuffle each table by the
-    key and write one file per bucket — the layout CONTRACT (same hash,
-    same B, one file per bucket per table) is what the join relies on."""
-    done = out_dir.rstrip("/") + ".done"
-    if os.path.exists(done):
-        return
-    os.makedirs(out_dir, exist_ok=True)
-    for name, key, cols in (
-        ("orders", "o_orderkey", ["o_orderkey", "o_orderstatus"]),
-        ("lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice"]),
-    ):
-        t = pq.read_table(f"{sf_dir}/{name}.parquet", columns=cols)
-        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = _bucket_of(k, n_buckets)
-        for i in range(n_buckets):
-            idx = np.flatnonzero(b == i)
-            pq.write_table(
-                t.take(pa.array(idx, pa.int64())),
-                os.path.join(out_dir, f"{name}_{i:03d}.parquet"))
-    with open(done, "w") as f:
-        f.write("ok")
+    (once, crash-safe — staging.staged).  Distributed writers would
+    hash-shuffle each table by the key and write one file per bucket —
+    the layout CONTRACT (same hash, same B, one file per bucket per
+    table) is what the join relies on."""
+    def dump(tmp: str) -> None:
+        for name, key, cols in (
+            ("orders", "o_orderkey", ["o_orderkey", "o_orderstatus"]),
+            ("lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice"]),
+        ):
+            t = pq.read_table(f"{sf_dir}/{name}.parquet", columns=cols)
+            k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = _bucket_of(k, n_buckets)
+            for i in range(n_buckets):
+                idx = np.flatnonzero(b == i)
+                pq.write_table(
+                    t.take(pa.array(idx, pa.int64())),
+                    os.path.join(tmp, f"{name}_{i:03d}.parquet"))
+
+    staged(out_dir, dump, fingerprint)
 
 
 def bucketed_join_rollup(sf_dir: str, out_dir: str,
-                         n_buckets: int = N_BUCKETS):
+                         n_buckets: int = N_BUCKETS,
+                         fingerprint: str = "static"):
     import ray.data as rd
 
-    ensure_bucketed(sf_dir, out_dir, n_buckets)
+    ensure_bucketed(sf_dir, out_dir, n_buckets, fingerprint)
     buckets = rd.from_items(list(range(n_buckets)),
                             override_num_blocks=n_buckets)
 
@@ -92,7 +93,11 @@ def bucketed_join_rollup(sf_dir: str, out_dir: str,
             stat = st_s[pos]
             uniq, inv = np.unique(stat, return_inverse=True)
             n = np.bincount(inv).astype(np.int64)
-            s = np.bincount(inv, weights=price_c).astype(np.int64)
+            # int64 accumulation (np.add.at), NOT bincount float weights:
+            # a bucket partial over 2^53 cents would silently lose cents
+            # in the float64 accumulator at 100 TB scale
+            s = np.zeros(len(uniq), np.int64)
+            np.add.at(s, inv, price_c)
             out["o_orderstatus"].extend(uniq.tolist())
             out["n_lines"].extend(n.tolist())
             out["revenue_c"].extend(s.tolist())

@@ -22,33 +22,32 @@ import os
 import numpy as np
 import pyarrow as pa
 
+from .staging import staged
 from .textio import _lang_rollup
 
 
-def _dump_shards(documents_ds, out_dir: str, fmt: str) -> None:
-    done = out_dir.rstrip("/") + ".done"
-    if os.path.exists(done):
-        return
-    os.makedirs(out_dir, exist_ok=True)
+def _dump_shards(documents_ds, out_dir: str, fmt: str,
+                 fingerprint: str = "static") -> None:
+    def dump(tmp: str) -> None:
+        def write_shard(t: pa.Table) -> pa.Table:
+            if len(t):
+                shard = int(np.min(t["doc_id"].combine_chunks().to_numpy(
+                    zero_copy_only=False)))
+                path = os.path.join(tmp, f"part-{shard:012d}.{fmt}")
+                if fmt == "arrow":
+                    with pa.OSFile(path, "wb") as f, pa.ipc.new_file(
+                            f, t.schema) as w:
+                        w.write_table(t)
+                else:
+                    from pyarrow import orc
 
-    def write_shard(t: pa.Table) -> pa.Table:
-        if len(t):
-            shard = int(np.min(t["doc_id"].combine_chunks().to_numpy(
-                zero_copy_only=False)))
-            path = os.path.join(out_dir, f"part-{shard:012d}.{fmt}")
-            if fmt == "arrow":
-                with pa.OSFile(path, "wb") as f, pa.ipc.new_file(
-                        f, t.schema) as w:
-                    w.write_table(t)
-            else:
-                from pyarrow import orc
+                    orc.write_table(t, path)
+            return pa.table({"n": pa.array([len(t)], pa.int64())})
 
-                orc.write_table(t, path)
-        return pa.table({"n": pa.array([len(t)], pa.int64())})
+        documents_ds.map_batches(
+            write_shard, batch_format="pyarrow").materialize()
 
-    documents_ds.map_batches(write_shard, batch_format="pyarrow").materialize()
-    with open(done, "w") as f:
-        f.write("ok")
+    staged(out_dir, dump, fingerprint)
 
 
 def _decode_batch(fmt: str):
@@ -73,24 +72,26 @@ def _decode_batch(fmt: str):
     return decode
 
 
-def ingest_arrow_ipc_rollup(documents_ds, out_dir: str):
+def ingest_arrow_ipc_rollup(documents_ds, out_dir: str,
+                            fingerprint: str = "static"):
     """documents -> per-block Arrow-IPC shards -> read_binary_files +
     zero-copy IPC decode -> (lang, n_docs, sum_chars).  Proves the
     Arrow-interchange source path end-to-end against the parquet oracle."""
     import ray.data as rd
 
-    _dump_shards(documents_ds, out_dir, "arrow")
+    _dump_shards(documents_ds, out_dir, "arrow", fingerprint)
     ds = rd.read_binary_files(out_dir, file_extensions=["arrow"])
     return _lang_rollup(ds.map_batches(
         _decode_batch("arrow"), batch_format="pyarrow"))
 
 
-def ingest_orc_rollup(documents_ds, out_dir: str):
+def ingest_orc_rollup(documents_ds, out_dir: str,
+                      fingerprint: str = "static"):
     """documents -> per-block ORC shards -> read_binary_files + pyarrow
     ORC decode -> (lang, n_docs, sum_chars)."""
     import ray.data as rd
 
-    _dump_shards(documents_ds, out_dir, "orc")
+    _dump_shards(documents_ds, out_dir, "orc", fingerprint)
     ds = rd.read_binary_files(out_dir, file_extensions=["orc"])
     return _lang_rollup(ds.map_batches(
         _decode_batch("orc"), batch_format="pyarrow"))
@@ -117,48 +118,49 @@ MIXED_UNION_SCHEMA = pa.schema([
 ])
 
 
-def _dump_mixed_generations(documents_ds, out_dir: str) -> None:
+def _dump_mixed_generations(documents_ds, out_dir: str,
+                            fingerprint: str = "static") -> None:
     """Two parquet shard generations with DIFFERENT schemas, as a crawl
     re-dump produces them: gen1 (even doc_id) has (doc_id, text, lang);
     gen2 (odd doc_id) dropped ``lang`` and added ``n_chars`` — the
     schema-evolution case a long-lived 100 TB corpus always accumulates."""
     import pyarrow.compute as pc
 
-    done = out_dir.rstrip("/") + ".done"
-    if os.path.exists(done):
-        return
-    os.makedirs(os.path.join(out_dir, "gen1"), exist_ok=True)
-    os.makedirs(os.path.join(out_dir, "gen2"), exist_ok=True)
+    def dump(tmp: str) -> None:
+        os.makedirs(os.path.join(tmp, "gen1"), exist_ok=True)
+        os.makedirs(os.path.join(tmp, "gen2"), exist_ok=True)
 
-    def write_shard(t: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
+        def write_shard(t: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
 
-        if len(t):
-            did = t["doc_id"].combine_chunks()
-            even = pc.equal(pc.bit_wise_and(did, 1), 0)
-            g1 = t.filter(even).select(["doc_id", "text", "lang"])
-            g2t = t.filter(pc.invert(even))
-            g2 = pa.table({
-                "doc_id": g2t["doc_id"],
-                "text": g2t["text"],
-                "n_chars": pc.cast(pc.utf8_length(
-                    g2t["text"].combine_chunks()), pa.int64()),
-            })
-            shard = int(np.min(did.to_numpy(zero_copy_only=False)))
-            if len(g1):
-                pq.write_table(g1, os.path.join(
-                    out_dir, "gen1", f"part-{shard:012d}.parquet"))
-            if len(g2):
-                pq.write_table(g2, os.path.join(
-                    out_dir, "gen2", f"part-{shard:012d}.parquet"))
-        return pa.table({"n": pa.array([len(t)], pa.int64())})
+            if len(t):
+                did = t["doc_id"].combine_chunks()
+                even = pc.equal(pc.bit_wise_and(did, 1), 0)
+                g1 = t.filter(even).select(["doc_id", "text", "lang"])
+                g2t = t.filter(pc.invert(even))
+                g2 = pa.table({
+                    "doc_id": g2t["doc_id"],
+                    "text": g2t["text"],
+                    "n_chars": pc.cast(pc.utf8_length(
+                        g2t["text"].combine_chunks()), pa.int64()),
+                })
+                shard = int(np.min(did.to_numpy(zero_copy_only=False)))
+                if len(g1):
+                    pq.write_table(g1, os.path.join(
+                        tmp, "gen1", f"part-{shard:012d}.parquet"))
+                if len(g2):
+                    pq.write_table(g2, os.path.join(
+                        tmp, "gen2", f"part-{shard:012d}.parquet"))
+            return pa.table({"n": pa.array([len(t)], pa.int64())})
 
-    documents_ds.map_batches(write_shard, batch_format="pyarrow").materialize()
-    with open(done, "w") as f:
-        f.write("ok")
+        documents_ds.map_batches(
+            write_shard, batch_format="pyarrow").materialize()
+
+    staged(out_dir, dump, fingerprint)
 
 
-def ingest_mixed_schema_rollup(documents_ds, out_dir: str):
+def ingest_mixed_schema_rollup(documents_ds, out_dir: str,
+                               fingerprint: str = "static"):
     """Heterogeneous-shard ingestion (schema evolution): read each
     generation with its OWN schema, align every block to the union schema
     inside ``map_batches`` (missing columns become typed nulls — never a
@@ -168,7 +170,7 @@ def ingest_mixed_schema_rollup(documents_ds, out_dir: str):
     movement); alignment cost is one null-column append per block."""
     import ray.data as rd
 
-    _dump_mixed_generations(documents_ds, out_dir)
+    _dump_mixed_generations(documents_ds, out_dir, fingerprint)
 
     def align(t: pa.Table) -> pa.Table:
         cols = []

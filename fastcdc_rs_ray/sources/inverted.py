@@ -30,6 +30,7 @@ import pyarrow.parquet as pq
 
 from ..functions.text import _flat_tokens
 from ..util import hash_str_array_u64
+from .staging import staged
 
 N_SHARDS = 8
 
@@ -42,12 +43,8 @@ def _token_shard(tokens: pa.Array, n_shards: int) -> np.ndarray:
         np.int64)
 
 
-def ensure_inverted(documents_ds, out_dir: str, n_shards: int = N_SHARDS):
-    done = out_dir.rstrip("/") + ".done"
-    if os.path.exists(done):
-        return
-    os.makedirs(out_dir, exist_ok=True)
-
+def ensure_inverted(documents_ds, out_dir: str, n_shards: int = N_SHARDS,
+                    fingerprint: str = "static"):
     def pairs(t: pa.Table) -> pa.Table:
         flat, row_of, n_rows = _flat_tokens(t["text"])
         ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -67,35 +64,37 @@ def ensure_inverted(documents_ds, out_dir: str, n_shards: int = N_SHARDS):
                 ids[(uk & np.int64((1 << 32) - 1))], pa.int64()),
         })
 
-    t = pa.concat_tables(
-        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in documents_ds.select_columns(
-            ["doc_id", "text"]).map_batches(
-            pairs, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"))
-    tok = t["token"].combine_chunks()
-    shard = _token_shard(tok, n_shards)
-    toks = np.asarray(tok.to_pylist(), dtype=object).astype("U")
-    docs = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
-    for i in range(n_shards):
-        m = shard == i
-        order = np.lexsort((docs[m], toks[m]))
-        pq.write_table(
-            pa.table({
-                "token": pa.array(toks[m][order].tolist(), pa.string()),
-                "doc_id": pa.array(docs[m][order], pa.int64()),
-            }),
-            os.path.join(out_dir, f"idx_{i:03d}.parquet"))
-    with open(done, "w") as f:
-        f.write("ok")
+    def dump(tmp: str) -> None:
+        t = pa.concat_tables(
+            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in documents_ds.select_columns(
+                ["doc_id", "text"]).map_batches(
+                pairs, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"))
+        tok = t["token"].combine_chunks()
+        shard = _token_shard(tok, n_shards)
+        toks = np.asarray(tok.to_pylist(), dtype=object).astype("U")
+        docs = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        for i in range(n_shards):
+            m = shard == i
+            order = np.lexsort((docs[m], toks[m]))
+            pq.write_table(
+                pa.table({
+                    "token": pa.array(toks[m][order].tolist(), pa.string()),
+                    "doc_id": pa.array(docs[m][order], pa.int64()),
+                }),
+                os.path.join(tmp, f"idx_{i:03d}.parquet"))
+
+    staged(out_dir, dump, fingerprint)
 
 
 def inverted_lookup(documents_ds, out_dir: str,
                     tokens: tuple[str, ...] = LOOKUP_TOKENS,
-                    n_shards: int = N_SHARDS):
+                    n_shards: int = N_SHARDS,
+                    fingerprint: str = "static"):
     import ray.data as rd
 
-    ensure_inverted(documents_ds, out_dir, n_shards)
+    ensure_inverted(documents_ds, out_dir, n_shards, fingerprint)
     shard_of = _token_shard(pa.array(list(tokens), pa.string()), n_shards)
     need: dict[int, list[str]] = {}
     for tk, sh in zip(tokens, shard_of.tolist()):

@@ -17,26 +17,30 @@ import os
 import numpy as np
 import pyarrow as pa
 
-
-def _ensure_dump(src_ds, out_dir: str, fmt: str):
-    done = out_dir.rstrip("/") + ".done"  # sibling: readers glob out_dir/*
-    if os.path.exists(done):
-        return
-    os.makedirs(out_dir, exist_ok=True)
-    if fmt == "json":
-        src_ds.write_json(out_dir)
-    else:
-        src_ds.write_csv(out_dir)
-    with open(done, "w") as f:
-        f.write("ok")
+from .staging import staged
 
 
-def ingest_jsonl_rollup(documents_ds, out_dir: str):
+def _ensure_dump(src_ds, out_dir: str, fmt: str, fingerprint: str = "static"):
+    """Stage a JSONL/CSV dump of ``src_ds`` under ``out_dir`` once,
+    crash-safe (see staging.staged: Ray's ``write_json``/``write_csv``
+    name shards by session, so a partial dump re-run would otherwise
+    ADD files and double every downstream count)."""
+    def dump(tmp: str) -> None:
+        if fmt == "json":
+            src_ds.write_json(tmp)
+        else:
+            src_ds.write_csv(tmp)
+
+    staged(out_dir, dump, fingerprint)
+
+
+def ingest_jsonl_rollup(documents_ds, out_dir: str,
+                        fingerprint: str = "static"):
     """documents -> JSONL dump -> read_json -> (lang, n_docs, sum_chars).
     Proves the JSONL source path end-to-end against the parquet oracle."""
     import ray.data as rd
 
-    _ensure_dump(documents_ds, out_dir, "json")
+    _ensure_dump(documents_ds, out_dir, "json", fingerprint)
     ds = rd.read_json(out_dir, file_extensions=["json", "jsonl"])
     return _lang_rollup(ds)
 
@@ -48,13 +52,13 @@ FROM documents GROUP BY lang
 """
 
 
-def ingest_csv_rollup(events_ds, out_dir: str):
+def ingest_csv_rollup(events_ds, out_dir: str, fingerprint: str = "static"):
     """events (numeric projection) -> CSV dump -> read_csv ->
     (user_id, n_events, sum_value_c).  2-decimal values survive the text
     round-trip exactly."""
     import ray.data as rd
 
-    _ensure_dump(events_ds, out_dir, "csv")
+    _ensure_dump(events_ds, out_dir, "csv", fingerprint)
     ds = rd.read_csv(out_dir)
 
     def rollup(t: pa.Table) -> pa.Table:
@@ -100,7 +104,8 @@ FROM events GROUP BY user_id
 """
 
 
-def ingest_jsonl_gz_rollup(documents_ds, out_dir: str):
+def ingest_jsonl_gz_rollup(documents_ds, out_dir: str,
+                           fingerprint: str = "static"):
     """documents -> gzip JSONL dump -> distributed ``read_json`` over the
     compressed files -> (lang, n_docs, sum_chars).
 
@@ -117,16 +122,13 @@ def ingest_jsonl_gz_rollup(documents_ds, out_dir: str):
 
     import ray.data as rd
 
-    done = out_dir.rstrip("/") + ".done"
-    if not os.path.exists(done):
-        os.makedirs(out_dir, exist_ok=True)
-
+    def dump(tmp: str) -> None:
         def write_shard(t: pa.Table) -> pa.Table:
             if len(t):
                 shard = int(
                     np.min(t["doc_id"].combine_chunks().to_numpy(
                         zero_copy_only=False)))
-                path = os.path.join(out_dir, f"part-{shard:012d}.json.gz")
+                path = os.path.join(tmp, f"part-{shard:012d}.json.gz")
                 # mtime=0 → byte-deterministic archive for a given block
                 with open(path, "wb") as raw, gzip.GzipFile(
                         fileobj=raw, mode="wb", mtime=0) as gz:
@@ -137,8 +139,8 @@ def ingest_jsonl_gz_rollup(documents_ds, out_dir: str):
 
         documents_ds.map_batches(
             write_shard, batch_format="pyarrow").materialize()
-        with open(done, "w") as f:
-            f.write("ok")
+
+    staged(out_dir, dump, fingerprint)
 
     ds = rd.read_json(out_dir, file_extensions=["gz"],
                       arrow_open_stream_args={"compression": "gzip"})
@@ -190,7 +192,8 @@ def _lang_rollup(ds):
 QUARANTINE_MOD = 53  # doc_id % 53 == 0 -> line deterministically corrupted
 
 
-def ingest_quarantine_rollup(documents_ds, out_dir: str):
+def ingest_quarantine_rollup(documents_ds, out_dir: str,
+                             fingerprint: str = "static"):
     """Malformed-record quarantine ingest: a JSONL dump where every
     ``doc_id % 53 == 0`` line is deterministically truncated mid-record
     (what a 100 TB crawl dump actually contains — interrupted writers,
@@ -215,16 +218,13 @@ def ingest_quarantine_rollup(documents_ds, out_dir: str):
     import pyarrow.json as pj
     import ray.data as rd
 
-    done = out_dir.rstrip("/") + ".done"
-    if not os.path.exists(done):
-        os.makedirs(out_dir, exist_ok=True)
-
+    def dump(tmp: str) -> None:
         def write_shard(t: pa.Table) -> pa.Table:
             if len(t):
                 did = t["doc_id"].combine_chunks().to_numpy(
                     zero_copy_only=False)
                 shard = int(np.min(did))
-                path = os.path.join(out_dir, f"part-{shard:012d}.jsonl")
+                path = os.path.join(tmp, f"part-{shard:012d}.jsonl")
                 with open(path, "wb") as f:
                     for row in t.select(
                             ["doc_id", "lang", "text"]).to_pylist():
@@ -238,8 +238,8 @@ def ingest_quarantine_rollup(documents_ds, out_dir: str):
 
         documents_ds.map_batches(
             write_shard, batch_format="pyarrow").materialize()
-        with open(done, "w") as f:
-            f.write("ok")
+
+    staged(out_dir, dump, fingerprint)
 
     files = rd.read_binary_files(out_dir, file_extensions=["jsonl"])
 
@@ -322,7 +322,8 @@ FROM documents WHERE doc_id % {QUARANTINE_MOD} = 0
 """
 
 
-def ingest_text_rollup(documents_ds, out_dir: str):
+def ingest_text_rollup(documents_ds, out_dir: str,
+                       fingerprint: str = "static"):
     """documents -> plain-text line dump -> ``read_text`` -> per-lang
     rollup: the line-oriented reader surface (Ray Data ``read_text``,
     one read task per shard) next to read_json/read_csv.
@@ -337,10 +338,7 @@ def ingest_text_rollup(documents_ds, out_dir: str):
     import ray.data as rd
     import pyarrow.compute as pc
 
-    done = out_dir.rstrip("/") + ".done"
-    if not os.path.exists(done):
-        os.makedirs(out_dir, exist_ok=True)
-
+    def dump(tmp: str) -> None:
         def write_shard(t: pa.Table) -> pa.Table:
             if len(t) == 0:
                 return pa.table({"n": pa.array([], pa.int64())})
@@ -352,7 +350,7 @@ def ingest_text_rollup(documents_ds, out_dir: str):
             ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
             lang = t["lang"].combine_chunks().to_pylist()
             text = t["text"].combine_chunks().to_pylist()
-            name = os.path.join(out_dir, f"{int(ids.min()):012d}.txt")
+            name = os.path.join(tmp, f"{int(ids.min()):012d}.txt")
             with open(name, "wb") as f:
                 for i, la, tx in zip(ids.tolist(), lang, text):
                     f.write(f"{i}\t{la}\t{tx}\n".encode())
@@ -360,8 +358,8 @@ def ingest_text_rollup(documents_ds, out_dir: str):
 
         documents_ds.map_batches(
             write_shard, batch_format="pyarrow").materialize()
-        with open(done, "w") as f:
-            f.write("ok")
+
+    staged(out_dir, dump, fingerprint)
 
     ds = rd.read_text(out_dir, file_extensions=["txt"])
 

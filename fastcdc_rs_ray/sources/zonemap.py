@@ -22,6 +22,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from .staging import staged
+
 N_SHARDS = 16
 
 #: predicate: the middle third of the event-time span
@@ -29,36 +31,35 @@ WINDOW_LO_FRAC, WINDOW_HI_FRAC = (1, 3), (2, 3)
 
 
 def ensure_sorted_shards(events_ds, out_dir: str, n_shards: int = N_SHARDS,
-                         sidecar=None):
-    """Stage events as ts-sorted equal-row parquet shards (once).
-    ``sidecar(shard_index, shard_table)`` — optional per-shard extra
-    artifact writer (bloomskip's Bloom sidecars reuse this staging)."""
-    done = out_dir.rstrip("/") + ".done"
-    if os.path.exists(done):
-        return
-    os.makedirs(out_dir, exist_ok=True)
-    # the events table is benchmark-scale here; a 100 TB deployment
-    # writes shards from a range-sorted Dataset (corpus_shuffle's plan) —
-    # the LAYOUT contract (sorted, footer stats) is what matters
-    t = pa.concat_tables(
-        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in events_ds.iter_batches(batch_format="pyarrow"))
-    ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
-        zero_copy_only=False)
-    order = np.argsort(ts, kind="stable")
-    t = t.take(pa.array(order, pa.int64()))
-    n = len(t)
-    per = (n + n_shards - 1) // n_shards
-    for i in range(n_shards):
-        lo = i * per
-        if lo >= n:
-            break
-        sl = t.slice(lo, per)
-        pq.write_table(sl, os.path.join(out_dir, f"{i:04d}.parquet"))
-        if sidecar is not None:
-            sidecar(i, sl)
-    with open(done, "w") as f:
-        f.write("ok")
+                         sidecar=None, fingerprint: str = "static"):
+    """Stage events as ts-sorted equal-row parquet shards (once,
+    crash-safe — staging.staged).  ``sidecar(shard_index, shard_table,
+    shard_dir)`` — optional per-shard extra artifact writer (bloomskip's
+    Bloom sidecars reuse this staging)."""
+    def dump(tmp: str) -> None:
+        # the events table is benchmark-scale here; a 100 TB deployment
+        # writes shards from a range-sorted Dataset (corpus_shuffle's
+        # plan) — the LAYOUT contract (sorted, footer stats) is what
+        # matters
+        t = pa.concat_tables(
+            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in events_ds.iter_batches(batch_format="pyarrow"))
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        t = t.take(pa.array(order, pa.int64()))
+        n = len(t)
+        per = (n + n_shards - 1) // n_shards
+        for i in range(n_shards):
+            lo = i * per
+            if lo >= n:
+                break
+            sl = t.slice(lo, per)
+            pq.write_table(sl, os.path.join(tmp, f"{i:04d}.parquet"))
+            if sidecar is not None:
+                sidecar(i, sl, tmp)
+
+    staged(out_dir, dump, fingerprint)
 
 
 def _col_range_us(md, col: str) -> tuple[int, int]:
@@ -103,12 +104,12 @@ def window_bounds_us(out_dir: str) -> tuple[int, int]:
     return lo, hi
 
 
-def zonemap_scan(events_ds, out_dir: str):
+def zonemap_scan(events_ds, out_dir: str, fingerprint: str = "static"):
     """-> (event_type, n, sum_value_c): rollup of events inside the
     middle-third time window, reading ONLY footer-overlapping shards."""
     import ray.data as rd
 
-    ensure_sorted_shards(events_ds, out_dir)
+    ensure_sorted_shards(events_ds, out_dir, fingerprint=fingerprint)
     lo, hi = window_bounds_us(out_dir)
     files, _total = plan_files(out_dir, lo, hi)
 
@@ -129,7 +130,10 @@ def zonemap_scan(events_ds, out_dir: str):
                              "n": pa.array([], pa.int64()),
                              "sum_value_c": pa.array([], pa.int64())})
         n = np.bincount(codes, minlength=nt).astype(np.int64)
-        s = np.bincount(codes, weights=val, minlength=nt).astype(np.int64)
+        # int64 accumulation, not float bincount weights: partial cent
+        # sums past 2^53 would silently lose precision at scale
+        s = np.zeros(nt, np.int64)
+        np.add.at(s, codes, val)
         d = et.dictionary
         if isinstance(d, pa.ChunkedArray):
             d = d.combine_chunks()
