@@ -311,8 +311,35 @@ def embed_outliers(embeddings_ds, dim: int = 64,
     Overflow bound: |n*q - S| <= 2 * n * quant, so dist2 <= dim * 4 *
     n^2 * quant^2 — at quant 1e3 and dim 64 that is int64-safe to
     n ~ 1.9e5 rows per label; larger labels need a coarser quant (one
-    constant, same code path — the embedding_gram discipline)."""
+    constant, same code path — the embedding_gram discipline).
+
+    Input discipline (shared with the SQL oracle): non-finite embedding
+    values RAISE (np.floor(nan).astype(int64) would silently wrap to
+    INT64_MIN where DuckDB yields NULL — a silent hash divergence), and
+    every integer step is bound-checked in Python ints so an overflow
+    RAISES where the oracle's BIGINT multiply would raise too — the two
+    sides agree or both fail, never silently diverge."""
     import ray
+
+    I64_MAX = (1 << 63) - 1
+
+    def _quantize(t: pa.Table) -> np.ndarray:
+        flat = t["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        if len(flat) != len(t) * dim:
+            raise ValueError(
+                f"embed_outliers: expected dim={dim} embeddings, got "
+                f"{len(flat)} values over {len(t)} rows")
+        if not np.isfinite(flat).all():
+            raise ValueError(
+                "embed_outliers: non-finite embedding value — "
+                "np.floor would wrap to INT64_MIN where the SQL oracle "
+                "yields NULL; clean the input first")
+        scaled = flat * quant
+        if np.abs(scaled).max(initial=0.0) >= float(I64_MAX):
+            raise ValueError(
+                "embed_outliers: quantized component exceeds int64")
+        return np.floor(scaled).astype(np.int64).reshape(len(t), dim)
 
     def sum_partial(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -321,9 +348,13 @@ def embed_outliers(embeddings_ds, dim: int = 64,
                              "s": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
         lab = pc.cast(t["label"], pa.int64()).to_numpy(zero_copy_only=False)
-        flat = t["embedding"].combine_chunks().flatten().to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        q = np.floor(flat * quant).astype(np.int64).reshape(len(t), dim)
+        q = _quantize(t)
+        # per-block partial-sum bound, checked in Python ints (no wrap):
+        # n rows x |q|max accumulated into one int64 cell
+        if len(t) and int(np.abs(q).max()) * len(t) > I64_MAX:
+            raise ValueError(
+                "embed_outliers: per-block component sum would overflow "
+                "int64 — use a coarser quant")
         ulab, inv = np.unique(lab, return_inverse=True)
         s = np.zeros((len(ulab), dim), np.int64)
         np.add.at(s, inv, q)
@@ -367,9 +398,17 @@ def embed_outliers(embeddings_ds, dim: int = 64,
         Sm, Nm, idx = ray.get(_bref)
         lab = pc.cast(t["label"], pa.int64()).to_numpy(zero_copy_only=False)
         k = np.asarray([idx[int(L)] for L in lab], np.int64)
-        flat = t["embedding"].combine_chunks().flatten().to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        q = np.floor(flat * quant).astype(np.int64).reshape(len(t), dim)
+        q = _quantize(t)
+        # exact Python-int overflow gates for n*q - S and the dim-term
+        # squared sum (the oracle's BIGINT arithmetic raises here too)
+        qmax = int(np.abs(q).max()) if len(t) else 0
+        nmax = int(Nm.max()) if len(Nm) else 0
+        smax = int(np.abs(Sm).max()) if Sm.size else 0
+        dmax = nmax * qmax + smax
+        if dmax > I64_MAX or dim * dmax * dmax > I64_MAX:
+            raise ValueError(
+                "embed_outliers: n*q - S arithmetic would overflow "
+                "int64 — use a coarser quant (see docstring bound)")
         diff = Nm[k][:, None] * q - Sm[k]
         d2 = np.einsum("ij,ij->i", diff, diff)
         return pa.table({
