@@ -4714,9 +4714,28 @@ _DRIVER_CHECKED = {
     "distinct_users_per_type", "promo_revenue", "supplier_nation_revenue",
     "nation_pair_volume", "train_val_split", "cohort_retention",
     "local_supplier_volume",
+    # CORRECTNESS_r02.json (round 2 window)
+    "ann_ivf_parity", "assistant_share", "bigram_novelty",
+    "bm25_components", "bpe_first_merge", "chunk_coverage_all_algos",
+    "chunk_store_lossless",
+    "cms_probe_bounds", "contamination_score",
+    "conv_windows", "delta_conservation", "doc_rarity", "dsir_weights",
+    "dup_family_sizes", "dup_turn_ratio", "embed_outliers",
+    "embedding_gram", "entity_counts", "hist_coverage", "hll_type_bounds",
+    "jaccard_twin_exact", "kcenter_round1", "lang_balance",
+    "loss_mask_stats", "manifest_coverage", "media_dup_gate",
+    "minhash_twin_sigs", "model_score", "neardup_twin_recall",
+    "novelty_curve", "pack_conservation", "padding_waste",
+    "part_components", "prefix_dups", "profile_drift", "role_alternation",
+    "sa_gram_parity", "shard_balance", "simhash_twin_zero",
+    "split_exclusive", "suffix_dups", "table_profile", "templated_convs",
+    "tool_usage", "turn_dedup", "turn_latency", "winnow_superset",
 }
 
-_REFIX = ("conv_stats", "chunk_coverage", "sessionize")
+# round 3: embed_outliers was the one red row in CORRECTNESS_r02 (hash
+# mismatch) — re-pin it at the head so the NaN/overflow discipline fix
+# is driver-visible alongside 49 never-checked SQL entries.
+_REFIX = ("embed_outliers",)
 
 
 def _window_order(names: list) -> list:

@@ -57,44 +57,38 @@ def kcenter_select(embeddings_ds, k: int = 16, dim: int = 64,
     qds = embeddings_ds.select_columns(["vec_id", "embedding"]).map_batches(
         quantize, batch_format="pyarrow").materialize()
 
-    # first center: smallest vec_id (one tiny per-block min + driver merge)
+    # first center: smallest vec_id.  Each per-block candidate row also
+    # CARRIES the winning row's quantized vector (dim-sized — driver
+    # traffic stays one small row per block) so the driver never re-scans
+    # the dataset to fetch a chosen center (advice r02: the old
+    # broadcast-filtered fetch added k extra full passes).
     def block_min(t: pa.Table) -> pa.Table:
         if len(t) == 0:
-            return pa.table({"m": pa.array([], pa.int64())})
+            return pa.table({"m": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.list_(pa.int64()))})
         v = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        return pa.table({"m": pa.array([int(v.min())], pa.int64())})
+        i = int(np.argmin(v))
+        return pa.table({
+            "m": pa.array([int(v[i])], pa.int64()),
+            "q": pa.array([t["q"][i].as_py()], pa.list_(pa.int64())),
+        })
 
-    mins = [
-        int(b["m"][i].as_py())
-        for b in qds.map_batches(
-            block_min, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow")
-        for i in range(b.num_rows)
-    ]
-    if not mins:
+    first, first_q = None, None
+    for b in qds.map_batches(block_min, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            m = int(b["m"][i].as_py())
+            if first is None or m < first:
+                first = m
+                first_q = np.asarray(b["q"][i].as_py(), np.int64)
+    if first is None:
         return pa.table({"rank": pa.array([], pa.int64()),
                          "vec_id": pa.array([], pa.int64()),
                          "dist_q": pa.array([], pa.int64())})
-    first = min(mins)
 
     chosen_ids: list[int] = [first]
     chosen_d: list[int] = [-1]
-
-    # The driver needs each chosen center's quantized vector.  Fetch it
-    # with a broadcast-filtered scan (pulls exactly one row).
-    def fetch_q(vec_id: int) -> np.ndarray:
-        def pick(t: pa.Table) -> pa.Table:
-            m = pc.equal(t["vec_id"], pa.scalar(vec_id, pa.int64()))
-            return t.filter(m)
-
-        for b in qds.map_batches(pick, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow"):
-            if b.num_rows:
-                return np.asarray(
-                    b["q"][0].as_py(), dtype=np.int64)
-        raise KeyError(f"vec_id {vec_id} not found")
-
-    centers = fetch_q(first).reshape(1, dim)
+    centers = first_q.reshape(1, dim)
 
     for _rank in range(1, k):
         cref = ray.put((centers, np.asarray(chosen_ids, np.int64)))
@@ -103,6 +97,7 @@ def kcenter_select(embeddings_ds, k: int = 16, dim: int = 64,
             empty = pa.table({
                 "vec_id": pa.array([], pa.int64()),
                 "d": pa.array([], pa.int64()),
+                "q": pa.array([], pa.list_(pa.int64())),
             })
             if len(t) == 0:
                 return empty
@@ -121,15 +116,18 @@ def kcenter_select(embeddings_ds, k: int = 16, dim: int = 64,
                 diff = q - c[ci]
                 d[:, ci] = np.einsum("ij,ij->i", diff, diff)
             md = d.min(axis=1)
-            # block winner: max distance, then min vec_id
+            # block winner: max distance, then min vec_id — its q rides
+            # along so the driver never re-fetches it
             best = md.max()
-            wid = v[md == best].min()
+            wi = np.flatnonzero(md == best)
+            wi = wi[np.argmin(v[wi])]
             return pa.table({
-                "vec_id": pa.array([int(wid)], pa.int64()),
+                "vec_id": pa.array([int(v[wi])], pa.int64()),
                 "d": pa.array([int(best)], pa.int64()),
+                "q": pa.array([q[wi].tolist()], pa.list_(pa.int64())),
             })
 
-        best_d, best_id = -1, None
+        best_d, best_id, best_q = -1, None, None
         for b in qds.map_batches(
                 candidate, batch_format="pyarrow").iter_batches(
                 batch_format="pyarrow"):
@@ -139,11 +137,12 @@ def kcenter_select(embeddings_ds, k: int = 16, dim: int = 64,
                 if d > best_d or (d == best_d and (best_id is None
                                                    or vid < best_id)):
                     best_d, best_id = d, vid
+                    best_q = np.asarray(b["q"][i].as_py(), np.int64)
         if best_id is None:
             break  # fewer than k vectors
         chosen_ids.append(best_id)
         chosen_d.append(best_d)
-        centers = np.vstack([centers, fetch_q(best_id)])
+        centers = np.vstack([centers, best_q])
 
     return pa.table({
         "rank": pa.array(range(len(chosen_ids)), pa.int64()),

@@ -104,11 +104,11 @@ DATA_CARD_SQL_TEMPLATE = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
-       CAST(SUM(strlen(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
        CAST(SUM(len(regexp_extract_all(text, '{token_re}'))) AS BIGINT)
            AS total_tokens,
        CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_texts,
        CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS dup_docs,
-       CAST(MAX(strlen(text)) AS BIGINT) AS max_doc_chars
+       CAST(MAX(length(text)) AS BIGINT) AS max_doc_chars
 FROM documents
 """

@@ -60,6 +60,12 @@ def with_planted_copies(docs_ds, every: int = 10):
     exactly by the ``media_dup_gate`` oracle SQL."""
     def plant(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        # planted-copy ids must stay collision-free with real doc_ids
+        # (a collision would silently alias two docs; advice r02)
+        if len(ids) and int(ids.max()) >= COPY_ID_OFFSET:
+            raise ValueError(
+                f"with_planted_copies: doc_id >= COPY_ID_OFFSET "
+                f"({COPY_ID_OFFSET}) — raise the offset")
         txt = t["text"].combine_chunks().cast(pa.string())
         base = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": txt})
         sel = np.flatnonzero(ids % every == 0)

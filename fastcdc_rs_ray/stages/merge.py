@@ -41,6 +41,15 @@ def merge_snapshot(documents_ds, num_partitions: int = 8):
         if len(t) == 0:
             return _MID.empty_table()
         ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        # synthetic-insert keys must not collide with real ones: a
+        # colliding insert would silently shadow the base row in the
+        # engine's max-code precedence while the SQL oracle's UNION ALL
+        # emits both — RAISE instead of diverging (advice r02)
+        if len(ids) and int(ids.max()) >= INSERT_OFFSET:
+            raise ValueError(
+                f"merge_snapshot: doc_id >= INSERT_OFFSET "
+                f"({INSERT_OFFSET}) — raise the offset to keep synthetic "
+                f"insert keys collision-free")
         nch = pc.utf8_length(t["text"]).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         out_id = [ids]
