@@ -112,8 +112,16 @@ def duplicated_positions_sa(doc_ids: np.ndarray, texts: list[bytes],
                      "pos": pa.array(out.pos, pa.int32())})
 
 
+#: hard cap on the corpus the verification gate may pull driver-side —
+#: the monolithic SA is O(n log^2 n) driver memory/CPU by design; past
+#: this the gate RAISES rather than OOMing the driver (advice r02: the
+#: bound was documented but unenforced).
+SA_GATE_MAX_BYTES = 256 * 1024 * 1024
+
+
 def sa_gram_parity(docs_ds, L: int = 30, num_partitions: int = 8,
-                   sa_L: int | None = None) -> pa.Table:
+                   sa_L: int | None = None,
+                   max_bytes: int = SA_GATE_MAX_BYTES) -> pa.Table:
     """Three-way parity gate: the duplicated-position set computed by the
     distributed gram exchange must equal the set computed by a genuine
     monolithic suffix array (and the count equals the oracle's DuckDB
@@ -122,11 +130,29 @@ def sa_gram_parity(docs_ds, L: int = 30, num_partitions: int = 8,
 
     ``sa_L`` lets the pytest plant a violation (mismatched thresholds
     make the gate COUNT a nonzero difference — falsifiability hook).
-    The gate pulls the gate corpus driver-side for the reference SA
-    (bounded by the verification-corpus size; the production tier never
-    does this).
+    The gate pulls the gate corpus driver-side for the reference SA —
+    a verification-only materialization with an ENFORCED byte budget:
+    the corpus size is measured with a distributed pass first, and a
+    corpus over ``max_bytes`` RAISES (run the gate on a bounded slice
+    instead; the production tier never materializes at all).
     """
+    import pyarrow.compute as pc
+
     from .substring import duplicated_gram_rows
+
+    total = 0
+    for b in docs_ds.map_batches(
+            lambda t: pa.table({"b": pa.array(
+                [pc.sum(pc.binary_length(
+                    t["text"].combine_chunks().cast(pa.binary()))).as_py()
+                 or 0], pa.int64())}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        total += sum(b["b"].to_pylist())
+    if total > max_bytes:
+        raise ValueError(
+            f"sa_gram_parity: gate corpus is {total} bytes > max_bytes="
+            f"{max_bytes}; the monolithic reference SA is driver-side by "
+            f"design — run the gate on a bounded corpus slice")
 
     gram = duplicated_gram_rows(docs_ds, L=L, num_partitions=num_partitions)
     gt = gram.to_pandas()

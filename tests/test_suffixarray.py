@@ -96,3 +96,14 @@ def test_sa_gram_parity_falsifiable(ray_session):
     out = sa_gram_parity(_docs_ds(texts), L=30, num_partitions=2,
                          sa_L=29).to_pandas()
     assert int(out.n_sa_only[0]) > 0
+
+
+def test_sa_gram_parity_byte_budget_enforced(ray_session):
+    """The gate's driver-side SA pull has an ENFORCED bound: a corpus
+    over max_bytes RAISES instead of materializing (advice r02)."""
+    import pytest
+
+    texts = ["padding " + _BOILER for _ in range(4)]
+    with pytest.raises(ValueError, match="max_bytes"):
+        sa_gram_parity(_docs_ds(texts), L=30, num_partitions=2,
+                       max_bytes=16)
