@@ -3098,7 +3098,7 @@ def q_part_components(sf_dir: str):
     import pyarrow.compute as pc
     import ray.data as rd
 
-    from ..stages.cc import connected_components_distributed
+    from ..stages.cc import connected_components_bsp
     from ..stages.pagerank import copurchase_edges
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
@@ -3116,8 +3116,11 @@ def q_part_components(sf_dir: str):
         lambda t: pa.table({"conv_id": pc.cast(t["p_partkey"], pa.int64())}),
         batch_format="pyarrow",
     )
-    cc = connected_components_distributed(
-        edges, members, max_rounds=30, num_partitions=8,
+    # BSP actor-pool CC: per-round cost is two message barriers, not two
+    # Dataset hash shuffles (each shuffle setup alone cost ~0.7 s/round;
+    # this graph needs ~18 rounds — stages/cc.py:connected_components_bsp)
+    cc = connected_components_bsp(
+        edges, members, max_rounds=60, n_shards=8,
         vertex_type=pa.int64())
     return cc.map_batches(
         lambda t: pa.table({

@@ -111,17 +111,6 @@ def _to_pandas_exact(t: pa.Table):
         types_mapper={pa.int64(): pd.Int64Dtype()}.get)
 
 
-def _hash_col_u64(arr: pa.Array) -> np.ndarray:
-    """Per-row u64 hash of a string OR integer vertex column (fingerprint
-    input)."""
-    from ..util import hash_str_array_u64
-
-    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
-        return hash_str_array_u64(arr)
-    return arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(
-        np.uint64)
-
-
 def _sever(mds):
     """Re-wrap a MaterializedDataset's blocks as a fresh Dataset, dropping
     the logical-plan history.  Each CC round unions two datasets derived
@@ -180,29 +169,31 @@ def connected_components_distributed(
     )
     labels = _sever(labels)
 
-    def _fingerprint(ds) -> int:
-        """Order-insensitive xor of per-row (v, label) hashes.  Reduced to
-        ONE u64 per block inside map_batches — the driver never sees the
-        label table itself (it is corpus-sized)."""
+    def _n_changed(mds) -> int:
+        """Count of tag-3 (reverse-message) rows in a materialized round
+        output — emitted exactly for vertices whose label CHANGED this
+        round, so 0 means fixpoint (see convergence note in the loop).
+        Computed with one tiny raw Ray task per block over the already-
+        materialized refs: no Dataset execution (each execution carries
+        a ~0.5 s scheduling floor that dominated part_components'
+        wall — the old per-round fingerprint pass cost one such
+        execution per round)."""
+        import ray
 
-        def block_xor(b: pa.Table) -> pa.Table:
-            from ..util import mix64
+        @ray.remote(num_cpus=0.25)
+        def count_tag3(block) -> int:
+            import pyarrow.compute as pc
 
-            if len(b) == 0:
-                return pa.table({"x": pa.array([], pa.uint64())})
-            hv = _hash_col_u64(b["v"].combine_chunks())
-            hl = _hash_col_u64(b["label"].combine_chunks())
-            x = np.bitwise_xor.reduce(mix64(hv ^ hl))
-            return pa.table({"x": pa.array([x], pa.uint64())})
+            t = block if isinstance(block, pa.Table) else \
+                pa.Table.from_batches([block])
+            if len(t) == 0:
+                return 0
+            return int(pc.sum(pc.cast(pc.equal(
+                t["tag"], pa.scalar(3, pa.int8())), pa.int64())).as_py()
+                or 0)
 
-        s = np.uint64(0)
-        for b in ds.map_batches(
-            block_xor, batch_format="pyarrow"
-        ).iter_batches(batch_format="pyarrow"):
-            if b.num_rows:
-                s ^= np.bitwise_xor.reduce(
-                    b["x"].combine_chunks().to_numpy())
-        return int(s)
+        return sum(ray.get([count_tag3.remote(r)
+                            for r in mds.to_arrow_refs()]))
 
     def _settle(deadline_s: float = 2.0) -> None:
         """Give the previous round's hash-shuffle aggregator actors a
@@ -231,10 +222,15 @@ def connected_components_distributed(
         ("k", vertex_type), ("u", vertex_type),
         ("origin", vertex_type), ("label", vertex_type)])
 
+    import os as _os
+    import time as _time
+    _dbg = bool(_os.environ.get("GRAFT_CC_DEBUG"))
+
     rev = None  # reverse-pointer candidates carried from the previous round
-    prev_fp = _fingerprint(labels)
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
+        _t0 = _time.monotonic()
         _settle()
+        _t1 = _time.monotonic()
         # ---- stage 1 (keyed on k): every consumer of label[k] meets the
         # label row of k — edge rows (neighbor propagation), query rows
         # (forward pointer jump label[label[v]]).
@@ -324,6 +320,7 @@ def connected_components_distributed(
 
         both = _sever(cand.map_batches(
             combine, batch_format="pyarrow", batch_size=None).materialize())
+        _t2 = _time.monotonic()
 
         def pick_labels(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -345,10 +342,20 @@ def connected_components_distributed(
         labels = both.map_batches(pick_labels, batch_format="pyarrow")
         rev = both.map_batches(pick_rev, batch_format="pyarrow")
 
-        fp = _fingerprint(labels)
-        if fp == prev_fp:
+        # Convergence: tag-3 rows are emitted exactly when a vertex's
+        # label changed (old present and != new), so 0 of them means no
+        # label moved this round.  That is a fixpoint even though last
+        # round's rev input was non-empty: next round's candidate set is
+        # a SUBSET of this round's (same labels, empty rev), its
+        # per-vertex min is >= this round's min and <= the own-label
+        # candidate — both equal the unchanged label.
+        nch = _n_changed(both)
+        if _dbg:
+            print(f"[cc] round {_round}: settle={_t1-_t0:.2f}s "
+                  f"exec={_t2-_t1:.2f}s count={_time.monotonic()-_t2:.2f}s "
+                  f"changed={nch}", flush=True)
+        if nch == 0:
             break
-        prev_fp = fp
     else:
         raise RuntimeError(
             f"connected_components_distributed did not converge within "
@@ -360,3 +367,262 @@ def connected_components_distributed(
         lambda t: pa.table({"conv_id": t["v"], "cluster_id": t["label"]}),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------------------------
+# BSP actor-pool variant: the iterative-fixpoint exception
+# --------------------------------------------------------------------------
+
+def _shard_of(arr: pa.Array, n: int) -> np.ndarray:
+    """Deterministic shard index of a string or int64 vertex column."""
+    from ..util import hash_str_array_u64, mix64
+
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        h = hash_str_array_u64(arr)
+    else:
+        h = mix64(arr.cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.uint64))
+    return (h % np.uint64(n)).astype(np.int64)
+
+
+def _bucketize(t: pa.Table, col: str, n: int) -> list[pa.Table]:
+    """Split a table into n sub-tables by vertex-hash of ``col``."""
+    if len(t) == 0:
+        return [t] * n
+    s = _shard_of(t[col].combine_chunks(), n)
+    order = np.argsort(s, kind="stable")
+    ss = s[order]
+    cuts = np.searchsorted(ss, np.arange(n + 1))
+    tt = t.take(pa.array(order, pa.int64()))
+    return [tt.slice(cuts[i], cuts[i + 1] - cuts[i]) for i in range(n)]
+
+
+class _CCShardActor:
+    """One vertex-range shard of the BSP connected-components loop.
+
+    Holds, for its hash range: the label table (v -> label), the edge
+    rows keyed on their source (co-located with label[k] so neighbor
+    candidates need no extra hop), and the reverse-message candidates
+    carried between rounds.  Each round is two all-to-all message
+    exchanges of fixed-width (vertex, label) rows moved actor-to-actor
+    through the object store — the per-round Dataset-execution floor
+    (~1.4 s/round measured at sf0.1: two hash-shuffle operator setups
+    per round regardless of data size) disappears, which is exactly the
+    'iterative algorithm on a shared mutable index' case where raw Ray
+    actors are warranted over Dataset ops.  Candidate generation is
+    IDENTICAL to connected_components_distributed: neighbor propagation,
+    forward pointer jump label[label[v]], own label, and the hash-to-min
+    reverse message (Rastogi et al. 2013) that makes rounds O(log n).
+    """
+
+    def __init__(self, n_shards: int, shard_id: int,
+                 vertex_type_str: str = "string"):
+        self.n = n_shards
+        self.i = shard_id
+        self.vt = (pa.int64() if vertex_type_str == "int64"
+                   else pa.string())
+        self._edges: list[pa.Table] = []
+        self._members: list[pa.Table] = []
+        self.edges: pa.Table | None = None   # (k, u) with shard(k) == i
+        self.labels = None                   # pandas v -> label
+        self.pending: list = []              # candidate tables for next round
+
+    def add_edges(self, t: pa.Table) -> None:
+        self._edges.append(t)
+
+    def add_members(self, t: pa.Table) -> None:
+        self._members.append(t)
+
+    def seal(self) -> int:
+        import pandas as pd
+
+        e = (pa.concat_tables(self._edges) if self._edges
+             else pa.table({"k": pa.array([], pa.string()),
+                            "u": pa.array([], pa.string())}))
+        self.edges = e
+        m = (pa.concat_tables(self._members) if self._members else None)
+        if m is None or len(m) == 0:
+            self.labels = pd.DataFrame({"v": [], "label": []})
+        else:
+            df = _to_pandas_exact(m)
+            self.labels = pd.DataFrame(
+                {"v": df["v"], "label": df["v"]}).drop_duplicates("v")
+        self._edges, self._members = [], []
+        return len(self.labels)
+
+    def phase_queries(self):
+        """-> n tables: forward-jump queries (k=label[v], origin=v),
+        bucketed by shard(k)."""
+        lab = self.labels
+        q = pa.table({
+            "k": pa.Array.from_pandas(lab["label"]),
+            "origin": pa.Array.from_pandas(lab["v"]),
+        })
+        return tuple(_bucketize(q, "k", self.n))
+
+    def phase_answers(self, *qparts):
+        """queries routed here -> n candidate tables (v, label) bucketed
+        by shard(v): jump answers (origin, label[k]) + neighbor
+        propagation (u, label[k]) from the co-located edges."""
+        import pandas as pd
+
+        lab = self.labels
+        # n_shards == 1: num_returns=1 delivers the 1-tuple itself
+        qparts = [q[0] if isinstance(q, tuple) else q for q in qparts]
+        qs = [q for q in qparts if q is not None and len(q)]
+        cands = []
+        if qs:
+            qt = _to_pandas_exact(pa.concat_tables(qs))
+            a = qt.merge(lab, left_on="k", right_on="v", how="inner")
+            cands.append(pd.DataFrame({"v": a["origin"], "label": a["label"]}))
+        if len(self.edges):
+            et = _to_pandas_exact(self.edges)
+            ne = et.merge(lab, left_on="k", right_on="v", how="inner")
+            cands.append(pd.DataFrame({"v": ne["u"], "label": ne["label"]}))
+        if cands:
+            c = pd.concat(cands)
+            # pre-min per (shard-local) vertex before shipping: the
+            # combiner that keeps message volume per round <= V rows
+            c = c.groupby("v", as_index=False)["label"].min()
+            ct = pa.Table.from_pandas(c, preserve_index=False)
+        else:
+            ct = pa.table({"v": pa.Array.from_pandas(lab["v"]).slice(0, 0),
+                           "label":
+                           pa.Array.from_pandas(lab["label"]).slice(0, 0)})
+        return tuple(_bucketize(ct, "v", self.n))
+
+    def phase_combine(self, *cparts):
+        """candidates routed here (+ pending reverse messages) -> new
+        labels; returns n reverse-message tables bucketed by
+        shard(old_label) + the changed-vertex count (last return)."""
+        import pandas as pd
+
+        lab = self.labels
+        self_pending, self.pending = self.pending, []
+        if len(lab) == 0:
+            # no local vertices: nothing to update; candidates routed
+            # here name non-member vertices and are dropped (the inner
+            # merge below would drop them anyway)
+            empty = pa.table({"v": pa.array([], self.vt),
+                              "label": pa.array([], self.vt)})
+            return tuple([empty] * self.n + [0])
+        frames = [lab]
+        cparts = [c[0] if isinstance(c, tuple) else c for c in cparts]
+        for c in cparts:
+            if c is not None and len(c):
+                frames.append(_to_pandas_exact(c))
+        for c in self_pending:
+            if len(c):
+                frames.append(_to_pandas_exact(c))
+        allc = pd.concat(frames)
+        new = allc.groupby("v", as_index=False)["label"].min()
+        # restrict to this shard's universe (reverse messages can name
+        # vertices that exist; inner-merge keeps the old label alongside)
+        m = new.merge(lab.rename(columns={"label": "old"}), on="v",
+                      how="inner")
+        changed = m[m["label"] != m["old"]]
+        self.labels = pd.DataFrame({"v": m["v"], "label": m["label"]})
+        rev = pa.Table.from_pandas(
+            pd.DataFrame({"v": changed["old"], "label": changed["label"]}),
+            preserve_index=False)
+        out = list(_bucketize(rev, "v", self.n))
+        out.append(len(changed))
+        return tuple(out)
+
+    def set_pending(self, *rparts) -> None:
+        self.pending = [r for r in rparts if r is not None and len(r)]
+
+    def fetch_labels(self) -> pa.Table:
+        if len(self.labels) == 0:
+            return pa.table({"conv_id": pa.array([], self.vt),
+                             "cluster_id": pa.array([], self.vt)})
+        return pa.table({
+            "conv_id": pa.Array.from_pandas(
+                self.labels["v"]).cast(self.vt),
+            "cluster_id": pa.Array.from_pandas(
+                self.labels["label"]).cast(self.vt),
+        })
+
+
+def connected_components_bsp(
+    edges_ds, members_ds, max_rounds: int = 60, n_shards: int = 8,
+    vertex_type: pa.DataType = pa.string(),
+):
+    """Hash-to-min connected components on a pool of long-lived shard
+    actors (see _CCShardActor).  Same output contract as the other two
+    variants: (conv_id, cluster_id = component-min vertex), singletons
+    included.  Preferred for graphs needing many rounds: per-round cost
+    is two actor-to-actor message barriers, not two Dataset hash
+    shuffles."""
+    import ray
+    import ray.data as rd
+
+    vt_str = "int64" if pa.types.is_integer(vertex_type) else "string"
+    # fractional CPUs: the pool must never reserve the whole cluster away
+    # from the read tasks that feed it (n_shards x 1.0 deadlocked a
+    # 4-CPU session); shards are latency-bound message handlers, not
+    # sustained compute
+    Actor = ray.remote(num_cpus=0.25)(_CCShardActor)
+    actors = [Actor.remote(n_shards, i, vt_str) for i in range(n_shards)]
+
+    def route_edges(t: pa.Table) -> pa.Table:
+        both = pa.table({
+            "k": pa.concat_arrays([t["src"].combine_chunks(),
+                                   t["dst"].combine_chunks()]),
+            "u": pa.concat_arrays([t["dst"].combine_chunks(),
+                                   t["src"].combine_chunks()]),
+        })
+        for i, part in enumerate(_bucketize(both, "k", n_shards)):
+            if len(part):
+                actors[i].add_edges.remote(part)
+        return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+    def route_members(t: pa.Table) -> pa.Table:
+        m = pa.table({"v": t["conv_id"]})
+        for i, part in enumerate(_bucketize(m, "v", n_shards)):
+            if len(part):
+                actors[i].add_members.remote(part)
+        return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+    # loading runs driver-side over the stream so actor handles need no
+    # serialization into tasks; blocks are small fixed-width rows
+    for b in edges_ds.iter_batches(batch_format="pyarrow"):
+        route_edges(b if isinstance(b, pa.Table)
+                    else pa.Table.from_batches([b]))
+    for b in members_ds.select_columns(["conv_id"]).iter_batches(
+            batch_format="pyarrow"):
+        route_members(b if isinstance(b, pa.Table)
+                      else pa.Table.from_batches([b]))
+    ray.get([a.seal.remote() for a in actors])
+
+    n = n_shards
+    for _round in range(max_rounds):
+        qgrid = [a.phase_queries.options(num_returns=n).remote()
+                 for a in actors]
+        if n == 1:
+            qgrid = [[r] for r in qgrid]
+        cgrid = [actors[j].phase_answers.options(num_returns=n).remote(
+            *[qgrid[i][j] for i in range(n)]) for j in range(n)]
+        if n == 1:
+            cgrid = [[r] for r in cgrid]
+        rgrid = [actors[j].phase_combine.options(num_returns=n + 1).remote(
+            *[cgrid[i][j] for i in range(n)]) for j in range(n)]
+        changed = sum(ray.get([rgrid[j][n] for j in range(n)]))
+        if changed == 0:
+            break
+        ray.get([actors[j].set_pending.remote(
+            *[rgrid[i][j] for i in range(n)]) for j in range(n)])
+    else:
+        raise RuntimeError(
+            f"connected_components_bsp did not converge within "
+            f"{max_rounds} rounds — raise max_rounds (rounds needed ~ "
+            f"log2 of the largest component size)")
+
+    refs = [a.fetch_labels.remote() for a in actors]
+    out = rd.from_arrow_refs(refs)
+    # detach from the actors' lifetime: materialize the (small, per-
+    # vertex) label blocks before the pool is released
+    out = out.materialize()
+    for a in actors:
+        ray.kill(a)
+    return _sever(out)
