@@ -472,7 +472,17 @@ def _run_cc(cc: str, edges, sigs, num_partitions: int):
         cc = "driver" if edges.count() <= CC_DRIVER_EDGE_LIMIT else "distributed"
     if cc == "driver":
         return connected_components_driver(edges, sigs)
-    return connected_components_distributed(edges, sigs, num_partitions=num_partitions)
+    if cc == "dataset_shuffle":
+        # the pure-Dataset label-propagation rounds (kept for parity
+        # tests; each round pays two hash-shuffle setups)
+        return connected_components_distributed(
+            edges, sigs, num_partitions=num_partitions)
+    # "distributed": BSP actor-pool hash-to-min (stages/cc.py) — same
+    # candidate semantics, per-round cost is two message barriers
+    from ..stages.cc import connected_components_bsp
+
+    return connected_components_bsp(
+        edges, sigs, n_shards=max(2, min(16, num_partitions // 4)))
 
 
 def neardup_clusters(
