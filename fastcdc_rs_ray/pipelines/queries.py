@@ -3559,6 +3559,159 @@ def q_dedup_normalized(sf_dir: str):
                             num_partitions=8)
 
 
+# --------------------------------------------------------------------------
+# round-3 invariant gates (stages/gates.py) — falsifiable 1-row gates over
+# the remaining rows-only tiers; each pairs with a pytest red-path proof
+# --------------------------------------------------------------------------
+
+
+def q_bpe_train_merges(sf_dir: str):
+    """Full BPE merge-table gate: the first 4 training rounds
+    (rank, left, right, new_id, n) hash-matched against a DuckDB replay
+    that re-derives each round's argmax pair and applies the merge via
+    delimiter-safe string replacement — the iterative trainer's actual
+    output behind the driver's SQL gate (stages/bpe.py)."""
+    from ..stages.bpe import bpe_train
+
+    t = bpe_train(_documents(sf_dir, ["text"]), n_merges=4)
+    return t.select(["rank", "left", "right", "new_id", "n"])
+
+
+def q_hist_spread_gate(sf_dir: str):
+    """Normalized-chunking spread gate: NC3's relative chunk-size
+    variance must be strictly below NC0's (exact cross-multiplied int
+    comparison); total_bytes is the SQL-checkable corpus sum
+    (stages/gates.py)."""
+    from ..stages.gates import hist_spread_gate
+
+    conv = assemble(transcripts_from_documents(sf_dir), num_partitions=16)
+    return hist_spread_gate(conv)
+
+
+def q_ann_recall_monotone(sf_dir: str):
+    """IVF recall-curve gate: recall@k is non-decreasing in n_probe
+    (candidate sets only grow) and the all-cells endpoint is exact
+    (1000 permille) — the measured ann_recall_report curve reduced to
+    its hard invariants (stages/gates.py)."""
+    from ..stages.ann import load_queries_from_dataset
+    from ..stages.gates import ann_recall_monotone
+
+    ds = _embeddings(sf_dir)
+    qids, qmat = load_queries_from_dataset(ds, ANN_N_QUERIES)
+    return ann_recall_monotone(ds, qids, qmat, k=ANN_K, n_cells=16)
+
+
+def q_doc_neardup_twin_gate(sf_dir: str):
+    """Doc-level near-dup recall gate: every planted byte-identical copy
+    (doc_id % 10 == 0) must land in its source's cluster; the planted
+    census is the SQL side (stages/gates.py)."""
+    from ..stages.gates import doc_neardup_twin_gate
+
+    return doc_neardup_twin_gate(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def q_pagerank_mass_gate(sf_dir: str):
+    """PageRank mass gate: every quantized rank >= teleport base and
+    total mass <= SCALE (floor divisions only lose mass); n_nodes is
+    SQL-derived from the co-purchase edge derivation (stages/gates.py)."""
+    import ray.data as rd
+
+    from ..stages.gates import pagerank_mass_gate
+    from ..stages.pagerank import SCALE, copurchase_edges, pagerank
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_linenumber"])
+    ranks = pagerank(copurchase_edges(li, num_partitions=8), n_iter=10)
+    return pagerank_mass_gate(ranks, SCALE)
+
+
+def q_pca_rayleigh_gate(sf_dir: str):
+    """PCA gate: the gram trace (exactly SQL-derivable) plus the
+    Rayleigh bound lambda_max >= trace/dim on the power-iteration
+    estimate (stages/gates.py)."""
+    import ray.data as rd
+
+    from ..stages.gates import pca_rayleigh_gate
+
+    return pca_rayleigh_gate(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]))
+
+
+def q_ridge_normal_gate(sf_dir: str):
+    """Ridge gate: the distributed-sufficient-statistics solve must
+    satisfy its own normal equations (G + lam I) w = b to float
+    tolerance (stages/gates.py)."""
+    import ray.data as rd
+
+    from ..stages.gates import ridge_normal_gate
+
+    return ridge_normal_gate(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"]))
+
+
+def q_kcenter_radius_gate(sf_dir: str):
+    """k-center gate: the greedy covering-radius sequence is weakly
+    decreasing — the 2-approximation's hard invariant
+    (stages/gates.py)."""
+    import ray.data as rd
+
+    from ..stages.coreset import kcenter_select
+    from ..stages.gates import kcenter_radius_gate
+
+    return kcenter_radius_gate(kcenter_select(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]), k=16))
+
+
+def q_kmeans_inertia_gate(sf_dir: str):
+    """k-means gate: Lloyd's objective is non-increasing per round;
+    n_vecs is the SQL COUNT(*) (stages/gates.py)."""
+    from ..stages.gates import kmeans_inertia_gate
+
+    return kmeans_inertia_gate(_embeddings(sf_dir), k=8, n_iter=10)
+
+
+def q_hll_merge_gate(sf_dir: str):
+    """HLL gate: register banks are elementwise max, so 2-way and 8-way
+    block layouts give bit-equal estimates, and the estimate sits within
+    5% of the SQL-exact COUNT(DISTINCT user_id) (stages/gates.py)."""
+    import ray.data as rd
+
+    from ..stages.gates import hll_merge_users_gate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return hll_merge_users_gate(ds)
+
+
+def q_compress_double_gate(sf_dir: str):
+    """Compressibility direction gate: text doubled must compress to a
+    strictly lower permille than text single for every doc >= 64 bytes
+    (the codec finds the repeat) (stages/gates.py)."""
+    from ..stages.gates import compress_double_gate
+
+    return compress_double_gate(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def q_locality_gain_gate(sf_dir: str):
+    """Locality-layout gate: with planted byte-identical copies, the
+    simhash-ordered layout gzips strictly smaller than the hash-of-id
+    layout (stages/gates.py)."""
+    from ..stages.gates import locality_gain_gate
+
+    return locality_gain_gate(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def q_semdedup_planted_gate(sf_dir: str):
+    """SemDeDup recall gate: planted exact-duplicate embeddings (cosine
+    exactly 1, same k-means bucket) must all be dropped at tau=0.97
+    (stages/gates.py)."""
+    from ..stages.gates import semdedup_planted_gate
+
+    return semdedup_planted_gate(_embeddings(sf_dir))
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -3784,6 +3937,20 @@ QUERIES = {
     "sliding_window_sums": q_sliding_window_sums,
     "chunk_store_roundtrip": q_chunk_store_roundtrip,
     "semantic_dedup": q_semantic_dedup,
+    # round-3 invariant gates (stages/gates.py)
+    "bpe_train_merges": q_bpe_train_merges,
+    "hist_spread_gate": q_hist_spread_gate,
+    "ann_recall_monotone": q_ann_recall_monotone,
+    "doc_neardup_twin_gate": q_doc_neardup_twin_gate,
+    "pagerank_mass_gate": q_pagerank_mass_gate,
+    "pca_rayleigh_gate": q_pca_rayleigh_gate,
+    "ridge_normal_gate": q_ridge_normal_gate,
+    "kcenter_radius_gate": q_kcenter_radius_gate,
+    "kmeans_inertia_gate": q_kmeans_inertia_gate,
+    "hll_merge_gate": q_hll_merge_gate,
+    "compress_double_gate": q_compress_double_gate,
+    "locality_gain_gate": q_locality_gain_gate,
+    "semdedup_planted_gate": q_semdedup_planted_gate,
 }
 
 
@@ -4684,6 +4851,141 @@ from ..sources.columnar import INGEST_MIXED_SCHEMA_SQL  # noqa: E402
 ORACLE_SQL["ingest_mixed_schema"] = INGEST_MIXED_SCHEMA_SQL
 from ..stages.sessions import SLIDING_WINDOW_SUMS_SQL  # noqa: E402
 ORACLE_SQL["sliding_window_sums"] = SLIDING_WINDOW_SUMS_SQL
+
+
+# --- round-3 invariant-gate oracles (stages/gates.py) ----------------------
+
+def _bpe_replay_sql(n_rounds: int = 4) -> str:
+    """DuckDB replay of the first ``n_rounds`` BPE training rounds.
+
+    Words tokenize with the engine's whitespace rule; each word encodes
+    its symbol sequence as a string of ',id,' cells (every symbol owns
+    BOTH its delimiters, so plain left-to-right ``replace`` of
+    ',a,,b,' -> ',nid,' applies a merge with exactly the engine's
+    non-overlapping greedy semantics).  Each round recomputes weighted
+    adjacent-pair counts from the cell list and picks the engine's
+    argmax (count DESC, left ASC, right ASC)."""
+    sql = r"""WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '[^ \t
+]+')) AS token FROM documents
+), w AS (
+  SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+), enc0 AS (
+  SELECT cnt, array_to_string(list_transform(string_split(token, ''),
+         c -> ',' || ascii(c) || ','), '') AS s
+  FROM w
+)"""
+    for r in range(n_rounds):
+        nid = 256 + r
+        sql += f""", p{r} AS (
+  SELECT CAST(l[i] AS BIGINT) AS a, CAST(l[i+1] AS BIGINT) AS b,
+         CAST(SUM(cnt) AS BIGINT) AS n
+  FROM (SELECT cnt, regexp_extract_all(s, ',([0-9]+),', 1) AS l
+        FROM enc{r}),
+       unnest(generate_series(1, len(l) - 1)) AS u(i)
+  GROUP BY a, b
+), m{r} AS (
+  SELECT a, b, n FROM p{r} ORDER BY n DESC, a ASC, b ASC LIMIT 1
+), enc{r + 1} AS (
+  SELECT cnt, replace(s,
+      ',' || (SELECT a FROM m{r}) || ',,' || (SELECT b FROM m{r}) || ',',
+      ',{nid},') AS s
+  FROM enc{r}
+)"""
+    parts = [
+        f'SELECT CAST({r} AS BIGINT) AS "rank", a AS "left", b AS "right",'
+        f" CAST({256 + r} AS BIGINT) AS new_id, n FROM m{r}"
+        for r in range(n_rounds)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(parts)
+
+
+ORACLE_SQL["bpe_train_merges"] = _bpe_replay_sql(4)
+
+ORACLE_SQL["hist_spread_gate"] = f"""{_TRANSCRIPT_CTE}
+SELECT CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(1 AS BIGINT) AS nc_hi_narrower
+FROM transcripts
+"""
+
+ORACLE_SQL["ann_recall_monotone"] = """
+SELECT CAST(5 AS BIGINT) AS n_levels, CAST(4 AS BIGINT) AS n_monotone,
+       CAST(1000 AS BIGINT) AS endpoint_permille
+"""
+
+ORACLE_SQL["doc_neardup_twin_gate"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+       CAST(COUNT(*) AS BIGINT) AS n_coclustered
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+ORACLE_SQL["pagerank_mass_gate"] = """
+WITH d AS (
+  SELECT src, dst FROM (
+    SELECT l_partkey AS src,
+           lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_linenumber, l_partkey) AS dst
+    FROM lineitem
+  ) WHERE dst IS NOT NULL
+), nodes AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM d UNION ALL SELECT dst FROM d)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(COUNT(*) AS BIGINT) AS n_ge_base,
+       CAST(1 AS BIGINT) AS mass_le_scale
+FROM nodes
+"""
+
+ORACLE_SQL["pca_rayleigh_gate"] = """
+SELECT CAST(SUM(q * q) AS BIGINT) AS trace_q,
+       CAST(1 AS BIGINT) AS lam_ge_avg
+FROM (
+  SELECT CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+)
+"""
+
+ORACLE_SQL["ridge_normal_gate"] = """
+SELECT CAST(64 AS BIGINT) AS n_features, CAST(1 AS BIGINT) AS normal_ok
+"""
+
+ORACLE_SQL["kcenter_radius_gate"] = """
+SELECT CAST(LEAST(16, COUNT(*)) AS BIGINT) AS k,
+       CAST(GREATEST(0, LEAST(16, COUNT(*)) - 2) AS BIGINT)
+           AS n_nonincreasing
+FROM embeddings
+"""
+
+ORACLE_SQL["kmeans_inertia_gate"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(1 AS BIGINT) AS monotone_ok
+FROM embeddings
+"""
+
+ORACLE_SQL["hll_merge_gate"] = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       CAST(1 AS BIGINT) AS merge_equal, CAST(1 AS BIGINT) AS within_tol
+FROM events
+"""
+
+ORACLE_SQL["compress_double_gate"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_lower
+FROM documents WHERE strlen(text) >= 64
+"""
+
+ORACLE_SQL["locality_gain_gate"] = """
+SELECT CAST((SELECT COUNT(*) FROM documents)
+            + (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0)
+            AS BIGINT) AS n_docs,
+       CAST(1 AS BIGINT) AS gain_ok
+"""
+
+ORACLE_SQL["semdedup_planted_gate"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+       CAST(COUNT(*) AS BIGINT) AS n_dropped
+FROM embeddings WHERE vec_id % 5 = 0
+"""
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.

@@ -1,0 +1,459 @@
+"""Round-3 invariant gates: falsifiable 1-row reductions of the
+remaining rows-only tiers (VERDICT r2 item 6).
+
+Same discipline as stages/invariants.py: each gate reduces a pipeline
+whose full output is not SQL-expressible (iterative, approximate, or
+codec-dependent) to a tiny table in which at least one column is
+INDEPENDENTLY derivable by the DuckDB oracle (a corpus count, an exact
+trace, a planted-duplicate census) and the rest are hard algebraic
+invariants of the algorithm (monotonicity, conservation, mergeability,
+endpoint parity) that a broken implementation falsifies.  Every gate has
+a pytest knob proving it CAN go red (tests/test_gates.py).
+
+Covered tiers -> gate:
+  bpe_train            -> bpe_train_merges (full 4-round SQL replay,
+                          registered in pipelines/queries.py)
+  chunk_size_histogram -> hist_spread_gate (NC3 strictly narrower)
+  ann_recall_report    -> ann_recall_monotone (recall non-decreasing in
+                          n_probe; full-probe endpoint == parity)
+  doc_neardup_clusters -> doc_neardup_twin_gate (planted-copy recall)
+  part_pagerank        -> pagerank_mass_gate (rank >= base, mass bound)
+  embedding_pca        -> pca_rayleigh_gate (exact SQL trace + Rayleigh
+                          lower bound lambda_max >= trace/dim)
+  ridge_fit            -> ridge_normal_gate (normal-equation residual)
+  kcenter_coreset      -> kcenter_radius_gate (covering radius weakly
+                          decreasing)
+  kmeans_clusters      -> kmeans_inertia_gate (Lloyd objective
+                          non-increasing)
+  ndv_users_hll        -> hll_merge_users_gate (merge-invariance + 5%
+                          band around the SQL-exact distinct count)
+  compressibility      -> compress_double_gate (doubled text compresses
+                          strictly below single)
+  locality_compression -> locality_gain_gate (simhash order beats
+                          hash-of-id order on a twin-bearing corpus)
+  semantic_dedup       -> semdedup_planted_gate (planted exact-duplicate
+                          embeddings all dropped)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _one_row(**cols) -> pa.Table:
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in cols.items()})
+
+
+# --------------------------------------------------------------------------
+# chunk_size_histogram: normalized chunking narrows the spread
+# --------------------------------------------------------------------------
+
+
+def hist_spread_gate(conv_ds, lo_level: int = 0, hi_level: int = 3,
+                     base_cfg=None) -> pa.Table:
+    """(total_bytes, nc_hi_narrower): higher normalization must yield a
+    strictly smaller relative size variance (the 2020 paper's point of
+    normalized chunking); total_bytes is the SQL-checkable coverage sum.
+
+    Relative variance compared exactly in Python ints:
+        CV^2 = (n * sum(x^2) - sum(x)^2) / sum(x)^2
+    cross-multiplied so no division happens."""
+    from .chunk import ChunkerConfig, DEFAULT_CONFIG, chunk
+
+    base = base_cfg or DEFAULT_CONFIG
+    stats = {}
+    for lvl in (lo_level, hi_level):
+        cfg = ChunkerConfig(
+            min_size=base.min_size, avg_size=base.avg_size,
+            max_size=base.max_size, algo=base.algo, seed=base.seed,
+            norm_level=lvl)
+        chunks = chunk(conv_ds, cfg)
+
+        def partial(t: pa.Table) -> pa.Table:
+            ln = t["length"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "n": pa.array([len(ln)], pa.int64()),
+                "s": pa.array([int(ln.sum())], pa.int64()),
+                "s2": pa.array([int((ln * ln).sum())], pa.int64()),
+            })
+
+        n = s = s2 = 0
+        for b in chunks.map_batches(
+                partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            n += sum(b["n"].to_pylist())
+            s += sum(b["s"].to_pylist())
+            s2 += sum(b["s2"].to_pylist())
+        stats[lvl] = (n, s, s2)
+
+    n0, s0, q0 = stats[lo_level]
+    n1, s1, q1 = stats[hi_level]
+    # CV^2(hi) < CV^2(lo)  <=>  (n1*q1 - s1^2) * s0^2 < (n0*q0 - s0^2) * s1^2
+    narrower = int((n1 * q1 - s1 * s1) * s0 * s0
+                   < (n0 * q0 - s0 * s0) * s1 * s1)
+    return _one_row(total_bytes=s1, nc_hi_narrower=narrower)
+
+
+# --------------------------------------------------------------------------
+# ann_recall_report: recall monotone in n_probe; full probe == parity
+# --------------------------------------------------------------------------
+
+
+def ann_recall_monotone(emb_ds, qids, qmat, k: int = 10, n_cells: int = 16,
+                        probes: tuple[int, ...] = (1, 2, 4, 8, 16),
+                        truth_k: int | None = None) -> pa.Table:
+    """(n_levels, n_monotone, endpoint_permille): probing more IVF cells
+    can only grow the candidate set, and any global-top-k member present
+    among candidates always survives local top-k -> recall@probe is
+    non-decreasing, and probing all cells is EXACT (endpoint 1000).
+    ``truth_k`` is the falsifiability knob (mismatched truth -> endpoint
+    below 1000)."""
+    from .ann import ann_topk_bruteforce, ann_topk_ivf
+
+    def pairs(tbl) -> dict:
+        t = tbl if isinstance(tbl, pa.Table) else tbl
+        cols = t.column_names
+        nid = "neighbor_id" if "neighbor_id" in cols else "vec_id"
+        out: dict[int, set] = {}
+        for q, v in zip(t["query_id"].to_pylist(), t[nid].to_pylist()):
+            out.setdefault(q, set()).add(v)
+        return out
+
+    truth = pairs(ann_topk_bruteforce(emb_ds, qids, qmat,
+                                      k=truth_k or k))
+    recalls = []
+    for p in sorted(probes):
+        mine = pairs(ann_topk_ivf(emb_ds, qids, qmat, k=k,
+                                  n_cells=n_cells, n_probe=p))
+        num = sum(len(mine.get(q, set()) & tv) for q, tv in truth.items())
+        den = sum(len(tv) for tv in truth.values())
+        recalls.append(1000 * num // max(1, den))
+    n_monotone = sum(1 for a, b in zip(recalls, recalls[1:]) if b >= a)
+    return _one_row(n_levels=len(recalls), n_monotone=n_monotone,
+                    endpoint_permille=recalls[-1])
+
+
+# --------------------------------------------------------------------------
+# doc_neardup_clusters: planted-copy recall
+# --------------------------------------------------------------------------
+
+
+def doc_neardup_twin_gate(documents_ds, every: int = 10,
+                          mutate: bool = False) -> pa.Table:
+    """(n_planted, n_coclustered): plant a byte-identical copy of every
+    ``doc_id % every == 0`` document (mediadup.with_planted_copies) and
+    require the doc-level near-dup pipeline to put each copy in its
+    source's cluster.  ``mutate`` scrambles the copies (falsifiability:
+    scrambled copies must NOT co-cluster)."""
+    from ..pipelines.neardup import doc_neardup_clusters
+    from .mediadup import COPY_ID_OFFSET, with_planted_copies
+
+    planted = with_planted_copies(documents_ds, every=every)
+    if mutate:
+        def scramble(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            txt = t["text"].combine_chunks().to_pylist()
+            out = [
+                ("".join(chr((ord(c) - 32 + 13) % 94 + 32)
+                         for c in s) if i >= COPY_ID_OFFSET else s)
+                for i, s in zip(ids.tolist(), txt)
+            ]
+            return pa.table({"doc_id": t["doc_id"],
+                             "text": pa.array(out, pa.string())})
+
+        planted = planted.map_batches(scramble, batch_format="pyarrow")
+
+    clusters = doc_neardup_clusters(planted, num_partitions=8).to_pandas()
+    lab = {int(c): v for c, v in zip(clusters["conv_id"].astype(int),
+                                     clusters["cluster_id"])}
+    n_planted = n_co = 0
+    for did in list(lab):
+        if did >= COPY_ID_OFFSET:
+            n_planted += 1
+            src = did - COPY_ID_OFFSET
+            if src in lab and lab[src] == lab[did]:
+                n_co += 1
+    return _one_row(n_planted=n_planted, n_coclustered=n_co)
+
+
+# --------------------------------------------------------------------------
+# part_pagerank: per-node floor and mass upper bound
+# --------------------------------------------------------------------------
+
+
+def pagerank_mass_gate(ranks_tbl: pa.Table, scale: int,
+                       damping_pct: int = 85) -> pa.Table:
+    """(n_nodes, n_ge_base, mass_le_scale): every quantized rank is
+    >= the teleport base (new = base + nonnegative contributions) and
+    the floor divisions only ever LOSE mass, so sum(rank_q) <= SCALE.
+    n_nodes is SQL-checkable from the co-purchase edge derivation."""
+    r = ranks_tbl["rank_q"].to_numpy(zero_copy_only=False)
+    n = len(r)
+    base = (scale * (100 - damping_pct) // 100) // max(1, n)
+    return _one_row(
+        n_nodes=n,
+        n_ge_base=int((r >= base).sum()),
+        mass_le_scale=int(int(r.sum()) <= scale),
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding_pca: exact trace + Rayleigh lower bound
+# --------------------------------------------------------------------------
+
+
+def pca_rayleigh_gate(embeddings_ds, dim: int = 64,
+                      shrink_pct: int = 100) -> pa.Table:
+    """(trace_q, lam_ge_avg): the gram trace (sum of squared quantized
+    components) is EXACTLY SQL-derivable; the power-iteration estimate
+    of lambda_max must satisfy the Rayleigh bound
+    lambda_max >= trace/dim (avg of eigenvalues).  ``shrink_pct`` is
+    the falsifiability knob (shrinking the estimate below 100% breaks
+    the bound on any corpus with spread eigenvalues)."""
+    from .vecagg import QUANT, embedding_gram
+
+    gram = embedding_gram(embeddings_ds, dim=dim, quant=QUANT)
+    gi = gram["i"].to_numpy(zero_copy_only=False) - 1
+    gj = gram["j"].to_numpy(zero_copy_only=False) - 1
+    gv = gram["gram_q"].to_numpy(zero_copy_only=False)
+    g = np.zeros((dim, dim), np.float64)
+    g[gi, gj] = gv
+    g[gj, gi] = gv
+    trace_q = int(gv[gi == gj].sum())
+    v = np.ones(dim, np.float64) / np.sqrt(dim)
+    for _ in range(64):
+        nv = g @ v
+        nrm = np.linalg.norm(nv)
+        if nrm == 0.0:
+            break
+        v = nv / nrm
+    lam = float(v @ g @ v) * shrink_pct / 100.0
+    return _one_row(trace_q=trace_q,
+                    lam_ge_avg=int(lam * dim >= float(trace_q)))
+
+
+# --------------------------------------------------------------------------
+# ridge_fit: normal-equation residual
+# --------------------------------------------------------------------------
+
+
+def ridge_normal_gate(embeddings_ds, dim: int = 64,
+                      lam_q2: int = 10 ** 12,
+                      perturb: float = 0.0) -> pa.Table:
+    """(n_features, normal_ok): the closed-form solve must satisfy its
+    own normal equations (G + lam I) w = b to float tolerance —
+    the invariant that catches a wrong G/b assembly or a broken solve.
+    ``perturb`` adds to w (falsifiability)."""
+    from .vecagg import QUANT, embedding_gram, embedding_xty
+
+    gram = embedding_gram(embeddings_ds, dim=dim, quant=QUANT)
+    xty = embedding_xty(embeddings_ds, dim=dim, quant=QUANT)
+    gi = gram["i"].to_numpy(zero_copy_only=False) - 1
+    gj = gram["j"].to_numpy(zero_copy_only=False) - 1
+    gv = gram["gram_q"].to_numpy(zero_copy_only=False).astype(np.float64)
+    g = np.zeros((dim, dim), np.float64)
+    g[gi, gj] = gv
+    g[gj, gi] = gv
+    b = xty["xty_q"].to_numpy(zero_copy_only=False).astype(np.float64)
+    a = g + float(lam_q2) * np.eye(dim)
+    w = np.linalg.solve(a, b) + perturb
+    resid = np.linalg.norm(a @ w - b)
+    ok = int(resid <= 1e-6 * max(1.0, np.linalg.norm(b)))
+    return _one_row(n_features=dim, normal_ok=ok)
+
+
+# --------------------------------------------------------------------------
+# kcenter_coreset: covering radius weakly decreasing
+# --------------------------------------------------------------------------
+
+
+def kcenter_radius_gate(coreset_tbl: pa.Table) -> pa.Table:
+    """(k, n_nonincreasing): greedy farthest-point picks the CURRENT
+    farthest vector each round, so the covering-radius sequence dist_q
+    (ranks 1..k-1) is weakly decreasing — a hard invariant of the
+    2-approximation."""
+    d = coreset_tbl.sort_by("rank")["dist_q"].to_numpy(
+        zero_copy_only=False)
+    seq = d[1:]  # rank 0 is -1 (no earlier center)
+    noninc = sum(1 for a, b in zip(seq, seq[1:]) if b <= a)
+    return _one_row(k=len(d), n_nonincreasing=noninc)
+
+
+# --------------------------------------------------------------------------
+# kmeans: Lloyd objective non-increasing
+# --------------------------------------------------------------------------
+
+
+def kmeans_inertia_gate(embeddings_ds, k: int = 8,
+                        n_iter: int = 10) -> pa.Table:
+    """(n_vecs, n_rounds, n_nonincreasing): Lloyd's two half-steps each
+    minimize the objective, so per-round inertia is non-increasing
+    (float tolerance 1e-9 relative).  n_vecs is the SQL-checkable
+    COUNT(*) of embeddings."""
+    from .kmeans import kmeans
+
+    _assign_ds, _cent, hist = kmeans(embeddings_ds, k=k, n_iter=n_iter,
+                                     return_inertia=True)
+    n_vecs = 0
+    for b in _assign_ds.map_batches(
+            lambda t: pa.table({"n": pa.array([len(t)], pa.int64())}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        n_vecs += sum(b["n"].to_pylist())
+    return kmeans_history_gate(hist, n_vecs)
+
+
+def kmeans_history_gate(hist: list[float], n_vecs: int) -> pa.Table:
+    """Reduction half of kmeans_inertia_gate, split out so the pytest
+    can feed a doctored history (falsifiability).  monotone_ok rather
+    than a round count: early convergence shortens the history and the
+    oracle cannot know the final length."""
+    tol = 1e-9
+    noninc = sum(1 for a, b in zip(hist, hist[1:])
+                 if b <= a * (1 + tol) + tol)
+    return _one_row(n_vecs=n_vecs,
+                    monotone_ok=int(noninc == max(0, len(hist) - 1)))
+
+
+# --------------------------------------------------------------------------
+# ndv_users_hll: mergeability + accuracy band vs SQL-exact
+# --------------------------------------------------------------------------
+
+
+def hll_merge_users_gate(events_ds, tol_pct: int = 5,
+                         fake_second: float | None = None) -> pa.Table:
+    """(n_exact, merge_equal, within_tol): the HLL register bank is an
+    elementwise max — merging per-block partials in ANY grouping gives
+    the SAME registers, so the estimate from 2-way and 8-way block
+    layouts must be bit-equal; and the estimate must sit within
+    tol_pct of the exact distinct count, which the oracle derives as
+    COUNT(DISTINCT user_id).  ``fake_second`` substitutes the second
+    estimate (falsifiability)."""
+    from .sketch import ndv_sketch
+
+    est_a = float(ndv_sketch(
+        events_ds.repartition(2), key="user_id")["ndv_estimate"][0].as_py())
+    est_b = fake_second if fake_second is not None else float(ndv_sketch(
+        events_ds.repartition(8), key="user_id")["ndv_estimate"][0].as_py())
+
+    # exact NDV via per-block distinct -> driver set union (NDV-sized)
+    seen: set[int] = set()
+    for b in events_ds.map_batches(
+            lambda t: pa.table({"u": pc.unique(t["user_id"])}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        seen.update(b["u"].to_pylist())
+    n_exact = len(seen)
+    within = int(abs(est_a - n_exact) <= n_exact * tol_pct / 100.0)
+    return _one_row(n_exact=n_exact, merge_equal=int(est_a == est_b),
+                    within_tol=within)
+
+
+# --------------------------------------------------------------------------
+# compressibility: doubled text compresses strictly below single
+# --------------------------------------------------------------------------
+
+
+def compress_double_gate(documents_ds, min_bytes: int = 64,
+                         factor: int = 2) -> pa.Table:
+    """(n_docs, n_lower): for every document of >= min_bytes, zlib of
+    text*factor must land at a strictly lower permille than zlib of
+    text (the codec finds the repeat) — the direction the
+    compressibility quality signal relies on.  ``factor=1`` is the
+    falsifiability knob (identical text -> never strictly lower)."""
+    import zlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks()
+        n = lower = 0
+        for s in txt.to_pylist():
+            raw = s.encode()
+            if len(raw) < min_bytes:
+                continue
+            n += 1
+            single = len(zlib.compress(raw, 6)) * 1000 // len(raw)
+            doubled = (len(zlib.compress(raw * factor, 6)) * 1000
+                       // (len(raw) * factor))
+            if doubled < single:
+                lower += 1
+        return _one_row(n_docs=n, n_lower=lower)
+
+    n = lower = 0
+    for b in documents_ds.map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        n += sum(b["n_docs"].to_pylist())
+        lower += sum(b["n_lower"].to_pylist())
+    return _one_row(n_docs=n, n_lower=lower)
+
+
+# --------------------------------------------------------------------------
+# locality_compression: simhash order beats hash-of-id order
+# --------------------------------------------------------------------------
+
+
+def locality_gain_gate(documents_ds, every: int = 10,
+                       swap: bool = False) -> pa.Table:
+    """(n_docs, gain_ok): with byte-identical copies planted every
+    ``every`` docs, the simhash-ordered layout must gzip strictly
+    smaller than the hash-of-id layout (near-dups land inside the codec
+    window).  ``swap`` inverts the comparison (falsifiability)."""
+    from .locality import locality_compression
+    from .mediadup import with_planted_copies
+
+    planted = with_planted_copies(
+        documents_ds.select_columns(["doc_id", "text"]), every=every)
+    out = locality_compression(planted, num_partitions=8).to_pandas()
+    by = dict(zip(out["ordering"], out["gz_bytes"]))
+    a, b = by["simhash"], by["doc_id"]
+    if swap:
+        a, b = b, a
+    n_docs = int(out["n_docs"].iloc[0]) if "n_docs" in out.columns else 0
+    return _one_row(n_docs=n_docs, gain_ok=int(a < b))
+
+
+# --------------------------------------------------------------------------
+# semantic_dedup: planted exact-duplicate embeddings all dropped
+# --------------------------------------------------------------------------
+
+SEM_COPY_OFFSET = 10_000_000
+
+
+def semdedup_planted_gate(embeddings_ds, every: int = 5,
+                          tau: float = 0.97) -> pa.Table:
+    """(n_planted, n_dropped): plant an exact copy of every
+    ``vec_id % every == 0`` embedding at vec_id + SEM_COPY_OFFSET; each
+    copy has cosine exactly 1.0 with its source, lands in the same
+    k-means bucket (identical vector -> identical assignment), and must
+    be dropped by the within-cluster dedup.  ``tau > 1`` is the
+    falsifiability knob (nothing can reach it -> n_dropped = 0)."""
+    from .semdedup import semantic_dedup
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(ids) and int(ids.max()) >= SEM_COPY_OFFSET:
+            raise ValueError("vec_id >= SEM_COPY_OFFSET — raise offset")
+        sel = np.flatnonzero(ids % every == 0)
+        base = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "embedding": t["embedding"]})
+        if len(sel) == 0:
+            return base
+        copies = pa.table({
+            "vec_id": pa.array(ids[sel] + SEM_COPY_OFFSET, pa.int64()),
+            "embedding": t["embedding"].combine_chunks().take(
+                pa.array(sel, pa.int64())),
+        })
+        return pa.concat_tables([base, copies])
+
+    planted = embeddings_ds.select_columns(
+        ["vec_id", "embedding"]).map_batches(plant, batch_format="pyarrow")
+    out = semantic_dedup(planted, k=8, tau=tau, num_partitions=8)
+    t = out.to_pandas() if not isinstance(out, pa.Table) else out.to_pandas()
+    planted_rows = t[t["vec_id"] >= SEM_COPY_OFFSET]
+    return _one_row(
+        n_planted=len(planted_rows),
+        n_dropped=int((planted_rows["keep"] == 0).sum()),
+    )

@@ -87,10 +87,13 @@ def _assign(q: np.ndarray, cent: np.ndarray) -> np.ndarray:
     return np.argmin(score, axis=1)
 
 
-def kmeans(ds, k: int = 8, n_iter: int = 10):
+def kmeans(ds, k: int = 8, n_iter: int = 10, return_inertia: bool = False):
     """-> (assignments Dataset (vec_id, cluster), centroids float64 (k,d)).
 
     ``ds`` must have columns (vec_id, embedding list<float>).
+    ``return_inertia`` appends the per-round Lloyd objective history
+    (sum of squared distances, float64) as a third return — the
+    non-increasing sequence kmeans_inertia_gate pins.
     """
     import ray
 
@@ -126,6 +129,7 @@ def kmeans(ds, k: int = 8, n_iter: int = 10):
     kk, d = cent.shape  # kk < k iff the corpus has fewer than k vectors
 
     # --- Lloyd iterations: broadcast centroids, int64 partials ------------
+    inertia_hist: list[float] = []
     for _ in range(n_iter):
         cref = ray.put(cent)
 
@@ -134,7 +138,8 @@ def kmeans(ds, k: int = 8, n_iter: int = 10):
             if len(t) == 0:
                 return pa.table({"cluster": pa.array([], pa.int64()),
                                  "n": pa.array([], pa.int64()),
-                                 "sums": _EMPTY_QVEC})
+                                 "sums": _EMPTY_QVEC,
+                                 "inertia": pa.array([], pa.float64())})
             _, q = _block_mat(t)
             a = _assign(q, c)
             nk = len(c)
@@ -142,10 +147,14 @@ def kmeans(ds, k: int = 8, n_iter: int = 10):
             np.add.at(sums, a, q)
             counts = np.bincount(a, minlength=nk).astype(np.int64)
             live = np.flatnonzero(counts > 0)
+            diff = q.astype(np.float64) - c[a]
+            iner = np.zeros(len(live), np.float64)
+            iner[0] = float((diff * diff).sum()) if len(live) else 0.0
             return pa.table({
                 "cluster": pa.array(live, pa.int64()),
                 "n": pa.array(counts[live], pa.int64()),
                 "sums": _list_i64(sums[live]),
+                "inertia": pa.array(iner, pa.float64()),
             })
 
         agg = pa.concat_tables(
@@ -153,6 +162,8 @@ def kmeans(ds, k: int = 8, n_iter: int = 10):
             for b in proj.map_batches(partial, batch_format="pyarrow")
             .iter_batches(batch_format="pyarrow")
         )
+        inertia_hist.append(float(agg["inertia"].to_numpy().sum())
+                            if len(agg) else 0.0)
         cl = agg["cluster"].combine_chunks().to_numpy(zero_copy_only=False)
         n = agg["n"].combine_chunks().to_numpy(zero_copy_only=False)
         s = agg["sums"].combine_chunks().flatten().to_numpy(
@@ -183,7 +194,10 @@ def kmeans(ds, k: int = 8, n_iter: int = 10):
             "cluster": pa.array(_assign(q, c).astype(np.int64), pa.int64()),
         })
 
-    return proj.map_batches(assign_block, batch_format="pyarrow"), cent
+    out = proj.map_batches(assign_block, batch_format="pyarrow")
+    if return_inertia:
+        return out, cent, inertia_hist
+    return out, cent
 
 
 def kmeans_numpy_reference(ids: np.ndarray, mat_f32: np.ndarray,

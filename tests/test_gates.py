@@ -1,0 +1,162 @@
+"""Round-3 invariant gates (stages/gates.py): every gate must be able
+to go RED — each test plants a violation through the gate's
+falsifiability knob and asserts the gate output diverges from the
+oracle's expectation, plus a green-path check on a clean corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fastcdc_rs_ray.stages import gates as G
+
+
+def _docs(n=60):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta", "chunk", "shuffle",
+             "window", "join", "scan", "stream"]
+    texts = [" ".join(rng.choice(words, 30).tolist()) for _ in range(n)]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def _embs(n=80, dim=64):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    m = rng.normal(scale=0.3, size=(n, dim)).astype(np.float32)
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in range(n)], pa.int32()),
+    }))
+
+
+def test_ann_recall_monotone_red_path(ray_session):
+    from fastcdc_rs_ray.stages.ann import load_queries_from_dataset
+
+    ds = _embs(64)
+    qids, qmat = load_queries_from_dataset(ds, 4)
+    green = G.ann_recall_monotone(ds, qids, qmat, k=5, n_cells=8,
+                                  probes=(1, 2, 8)).to_pandas()
+    assert int(green.endpoint_permille[0]) == 1000
+    assert int(green.n_monotone[0]) == 2
+    red = G.ann_recall_monotone(ds, qids, qmat, k=5, n_cells=8,
+                                probes=(1, 2, 8),
+                                truth_k=9).to_pandas()
+    assert int(red.endpoint_permille[0]) < 1000
+
+
+def test_doc_neardup_twin_gate_red_path(ray_session):
+    green = G.doc_neardup_twin_gate(_docs(), every=10).to_pandas()
+    assert int(green.n_planted[0]) == 6
+    assert int(green.n_coclustered[0]) == 6
+    red = G.doc_neardup_twin_gate(_docs(), every=10,
+                                  mutate=True).to_pandas()
+    assert int(red.n_coclustered[0]) < int(red.n_planted[0])
+
+
+def test_pagerank_mass_gate_red_path(ray_session):
+    t = pa.table({"node": pa.array([1, 2, 3], pa.int64()),
+                  "rank_q": pa.array([100, 100, 100], pa.int64())})
+    ok = G.pagerank_mass_gate(t, scale=1000, damping_pct=85).to_pandas()
+    assert int(ok.n_ge_base[0]) == 3 and int(ok.mass_le_scale[0]) == 1
+    bad = pa.table({"node": pa.array([1, 2, 3], pa.int64()),
+                    "rank_q": pa.array([100, 10, 2000], pa.int64())})
+    red = G.pagerank_mass_gate(bad, scale=1000, damping_pct=85).to_pandas()
+    assert int(red.n_ge_base[0]) < 3 or int(red.mass_le_scale[0]) == 0
+
+
+def test_pca_rayleigh_gate_red_path(ray_session):
+    green = G.pca_rayleigh_gate(_embs()).to_pandas()
+    assert int(green.lam_ge_avg[0]) == 1
+    red = G.pca_rayleigh_gate(_embs(), shrink_pct=1).to_pandas()
+    assert int(red.lam_ge_avg[0]) == 0
+
+
+def test_ridge_normal_gate_red_path(ray_session):
+    green = G.ridge_normal_gate(_embs()).to_pandas()
+    assert int(green.normal_ok[0]) == 1
+    red = G.ridge_normal_gate(_embs(), perturb=10.0).to_pandas()
+    assert int(red.normal_ok[0]) == 0
+
+
+def test_kcenter_radius_gate_red_path():
+    good = pa.table({"rank": pa.array([0, 1, 2, 3], pa.int64()),
+                     "vec_id": pa.array([0, 9, 4, 7], pa.int64()),
+                     "dist_q": pa.array([-1, 100, 90, 90], pa.int64())})
+    ok = G.kcenter_radius_gate(good).to_pandas()
+    assert int(ok.n_nonincreasing[0]) == 2
+    bad = pa.table({"rank": pa.array([0, 1, 2, 3], pa.int64()),
+                    "vec_id": pa.array([0, 9, 4, 7], pa.int64()),
+                    "dist_q": pa.array([-1, 80, 90, 70], pa.int64())})
+    red = G.kcenter_radius_gate(bad).to_pandas()
+    assert int(red.n_nonincreasing[0]) == 1
+
+
+def test_kmeans_history_gate_red_path():
+    ok = G.kmeans_history_gate([9.0, 5.0, 5.0, 4.9], 100).to_pandas()
+    assert int(ok.monotone_ok[0]) == 1
+    red = G.kmeans_history_gate([9.0, 5.0, 6.0, 4.9], 100).to_pandas()
+    assert int(red.monotone_ok[0]) == 0
+
+
+def test_kmeans_inertia_gate_green(ray_session):
+    out = G.kmeans_inertia_gate(_embs(), k=4, n_iter=6).to_pandas()
+    assert int(out.monotone_ok[0]) == 1
+    assert int(out.n_vecs[0]) == 80
+
+
+def test_hll_merge_gate_red_path(ray_session):
+    import ray.data as rd
+
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([i % 97 for i in range(2000)], pa.int64())}))
+    green = G.hll_merge_users_gate(ev).to_pandas()
+    assert int(green.n_exact[0]) == 97
+    assert int(green.merge_equal[0]) == 1
+    assert int(green.within_tol[0]) == 1
+    red = G.hll_merge_users_gate(ev, fake_second=12345.0).to_pandas()
+    assert int(red.merge_equal[0]) == 0
+
+
+def test_compress_double_gate_red_path(ray_session):
+    green = G.compress_double_gate(_docs()).to_pandas()
+    assert int(green.n_docs[0]) > 0
+    assert int(green.n_lower[0]) == int(green.n_docs[0])
+    red = G.compress_double_gate(_docs(), factor=1).to_pandas()
+    assert int(red.n_lower[0]) < int(red.n_docs[0])
+
+
+def test_locality_gain_gate_red_path(ray_session):
+    green = G.locality_gain_gate(_docs(), every=5).to_pandas()
+    assert int(green.gain_ok[0]) == 1
+    red = G.locality_gain_gate(_docs(), every=5, swap=True).to_pandas()
+    assert int(red.gain_ok[0]) == 0
+
+
+def test_semdedup_planted_gate_red_path(ray_session):
+    green = G.semdedup_planted_gate(_embs(), every=5).to_pandas()
+    assert int(green.n_planted[0]) == 16
+    assert int(green.n_dropped[0]) == 16
+    red = G.semdedup_planted_gate(_embs(), every=5, tau=1.5).to_pandas()
+    assert int(red.n_dropped[0]) == 0
+
+
+def test_hist_spread_gate_red_path(ray_session):
+    from fastcdc_rs_ray.sources.transcripts import transcripts_from_documents
+    from fastcdc_rs_ray.stages.assemble import assemble
+
+    conv = assemble(
+        transcripts_from_documents("/root/testdata/sf0.001"),
+        num_partitions=4)
+    green = G.hist_spread_gate(conv).to_pandas()
+    assert int(green.nc_hi_narrower[0]) == 1
+    red = G.hist_spread_gate(conv, lo_level=3, hi_level=0).to_pandas()
+    assert int(red.nc_hi_narrower[0]) == 0
