@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from .cdc import ChunkerConfig, chunk_rows  # noqa: F401
 from .cdc.kernel import chunk_bytes  # noqa: F401
-from .cdc.stream import StreamChunker  # noqa: F401
+from .cdc.stream import StreamChunker, stream_chunks_async  # noqa: F401
 from .pipelines.neardup import (  # noqa: F401
     neardup_clusters,
     neardup_clusters_distributed,

@@ -40,13 +40,13 @@ def chunk_rows(
 
 __all__ = [
     "ChunkerConfig", "chunk_rows", "chunk_rows_np", "chunk_rows_native",
-    "StreamChunker", "stream_chunks", "cut_one",
+    "StreamChunker", "stream_chunks", "stream_chunks_async", "cut_one",
 ]
 
 
 def __getattr__(name):
     # Lazy: stream imports this package (chunk_rows) at module load.
-    if name in ("StreamChunker", "stream_chunks"):
+    if name in ("StreamChunker", "stream_chunks", "stream_chunks_async"):
         from . import stream
 
         return getattr(stream, name)

@@ -140,3 +140,56 @@ def stream_chunks(source, cfg: ChunkerConfig | None = None, *,
     for piece in it:
         yield from sc.update(piece)
     yield from sc.finalize()
+
+
+async def stream_chunks_async(source, cfg: ChunkerConfig | None = None, *,
+                              impl: str = "auto",
+                              read_size: int = 4 << 20):
+    """Async generator over a byte stream — the asyncio-facing drop-in
+    for the reference's ``AsyncStreamCDC::as_stream()``
+    (src/v2020/async_stream_cdc.rs:222-249): ``async for chunk in
+    stream_chunks_async(reader, cfg)``.
+
+    ``source`` may be an async iterable of byte pieces, an object with an
+    async ``read(n)`` coroutine (``asyncio.StreamReader``, aiofiles), or
+    any of the synchronous sources :func:`stream_chunks` accepts (wrapped
+    without blocking the loop beyond one piece).
+
+    Mask parity: the reference's async variant derives its masks with
+    FLOORED ilog2 (src/v2020/async_stream_cdc.rs:124) where the sync
+    chunkers round (src/v2020/mod.rs:414-416); pass
+    ``ChunkerConfig(mask_select="floored")`` to reproduce AsyncStreamCDC
+    bit-for-bit at any ``avg_size``, or leave "rounded" for sync parity —
+    at a power-of-two ``avg_size`` the two coincide
+    (tests/test_async_stream_parity.py pins both).  Chunk records and
+    global offsets are identical to the sync paths; only the driving
+    protocol differs.
+    """
+    sc = StreamChunker(cfg, impl)
+    if isinstance(source, (bytes, bytearray, memoryview)):
+        for c in sc.update(bytes(source)):
+            yield c
+        for c in sc.finalize():
+            yield c
+        return
+    if hasattr(source, "__aiter__"):
+        async for piece in source:
+            for c in sc.update(piece):
+                yield c
+    elif hasattr(source, "read"):
+        import inspect
+
+        async_read = inspect.iscoroutinefunction(source.read)
+        while True:
+            piece = (await source.read(read_size)) if async_read \
+                else source.read(read_size)
+            if not piece:
+                break
+            for c in sc.update(piece):
+                yield c
+    else:
+        for piece in source:
+            for c in sc.update(piece):
+                yield c
+    for c in sc.finalize():
+        yield c

@@ -93,3 +93,62 @@ def test_floored_vs_rounded_mask_divergence(sekien):
     assert _run_stream(
         sekien, ChunkerConfig(4096, 24000, 65535, mask_select="floored"), 999
     ) == cut_floored
+
+
+def test_asyncio_wrapper_matches_async_vectors(sekien):
+    """stream_chunks_async (the asyncio-facing AsyncStreamCDC drop-in)
+    reproduces the reference's 16 KiB async vectors in BOTH mask modes,
+    fed through a genuine async iterator."""
+    import asyncio
+
+    async def byte_pieces(data: bytes, n: int):
+        for i in range(0, len(data), n):
+            await asyncio.sleep(0)
+            yield data[i: i + n]
+
+    from fastcdc_rs_ray.cdc.stream import stream_chunks_async
+
+    for mode in ("rounded", "floored"):
+        cfg = ChunkerConfig(min_size=8192, avg_size=16384, max_size=32768,
+                            mask_select=mode)
+
+        async def run(cfg=cfg):
+            out = []
+            async for c in stream_chunks_async(
+                    byte_pieces(sekien, 65536), cfg):
+                out.append(c)
+            return out
+
+        got = asyncio.run(run())
+        assert [(c.hash, c.offset, c.length) for c in got] == \
+            ASYNC_EXPECTED_16K
+        for c, want in zip(got, ASYNC_EXPECTED_SHA256):
+            assert hashlib.sha256(
+                sekien[c.offset: c.offset + c.length]).hexdigest() == want
+
+
+def test_asyncio_wrapper_async_read_object(sekien):
+    """An object exposing an async read(n) coroutine (the
+    asyncio.StreamReader shape) drives the same boundaries."""
+    import asyncio
+
+    from fastcdc_rs_ray.cdc.stream import stream_chunks_async
+
+    class AsyncReader:
+        def __init__(self, data: bytes, n: int = 50000):
+            self.data, self.pos, self.n = data, 0, n
+
+        async def read(self, _size: int):
+            await asyncio.sleep(0)
+            piece = self.data[self.pos: self.pos + self.n]
+            self.pos += len(piece)
+            return piece
+
+    cfg = ChunkerConfig(min_size=8192, avg_size=16384, max_size=32768)
+
+    async def run():
+        return [c async for c in stream_chunks_async(
+            AsyncReader(sekien), cfg)]
+
+    got = asyncio.run(run())
+    assert [(c.hash, c.offset, c.length) for c in got] == ASYNC_EXPECTED_16K
