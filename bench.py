@@ -153,6 +153,20 @@ BENCH_QUERIES = [
     "bloom_skip_scan",
     "ann_recall_report",
     "export_partitioned",
+    # round-3 invariant gates (stages/gates.py)
+    "bpe_train_merges",
+    "hist_spread_gate",
+    "ann_recall_monotone",
+    "doc_neardup_twin_gate",
+    "pagerank_mass_gate",
+    "pca_rayleigh_gate",
+    "ridge_normal_gate",
+    "kcenter_radius_gate",
+    "kmeans_inertia_gate",
+    "hll_merge_gate",
+    "compress_double_gate",
+    "locality_gain_gate",
+    "semdedup_planted_gate",
 ]
 
 

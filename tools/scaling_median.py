@@ -5,11 +5,17 @@ the full corpus) N times, records each sample's host first-touch probe,
 and reports the median efficiency over QUIET samples (probe < 1.5 s on
 both legs' surrounding probes).  One table row for BASELINE.md.
 
-Usage:  python tools/scaling_median.py [n_samples]
+Usage:  python tools/scaling_median.py [n_samples] [--distributed]
+
+``--distributed`` pins the fully-distributed flagship shape instead
+(GRAFT_SCALE_MODE=distributed: shuffle verify + BSP actor-pool CC, no
+driver-resident data-proportional stage — the multi-node configuration;
+verdict r2 item 8 asked for the same 15-sample protocol there).
 """
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 import time
@@ -20,7 +26,9 @@ import bench  # noqa: E402  (repo root on path; run from /root/repo)
 QUIET_S = 1.5
 
 
-def main(n: int = 6) -> None:
+def main(n: int = 6, distributed: bool = False) -> None:
+    if distributed:
+        os.environ["GRAFT_SCALE_MODE"] = "distributed"
     lo, hi = 8, 32
     full = bench._prepare_corpus(bench.SCALE_CONVS, bench.SCALE_CORPUS)
     small = bench._prepare_corpus(
@@ -52,7 +60,8 @@ def main(n: int = 6) -> None:
         time.sleep(2)
     quiet = [s["eff_weak"] for s in samples if s["quiet"]]
     out = {
-        "metric": "weak_scaling_median",
+        "metric": ("weak_scaling_median_distributed" if distributed
+                   else "weak_scaling_median"),
         "n_samples": n,
         "n_quiet": len(quiet),
         "median_quiet_eff": round(statistics.median(quiet), 3) if quiet else None,
@@ -69,4 +78,6 @@ def main(n: int = 6) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 6)
+    args = [a for a in sys.argv[1:] if a != "--distributed"]
+    main(int(args[0]) if args else 6,
+         distributed="--distributed" in sys.argv)
