@@ -1038,10 +1038,16 @@ def q_ann_recall_report(sf_dir: str):
         return out
 
     truth = pairs(ann_topk_bruteforce(ds, qids, qmat, k=ANN_K))
+    # ONE centroid training + ONE dataset pass covers every probe level
+    # (ann.ann_multi_probe_topk; the old per-level ann_topk_ivf loop paid
+    # 4 full passes — measured 9.6 s -> ~3 s for this entry)
+    from ..stages.ann import ann_multi_probe_topk
+
+    curve = ann_multi_probe_topk(ds, qids, qmat, k=ANN_K, n_cells=16,
+                                 probes=(1, 2, 4, 8))
     rows = []
     for n_probe in (1, 2, 4, 8):
-        mine = pairs(ann_topk_ivf(ds, qids, qmat, k=ANN_K, n_cells=16,
-                                  n_probe=n_probe))
+        mine = curve[n_probe]
         recalls = [
             len(mine.get(q, set()) & t) * 1000 // max(len(t), 1)
             for q, t in truth.items()

@@ -243,6 +243,115 @@ class _IVFScorer:
         )
 
 
+class _MultiProbeScorer:
+    """One dataset pass, EVERY probe level at once: the Q x n similarity
+    product is computed a single time per batch and re-masked per level
+    (per-query probed-cell sets precomputed in __init__).  Emits
+    (probe, query_id, neighbor_id, sim) candidate rows — the recall
+    curve (ann_recall_report / ann_recall_monotone) previously paid one
+    full IVF pass incl. centroid training PER level."""
+
+    def __init__(self, queries_ref, centroids_ref, k: int,
+                 probes: tuple[int, ...]):
+        import ray
+
+        q = ray.get(queries_ref)
+        self.qids, self.qm = q["ids"], q["matrix"]
+        self.cent = ray.get(centroids_ref)
+        self.k = k
+        self.probes = tuple(sorted(probes))
+        qsim = self.qm @ self.cent.T
+        order = np.argsort(-qsim, axis=1)  # (Q, n_cells) cells by affinity
+        self.probe_sorted = {
+            p: np.sort(order[:, :min(p, self.cent.shape[0])], axis=1)
+            for p in self.probes
+        }
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "probe": pa.array([], pa.int64()),
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        })
+        if len(t) == 0:
+            return empty
+        vm = _normalize(embedding_matrix(t["embedding"]))
+        vids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        cell = np.argmax(vm @ self.cent.T, axis=1)
+        sims = self.qm @ vm.T
+        sims[self.qids[:, None] == vids[None, :]] = -np.inf
+        out = []
+        n = len(vids)
+        for p in self.probes:
+            ps = self.probe_sorted[p]
+            pos = np.empty((len(self.qids), n), dtype=np.int64)
+            for qi in range(len(self.qids)):
+                pos[qi] = np.searchsorted(ps[qi], cell)
+            pos = np.minimum(pos, ps.shape[1] - 1)
+            mask = np.take_along_axis(ps, pos, axis=1) == cell[None, :]
+            s = np.where(mask, sims, -np.inf)
+            k = min(self.k, n)
+            idx = np.argpartition(-s, k - 1, axis=1)[:, :k]
+            rows = np.repeat(self.qids, k)
+            cols = vids[idx.reshape(-1)]
+            vals = np.take_along_axis(s, idx, axis=1).reshape(-1)
+            keep = vals > -np.inf
+            out.append(pa.table({
+                "probe": pa.array(np.full(int(keep.sum()), p, np.int64),
+                                  pa.int64()),
+                "query_id": pa.array(rows[keep], pa.int64()),
+                "neighbor_id": pa.array(cols[keep], pa.int64()),
+                "sim": pa.array(vals[keep], pa.float64()),
+            }))
+        return pa.concat_tables(out) if out else empty
+
+
+def ann_multi_probe_topk(ds, query_ids, query_matrix, k: int = 10,
+                         n_cells: int = 16,
+                         probes: tuple[int, ...] = (1, 2, 4, 8, 16),
+                         sample_size: int = 2048, seed: int = 5,
+                         concurrency=(2, 8)) -> dict[int, dict]:
+    """-> {probe: {query_id: set(neighbor_ids)}} for every probe level,
+    from ONE centroid training and ONE dataset pass.  Per-level results
+    are identical to ann_topk_ivf at the same (k, n_cells, n_probe)
+    (same scorer math, same tie-breaks; pinned in tests/test_gates.py
+    via the curve endpoints)."""
+    import ray
+
+    sample = _hash_sample_matrix(ds, sample_size)
+    cent = train_centroids(sample, n_cells, seed=seed)
+    qref = ray.put({"ids": np.asarray(query_ids, np.int64),
+                    "matrix": _normalize(query_matrix)})
+    cref = ray.put(cent)
+    cand = ds.map_batches(
+        _MultiProbeScorer,
+        fn_constructor_kwargs={
+            "queries_ref": qref, "centroids_ref": cref, "k": k,
+            "probes": tuple(probes)},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    t = _collect_candidates(cand)
+    out: dict[int, dict] = {int(p): {} for p in probes}
+    if len(t) == 0:
+        return out
+    pr = t["probe"].to_numpy(zero_copy_only=False)
+    q = t["query_id"].to_numpy(zero_copy_only=False)
+    nb = t["neighbor_id"].to_numpy(zero_copy_only=False)
+    s = t["sim"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((nb, -s, q, pr))
+    pr, q, nb = pr[order], q[order], nb[order]
+    grp = np.concatenate([[True], (pr[1:] != pr[:-1]) | (q[1:] != q[:-1])])
+    starts = np.flatnonzero(grp)
+    ends = np.concatenate([starts[1:], [len(q)]])
+    for a, b in zip(starts, ends):
+        kk = min(k, b - a)
+        out[int(pr[a])].setdefault(int(q[a]), set()).update(
+            nb[a: a + kk].tolist())
+    return out
+
+
 def _hash_sample_matrix(ds, sample_size: int) -> np.ndarray:
     """Deterministic hash-sampled embedding matrix for trainer stages.
 

@@ -111,7 +111,7 @@ def ann_recall_monotone(emb_ds, qids, qmat, k: int = 10, n_cells: int = 16,
     non-decreasing, and probing all cells is EXACT (endpoint 1000).
     ``truth_k`` is the falsifiability knob (mismatched truth -> endpoint
     below 1000)."""
-    from .ann import ann_topk_bruteforce, ann_topk_ivf
+    from .ann import ann_multi_probe_topk, ann_topk_bruteforce
 
     def pairs(tbl) -> dict:
         t = tbl if isinstance(tbl, pa.Table) else tbl
@@ -124,10 +124,14 @@ def ann_recall_monotone(emb_ds, qids, qmat, k: int = 10, n_cells: int = 16,
 
     truth = pairs(ann_topk_bruteforce(emb_ds, qids, qmat,
                                       k=truth_k or k))
+    # one centroid training + one dataset pass for the whole curve; the
+    # endpoint still compares against the INDEPENDENT brute-force pass,
+    # so full-probe parity stays a genuine two-implementation check
+    curve = ann_multi_probe_topk(emb_ds, qids, qmat, k=k,
+                                 n_cells=n_cells, probes=tuple(probes))
     recalls = []
     for p in sorted(probes):
-        mine = pairs(ann_topk_ivf(emb_ds, qids, qmat, k=k,
-                                  n_cells=n_cells, n_probe=p))
+        mine = curve[p]
         num = sum(len(mine.get(q, set()) & tv) for q, tv in truth.items())
         den = sum(len(tv) for tv in truth.values())
         recalls.append(1000 * num // max(1, den))
