@@ -572,27 +572,28 @@ def connected_components_bsp(
             "u": pa.concat_arrays([t["dst"].combine_chunks(),
                                    t["src"].combine_chunks()]),
         })
-        for i, part in enumerate(_bucketize(both, "k", n_shards)):
-            if len(part):
-                actors[i].add_edges.remote(part)
+        refs = [actors[i].add_edges.remote(part)
+                for i, part in enumerate(_bucketize(both, "k", n_shards))
+                if len(part)]
+        ray.get(refs)  # delivered before the task reports done
         return pa.table({"n": pa.array([len(t)], pa.int64())})
 
     def route_members(t: pa.Table) -> pa.Table:
         m = pa.table({"v": t["conv_id"]})
-        for i, part in enumerate(_bucketize(m, "v", n_shards)):
-            if len(part):
-                actors[i].add_members.remote(part)
+        refs = [actors[i].add_members.remote(part)
+                for i, part in enumerate(_bucketize(m, "v", n_shards))
+                if len(part)]
+        ray.get(refs)
         return pa.table({"n": pa.array([len(t)], pa.int64())})
 
-    # loading runs driver-side over the stream so actor handles need no
-    # serialization into tasks; blocks are small fixed-width rows
-    for b in edges_ds.iter_batches(batch_format="pyarrow"):
-        route_edges(b if isinstance(b, pa.Table)
-                    else pa.Table.from_batches([b]))
-    for b in members_ds.select_columns(["conv_id"]).iter_batches(
-            batch_format="pyarrow"):
-        route_members(b if isinstance(b, pa.Table)
-                      else pa.Table.from_batches([b]))
+    # loading is DISTRIBUTED: map tasks bucketize their block and push
+    # parts straight to the shard actors (actor handles serialize into
+    # tasks), so edge bytes never funnel through the driver; each task
+    # ray.get's its pushes, so materialize() returning means every row
+    # is delivered and seal() is safe
+    edges_ds.map_batches(route_edges, batch_format="pyarrow").materialize()
+    members_ds.select_columns(["conv_id"]).map_batches(
+        route_members, batch_format="pyarrow").materialize()
     ray.get([a.seal.remote() for a in actors])
 
     n = n_shards
