@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "compress_double_gate",
     "locality_gain_gate",
     "semdedup_planted_gate",
+    "windowed_dedup",
+    "part_linkage",
 ]
 
 

@@ -3718,6 +3718,37 @@ def q_semdedup_planted_gate(sf_dir: str):
     return semdedup_planted_gate(_embeddings(sf_dir))
 
 
+def q_windowed_dedup(sf_dir: str):
+    """Time-windowed dedup (refetch/replay suppression): an event is a
+    window-duplicate iff the same (user, event_type) occurred within the
+    previous 10 min — re-seen after the window is fresh again.  One
+    keyed exchange + vectorized per-block lexsort; LAG-ordered SQL
+    oracle (stages/windowdedup.py)."""
+    import ray.data as rd
+
+    from ..stages.windowdedup import windowed_dedup_rollup
+
+    return windowed_dedup_rollup(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "event_type",
+                                 "ts"]))
+
+
+def q_part_linkage(sf_dir: str):
+    """Record linkage with rarest-token blocking: part-name pairs
+    compared only within blocks keyed by each name's corpus-rarest word
+    (df broadcast, dimension-sized), verified at word-set Jaccard >=
+    1/2 via exact integer cross-multiplication; hot blocks capped with
+    the identical exclusion in the oracle (stages/linkage.py)."""
+    import ray.data as rd
+
+    from ..stages.linkage import part_name_linkage
+
+    return part_name_linkage(
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_name"]))
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -3957,6 +3988,9 @@ QUERIES = {
     "compress_double_gate": q_compress_double_gate,
     "locality_gain_gate": q_locality_gain_gate,
     "semdedup_planted_gate": q_semdedup_planted_gate,
+    # round-3 new operator families
+    "windowed_dedup": q_windowed_dedup,
+    "part_linkage": q_part_linkage,
 }
 
 
@@ -4992,6 +5026,11 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
        CAST(COUNT(*) AS BIGINT) AS n_dropped
 FROM embeddings WHERE vec_id % 5 = 0
 """
+
+from ..stages.windowdedup import WINDOWED_DEDUP_SQL  # noqa: E402
+ORACLE_SQL["windowed_dedup"] = WINDOWED_DEDUP_SQL
+from ..stages.linkage import PART_NAME_LINKAGE_SQL  # noqa: E402
+ORACLE_SQL["part_linkage"] = PART_NAME_LINKAGE_SQL
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.

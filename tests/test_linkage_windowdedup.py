@@ -1,0 +1,105 @@
+"""Round-3 operator families: rarest-token-blocking record linkage
+(stages/linkage.py) and time-windowed dedup (stages/windowdedup.py) —
+planted-case ground truth plus the blocking/window semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from fastcdc_rs_ray.stages.linkage import part_name_linkage
+from fastcdc_rs_ray.stages.windowdedup import windowed_dedup_rollup
+
+
+def _parts(names):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "p_partkey": pa.array(range(1, len(names) + 1), pa.int64()),
+        "p_name": pa.array(names, pa.string()),
+    }))
+
+
+def test_linkage_finds_planted_pair_and_blocks(ray_session):
+    # dfs: zircon 2, amber 3, blue 2, green 1, quartz 2, ruby/pink 1.
+    # Rarest word ((df, word) lexicographic min): part 1 'blue', part 3
+    # 'blue' -> same block, share {amber, blue} = 2 of 3+3 -> J = 1/2 ->
+    # linked.  Part 2's rarest is 'green' (df 1): blocked apart from
+    # part 1 despite sharing 2 words — the documented blocking trade,
+    # mirrored exactly by the oracle.
+    names = [
+        "zircon amber blue",
+        "zircon amber green",
+        "quartz amber blue",
+        "quartz ruby pink",
+        "plain common words",
+    ]
+    out = part_name_linkage(_parts(names), num_partitions=2).to_pandas()
+    pairs = set(zip(out.part_a, out.part_b))
+    assert (1, 3) in pairs
+    assert (1, 2) not in pairs  # shared words but different rarest word
+    row = out[(out.part_a == 1) & (out.part_b == 3)]
+    assert int(row.n_common.iloc[0]) == 2
+
+
+def test_linkage_hot_block_cap(ray_session):
+    # 40 parts all sharing the same rarest word: cap at 10 excludes the
+    # whole block (mirrored in the oracle's HAVING COUNT(*) <= cap)
+    names = [f"uniqword{i} flare" for i in range(40)]
+    names = ["sharedrare flare extra" + str(i % 2) for i in range(40)]
+    out = part_name_linkage(_parts(names), max_block=10,
+                            num_partitions=2).to_pandas()
+    assert len(out) == 0
+
+
+def test_linkage_jaccard_threshold(ray_session):
+    # share 1 of 3 words with same rarest -> J = 1/5 < 1/2 -> no link
+    names = ["zed alpha beta", "zed gamma delta"]
+    out = part_name_linkage(_parts(names), num_partitions=1).to_pandas()
+    assert len(out) == 0
+
+
+def test_windowed_dedup_semantics(ray_session):
+    import ray.data as rd
+
+    base = 1_700_000_000_000_000  # epoch us
+    w = 600 * 1_000_000
+    rows = [
+        # user 1 click at t0, replay inside the window -> 1 dup
+        (1, 1, "click", base),
+        (2, 1, "click", base + w),          # exactly at window edge: dup
+        (3, 1, "click", base + 3 * w),      # far outside: fresh
+        # user 2 same type at same times: independent per user
+        (4, 2, "click", base),
+        # different type inside window: not a dup
+        (5, 1, "view", base + 1),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+    })
+    out = windowed_dedup_rollup(rd.from_arrow(t), window_us=w,
+                                num_partitions=2).to_pandas()
+    got = {r.event_type: (r.n_events, r.n_window_dups)
+           for r in out.itertuples()}
+    assert got["click"] == (4, 1)
+    assert got["view"] == (1, 0)
+
+
+def test_windowed_dedup_tie_order(ray_session):
+    """Equal timestamps order by event_id (mirrored in the oracle's LAG
+    ORDER BY ts, event_id): the later id is the duplicate."""
+    import ray.data as rd
+
+    base = 1_700_000_000_000_000
+    t = pa.table({
+        "event_id": pa.array([7, 3], pa.int64()),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "event_type": pa.array(["click", "click"], pa.string()),
+        "ts": pa.array([base, base], pa.timestamp("us")),
+    })
+    out = windowed_dedup_rollup(rd.from_arrow(t),
+                                num_partitions=1).to_pandas()
+    assert int(out.n_window_dups.iloc[0]) == 1
