@@ -172,11 +172,11 @@ async def stream_chunks_async(source, cfg: ChunkerConfig | None = None, *,
         for c in sc.finalize():
             yield c
         return
-    if hasattr(source, "__aiter__"):
-        async for piece in source:
-            for c in sc.update(piece):
-                yield c
-    elif hasattr(source, "read"):
+    # read(n) takes priority over __aiter__: asyncio.StreamReader defines
+    # BOTH, and its async iteration is readline-based — newline-free
+    # binary data past the reader limit would raise ('Separator is not
+    # found') instead of chunking.  read(n) is the byte-stream protocol.
+    if hasattr(source, "read"):
         import inspect
 
         async_read = inspect.iscoroutinefunction(source.read)
@@ -185,6 +185,10 @@ async def stream_chunks_async(source, cfg: ChunkerConfig | None = None, *,
                 else source.read(read_size)
             if not piece:
                 break
+            for c in sc.update(piece):
+                yield c
+    elif hasattr(source, "__aiter__"):
+        async for piece in source:
             for c in sc.update(piece):
                 yield c
     else:

@@ -4898,21 +4898,26 @@ ORACLE_SQL["sliding_window_sums"] = SLIDING_WINDOW_SUMS_SQL
 def _bpe_replay_sql(n_rounds: int = 4) -> str:
     """DuckDB replay of the first ``n_rounds`` BPE training rounds.
 
-    Words tokenize with the engine's whitespace rule; each word encodes
-    its symbol sequence as a string of ',id,' cells (every symbol owns
-    BOTH its delimiters, so plain left-to-right ``replace`` of
-    ',a,,b,' -> ',nid,' applies a merge with exactly the engine's
-    non-overlapping greedy semantics).  Each round recomputes weighted
-    adjacent-pair counts from the cell list and picks the engine's
-    argmax (count DESC, left ASC, right ASC)."""
+    Words tokenize with the engine's whitespace rule (the full WS_CLASS
+    incl. \\r\\f — functions/text.py TOKEN_RE); each word encodes its
+    UTF-8 BYTE sequence (via hex() pairs — byte-level like the engine's
+    _words_to_symbols, NOT codepoints: 'é' is two symbols 195,169, and
+    codepoints >= 256 would alias merge ids) as a string of ',id,'
+    cells (every symbol owns BOTH its delimiters, so plain
+    left-to-right ``replace`` of ',a,,b,' -> ',nid,' applies a merge
+    with exactly the engine's non-overlapping greedy semantics).  Each
+    round recomputes weighted adjacent-pair counts from the cell list
+    and picks the engine's argmax (count DESC, left ASC, right ASC)."""
     sql = r"""WITH toks AS (
   SELECT unnest(regexp_extract_all(text, '[^ \t
-]+')) AS token FROM documents
+\r\f]+')) AS token FROM documents
 ), w AS (
   SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
 ), enc0 AS (
-  SELECT cnt, array_to_string(list_transform(string_split(token, ''),
-         c -> ',' || ascii(c) || ','), '') AS s
+  SELECT cnt, array_to_string(list_transform(
+         generate_series(1, length(hex(token)) // 2),
+         i -> ',' || CAST(('0x' || substring(hex(token), 2 * i - 1, 2))
+                          AS INTEGER) || ','), '') AS s
   FROM w
 )"""
     for r in range(n_rounds):

@@ -314,7 +314,21 @@ def connected_components_distributed(
                 "v": snd["old"], "label": snd["label"],
                 "tag": np.int8(3),  # reverse candidates for next round
             })
-            out = pd.concat([new[["v", "label", "tag"]], rev_rows])
+            # a vertex with NO old row is an edge endpoint outside
+            # members_ds that just materialized a label: that IS a state
+            # change, and with no old-label target the reverse message
+            # goes to the vertex itself (an idempotent candidate) purely
+            # so the tag-3 convergence count sees it — next round the
+            # vertex has an old row and stops signalling (review r3:
+            # breaking on tag-3 == 0 alone could stop before a
+            # non-member bridge vertex propagated its label)
+            born = m[m["old"].isna()]
+            born_rows = pd.DataFrame({
+                "v": born["v"], "label": born["label"],
+                "tag": np.int8(3),
+            })
+            out = pd.concat([new[["v", "label", "tag"]], rev_rows,
+                             born_rows])
             return pa.Table.from_pandas(
                 out, preserve_index=False).cast(_cs)
 
@@ -440,13 +454,23 @@ class _CCShardActor:
              else pa.table({"k": pa.array([], pa.string()),
                             "u": pa.array([], pa.string())}))
         self.edges = e
+        # vertex universe = members routed here PLUS edge endpoints that
+        # appear as a local source (edges carry both directions, so every
+        # endpoint is some shard's k): an endpoint outside members_ds
+        # still bridges components, exactly as in the Dataset variant
+        frames = []
         m = (pa.concat_tables(self._members) if self._members else None)
-        if m is None or len(m) == 0:
+        if m is not None and len(m):
+            frames.append(_to_pandas_exact(m)[["v"]])
+        if len(e):
+            frames.append(
+                _to_pandas_exact(e.select(["k"])).rename(
+                    columns={"k": "v"}).drop_duplicates())
+        if not frames:
             self.labels = pd.DataFrame({"v": [], "label": []})
         else:
-            df = _to_pandas_exact(m)
-            self.labels = pd.DataFrame(
-                {"v": df["v"], "label": df["v"]}).drop_duplicates("v")
+            u = pd.concat(frames).drop_duplicates("v")
+            self.labels = pd.DataFrame({"v": u["v"], "label": u["v"]})
         self._edges, self._members = [], []
         return len(self.labels)
 

@@ -455,7 +455,7 @@ def semdedup_planted_gate(embeddings_ds, every: int = 5,
     planted = embeddings_ds.select_columns(
         ["vec_id", "embedding"]).map_batches(plant, batch_format="pyarrow")
     out = semantic_dedup(planted, k=8, tau=tau, num_partitions=8)
-    t = out.to_pandas() if not isinstance(out, pa.Table) else out.to_pandas()
+    t = out.to_pandas()
     planted_rows = t[t["vec_id"] >= SEM_COPY_OFFSET]
     return _one_row(
         n_planted=len(planted_rows),

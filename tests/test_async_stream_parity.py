@@ -152,3 +152,23 @@ def test_asyncio_wrapper_async_read_object(sekien):
 
     got = asyncio.run(run())
     assert [(c.hash, c.offset, c.length) for c in got] == ASYNC_EXPECTED_16K
+
+
+def test_asyncio_wrapper_real_streamreader_binary(sekien):
+    """A genuine asyncio.StreamReader carrying newline-free binary data:
+    the wrapper must use read(n), NOT the reader's readline-based async
+    iteration (which raises 'Separator is not found' past the limit)."""
+    import asyncio
+
+    from fastcdc_rs_ray.cdc.stream import stream_chunks_async
+
+    cfg = ChunkerConfig(min_size=8192, avg_size=16384, max_size=32768)
+
+    async def run():
+        reader = asyncio.StreamReader(limit=65536)
+        reader.feed_data(sekien)
+        reader.feed_eof()
+        return [c async for c in stream_chunks_async(reader, cfg)]
+
+    got = asyncio.run(run())
+    assert [(c.hash, c.offset, c.length) for c in got] == ASYNC_EXPECTED_16K

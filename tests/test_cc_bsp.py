@@ -101,3 +101,26 @@ def test_nonconvergence_raises(ray_session):
             rd.from_arrow(edges), rd.from_arrow(members),
             max_rounds=2, n_shards=2,
         )
+
+
+def test_non_member_bridge_vertex_both_variants(ray_session):
+    """Edge endpoints absent from members_ds still BRIDGE components
+    (review r3): members {3, 5}, edges 5-9 and 9-3 with 9 not a member —
+    both variants must put 3 and 5 in one component and materialize 9."""
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.cc import connected_components_distributed
+
+    edges = pa.table({"src": pa.array([5, 9], pa.int64()),
+                      "dst": pa.array([9, 3], pa.int64())})
+    members = pa.table({"conv_id": pa.array([3, 5], pa.int64())})
+    for fn, kw in (
+        (connected_components_bsp, {"n_shards": 2,
+                                    "vertex_type": pa.int64()}),
+        (connected_components_distributed, {"num_partitions": 2,
+                                            "vertex_type": pa.int64()}),
+    ):
+        out = fn(rd.from_arrow(edges), rd.from_arrow(members),
+                 max_rounds=20, **kw).to_pandas()
+        c = {int(k): int(v) for k, v in zip(out.conv_id, out.cluster_id)}
+        assert c[3] == 3 and c[5] == 3 and c[9] == 3, (fn.__name__, c)

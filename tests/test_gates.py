@@ -160,3 +160,30 @@ def test_hist_spread_gate_red_path(ray_session):
     assert int(green.nc_hi_narrower[0]) == 1
     red = G.hist_spread_gate(conv, lo_level=3, hi_level=0).to_pandas()
     assert int(red.nc_hi_narrower[0]) == 0
+
+
+def test_bpe_replay_sql_byte_level_and_ws_class(ray_session):
+    """The bpe_train_merges oracle is BYTE-level (hex pairs — 'é' is
+    195,169, never codepoint 233) and tokenizes with the engine's full
+    whitespace class incl. \\r: engine and SQL agree on an adversarial
+    corpus (review r3 findings)."""
+    import duckdb
+    import ray.data as rd
+
+    from fastcdc_rs_ray.pipelines.queries import _bpe_replay_sql
+    from fastcdc_rs_ray.stages.bpe import bpe_train
+
+    docs = pa.table({"text": pa.array([
+        "foo\rbar foo\rbar baz qux " * 3,
+        "ééé ééé ééé aa bb aa bb",
+        "normal words normal words here",
+    ], pa.string())})
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(_bpe_replay_sql(4) + ' ORDER BY "rank"').fetchdf()
+    got = bpe_train(rd.from_arrow(docs), n_merges=4).select(
+        ["rank", "left", "right", "new_id", "n"]).to_pandas()
+    assert got.reset_index(drop=True).astype("int64").equals(
+        want.astype("int64"))
+    # byte-level: the second merge is the UTF-8 pair of 'é'
+    assert (195, 169) in set(zip(want["left"], want["right"]))

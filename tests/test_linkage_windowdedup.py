@@ -43,13 +43,20 @@ def test_linkage_finds_planted_pair_and_blocks(ray_session):
 
 
 def test_linkage_hot_block_cap(ray_session):
-    # 40 parts all sharing the same rarest word: cap at 10 excludes the
-    # whole block (mirrored in the oracle's HAVING COUNT(*) <= cap)
-    names = [f"uniqword{i} flare" for i in range(40)]
+    # dfs: sharedrare 40, flare 40, extra0/extra1 20 each -> every
+    # name's rarest word is its extraN, forming two 20-member blocks;
+    # cap at 10 excludes both (mirrored in the oracle's
+    # HAVING COUNT(*) <= cap), so no pair survives despite every pair
+    # inside a block sharing 2 of 3 words (J = 1/2)
     names = ["sharedrare flare extra" + str(i % 2) for i in range(40)]
     out = part_name_linkage(_parts(names), max_block=10,
                             num_partitions=2).to_pandas()
     assert len(out) == 0
+    # raising the cap above the block size turns the pairs on — the cap
+    # is what excluded them, not the predicate
+    out2 = part_name_linkage(_parts(names), max_block=30,
+                             num_partitions=2).to_pandas()
+    assert len(out2) == 2 * (20 * 19 // 2)
 
 
 def test_linkage_jaccard_threshold(ray_session):
