@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "semdedup_planted_gate",
     "windowed_dedup",
     "part_linkage",
+    "last_touch",
 ]
 
 

@@ -3749,6 +3749,22 @@ def q_part_linkage(sf_dir: str):
                         columns=["p_partkey", "p_name"]))
 
 
+def q_last_touch(sf_dir: str):
+    """Last-touch attribution (temporal stream-stream join): each
+    purchase matched to the same user's most recent click at-or-before
+    it within 30 min; one keyed exchange + vectorized segment-aware
+    forward fill; IGNORE-NULLS-window SQL oracle with pinned tie order
+    (stages/attribution.py)."""
+    import ray.data as rd
+
+    from ..stages.attribution import last_touch_attribution
+
+    return last_touch_attribution(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "user_id", "event_type",
+                                 "ts", "value"]))
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -3991,6 +4007,7 @@ QUERIES = {
     # round-3 new operator families
     "windowed_dedup": q_windowed_dedup,
     "part_linkage": q_part_linkage,
+    "last_touch": q_last_touch,
 }
 
 
@@ -5036,6 +5053,8 @@ from ..stages.windowdedup import WINDOWED_DEDUP_SQL  # noqa: E402
 ORACLE_SQL["windowed_dedup"] = WINDOWED_DEDUP_SQL
 from ..stages.linkage import PART_NAME_LINKAGE_SQL  # noqa: E402
 ORACLE_SQL["part_linkage"] = PART_NAME_LINKAGE_SQL
+from ..stages.attribution import LAST_TOUCH_SQL  # noqa: E402
+ORACLE_SQL["last_touch"] = LAST_TOUCH_SQL
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.

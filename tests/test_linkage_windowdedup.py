@@ -110,3 +110,42 @@ def test_windowed_dedup_tie_order(ray_session):
     out = windowed_dedup_rollup(rd.from_arrow(t),
                                 num_partitions=1).to_pandas()
     assert int(out.n_window_dups.iloc[0]) == 1
+
+
+def test_last_touch_attribution_semantics(ray_session):
+    """Planted timeline: at-or-before rule, window bound, per-user
+    isolation, same-ts tie order by event_id (stages/attribution.py)."""
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.attribution import last_touch_attribution
+
+    base = 1_700_000_000_000_000
+    W = 1_800 * 1_000_000
+    rows = [
+        # u1: click then purchase inside window -> attributed (7.00)
+        (1, 1, "click", base, 0.0),
+        (2, 1, "purchase", base + 60_000_000, 7.0),
+        # u1: next purchase far outside the window -> not attributed
+        (3, 1, "purchase", base + 3 * W, 9.0),
+        # u2: purchase BEFORE its click -> not attributed
+        (4, 2, "purchase", base, 5.0),
+        (5, 2, "click", base + 1, 0.0),
+        # u3: same-ts click with SMALLER event_id counts (tie order)
+        (6, 3, "click", base, 0.0),
+        (7, 3, "purchase", base, 3.0),
+        # u4: same-ts click with LARGER event_id does not count
+        (9, 4, "purchase", base, 2.0),
+        (10, 4, "click", base, 0.0),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    })
+    out = last_touch_attribution(rd.from_arrow(t),
+                                 num_partitions=2).to_pandas()
+    assert int(out.n_purchases[0]) == 5
+    assert int(out.n_attributed[0]) == 2          # events 2 and 7
+    assert int(out.attributed_value_c[0]) == 1000  # 7.00 + 3.00
