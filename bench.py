@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "windowed_dedup",
     "part_linkage",
     "last_touch",
+    "part_kcore",
 ]
 
 

@@ -3765,6 +3765,23 @@ def q_last_touch(sf_dir: str):
                                  "ts", "value"]))
 
 
+def q_part_kcore(sf_dir: str):
+    """k-core decomposition (k=30) of the co-purchase part graph:
+    synchronous batch peeling — one streaming degree pass per round with
+    the survivor set broadcast; the unique fixpoint is replayed by a
+    recursive-CTE oracle whose single working row carries the removed
+    set as a LIST (stages/kcore.py)."""
+    import ray.data as rd
+
+    from ..stages.kcore import kcore_members
+    from ..stages.pagerank import copurchase_edges
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey",
+                                  "l_linenumber"])
+    return kcore_members(copurchase_edges(li, num_partitions=8), k=30)
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -4008,6 +4025,7 @@ QUERIES = {
     "windowed_dedup": q_windowed_dedup,
     "part_linkage": q_part_linkage,
     "last_touch": q_last_touch,
+    "part_kcore": q_part_kcore,
 }
 
 
@@ -5055,6 +5073,45 @@ from ..stages.linkage import PART_NAME_LINKAGE_SQL  # noqa: E402
 ORACLE_SQL["part_linkage"] = PART_NAME_LINKAGE_SQL
 from ..stages.attribution import LAST_TOUCH_SQL  # noqa: E402
 ORACLE_SQL["last_touch"] = LAST_TOUCH_SQL
+
+from ..stages.kcore import KCORE_K as _KCORE_K  # noqa: E402
+from ..stages.kcore import KCORE_UNROLL as _KCORE_UNROLL  # noqa: E402
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Synchronous k-core peeling unrolled as MATERIALIZED single-row
+    CTEs (state = removed-set LIST).  MATERIALIZED is load-bearing:
+    DuckDB 1.0 returns WRONG results for correlated aggregates inside
+    RECURSIVE CTEs (measured: first peel round found 6 removable of the
+    true 13), and non-materialized chains re-inline the whole prefix
+    per level.  Peeling is idempotent past the fixpoint, so a fixed
+    unroll is exact whenever the true depth fits — the engine raises
+    beyond it."""
+    sql = """WITH d AS MATERIALIZED (SELECT src, dst FROM (
+    SELECT l_partkey AS src,
+           lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_linenumber, l_partkey) AS dst
+    FROM lineitem) WHERE dst IS NOT NULL AND src <> dst),
+e AS MATERIALIZED (SELECT src, dst FROM d UNION SELECT dst, src FROM d),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+s0 AS MATERIALIZED (SELECT CAST([] AS BIGINT[]) AS removed)"""
+    for r in range(rounds):
+        sql += f""",
+s{r + 1} AS MATERIALIZED (
+  SELECT (SELECT COALESCE(list(v ORDER BY v), CAST([] AS BIGINT[]))
+          FROM nodes n, s{r}
+          WHERE list_contains(s{r}.removed, n.v)
+             OR (SELECT COUNT(*) FROM e
+                 WHERE e.src = n.v
+                   AND NOT list_contains(s{r}.removed, e.dst)) < {k})
+         AS removed)"""
+    sql += f"""
+SELECT n.v AS p_partkey FROM nodes n, s{rounds} f
+WHERE NOT list_contains(f.removed, n.v)"""
+    return sql
+
+
+ORACLE_SQL["part_kcore"] = _kcore_sql(_KCORE_K, _KCORE_UNROLL)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.

@@ -1,0 +1,119 @@
+"""k-core decomposition — iterative batch peeling over the co-purchase
+graph.
+
+The density-filtering graph op (community kernels, spam-subgraph
+mining): the k-core is the maximal subgraph in which every vertex has
+degree >= k.  Synchronous batch peeling (each round removes EVERY
+vertex whose residual degree < k) reaches the same unique fixpoint as
+sequential peeling, in rounds = peel depth.
+
+Plan: canonical distinct edges via one keyed exchange (the
+triangle_count discipline — self loops dropped, multiplicity deduped),
+then per round ONE streaming pass over the materialized edge set with
+the survivor set broadcast via ray.put (the node universe is
+dimension-sized — the same broadcastability assumption as pagerank's
+rank vector): per-block degree partials count surviving neighbors,
+the driver merges dimension-sized partials and peels.  RAISES if the
+fixpoint is not reached within ``max_rounds``.
+
+SQL oracle: the SAME synchronous peeling UNROLLED as a chain of
+MATERIALIZED single-row CTEs each carrying the removed-set as a LIST
+(pipelines/queries.py).  Two DuckDB 1.0 findings drove that shape:
+correlated aggregates inside a RECURSIVE CTE silently return wrong
+results (first peel round counted 6 removable of the true 13), and
+non-materialized CTE chains re-inline the whole prefix per level
+(exponential planning).  Peeling is idempotent past the fixpoint, so
+unrolling KCORE_UNROLL rounds is exact whenever the true peel depth
+fits — the engine RAISES beyond it (agree-or-both-fail).
+
+Output: (p_partkey) of the k-core members, one row per vertex.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+KCORE_K = 30
+
+#: oracle unroll depth; the engine raises if peeling needs more rounds
+KCORE_UNROLL = 12
+
+
+def kcore_members(edges_ds, k: int = KCORE_K, num_partitions: int = 8,
+                  max_rounds: int = KCORE_UNROLL + 1) -> pa.Table:
+    import ray
+
+    canon_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def canon(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return canon_schema.empty_table()
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        a = np.minimum(src, dst)
+        b = np.maximum(src, dst)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if len(a) == 0:
+            return canon_schema.empty_table()
+        key = np.unique(a.astype(np.int64) * np.int64(1 << 32)
+                        + b.astype(np.int64))
+        return pa.table({
+            "a": pa.array(key >> np.int64(32), pa.int64()),
+            "b": pa.array(key & np.int64((1 << 32) - 1), pa.int64()),
+        })
+
+    ce = edges_ds.map_batches(canon, batch_format="pyarrow").repartition(
+        num_blocks=num_partitions, keys=["a", "b"])
+
+    def distinct(t: pa.Table) -> pa.Table:
+        return canon(pa.table({"src": t["a"], "dst": t["b"]})) \
+            if len(t) else canon_schema.empty_table()
+
+    ce = ce.map_batches(distinct, batch_format="pyarrow",
+                        batch_size=None).materialize()
+
+    # node universe (dimension-sized)
+    nodes: set[int] = set()
+    for b in ce.iter_batches(batch_format="pyarrow"):
+        nodes.update(b["a"].to_pylist())
+        nodes.update(b["b"].to_pylist())
+    surv = np.asarray(sorted(nodes), np.int64)
+
+    for _ in range(max_rounds):
+        sref = ray.put(surv)
+
+        def deg_partial(t: pa.Table, _sref=sref) -> pa.Table:
+            s = ray.get(_sref)
+            a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+            b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+            m = np.isin(a, s) & np.isin(b, s)
+            node = np.concatenate([a[m], b[m]])
+            if len(node) == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "deg": pa.array([], pa.int64())})
+            u, c = np.unique(node, return_counts=True)
+            return pa.table({"node": pa.array(u, pa.int64()),
+                             "deg": pa.array(c.astype(np.int64),
+                                             pa.int64())})
+
+        deg: dict[int, int] = {}
+        for b in ce.map_batches(deg_partial, batch_format="pyarrow"
+                                ).iter_batches(batch_format="pyarrow"):
+            for n, d in zip(b["node"].to_pylist(), b["deg"].to_pylist()):
+                deg[n] = deg.get(n, 0) + d
+        new = np.asarray(sorted(v for v in surv.tolist()
+                                if deg.get(v, 0) >= k), np.int64)
+        if len(new) == len(surv):
+            break
+        surv = new
+        if len(surv) == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"kcore_members did not settle within {max_rounds} rounds — "
+            f"the SQL oracle unrolls exactly {max_rounds - 1} peel "
+            f"rounds, so deeper graphs must raise rather than diverge")
+
+    return pa.table({"p_partkey": pa.array(surv, pa.int64())})
