@@ -466,6 +466,16 @@ def neardup_clusters_distributed(transcripts_ds, **kw):
 CC_DRIVER_EDGE_LIMIT = 50_000_000
 
 
+#: BSP actor-pool CC wins while the graph is floor-dominated (its
+#: per-round cost is two message barriers instead of two Dataset
+#: hash-shuffle setups, measured 30 s -> 4.3 s at 20 k vertices) but its
+#: per-shard combine is single-threaded Python — past this vertex count
+#: the Dataset rounds' full-cluster parallelism wins (measured: 46 M
+#: turns / 5.76 M vertices ran 129 s via an 8-shard BSP vs 84 s via the
+#: shuffle rounds).  Self-select like the other tiers.
+CC_BSP_VERTEX_LIMIT = 1_000_000
+
+
 def _run_cc(cc: str, edges, sigs, num_partitions: int):
     if cc == "auto":
         edges = edges.materialize()
@@ -477,8 +487,11 @@ def _run_cc(cc: str, edges, sigs, num_partitions: int):
         # tests; each round pays two hash-shuffle setups)
         return connected_components_distributed(
             edges, sigs, num_partitions=num_partitions)
-    # "distributed": BSP actor-pool hash-to-min (stages/cc.py) — same
-    # candidate semantics, per-round cost is two message barriers
+    # "distributed": BSP actor-pool hash-to-min in the floor-dominated
+    # regime, Dataset shuffle rounds beyond CC_BSP_VERTEX_LIMIT
+    if sigs.count() > CC_BSP_VERTEX_LIMIT:
+        return connected_components_distributed(
+            edges, sigs, num_partitions=num_partitions)
     from ..stages.cc import connected_components_bsp
 
     return connected_components_bsp(
