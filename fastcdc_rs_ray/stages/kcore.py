@@ -81,27 +81,33 @@ def kcore_members(edges_ds, k: int = KCORE_K, num_partitions: int = 8,
         nodes.update(b["b"].to_pylist())
     surv = np.asarray(sorted(nodes), np.int64)
 
+    # per-round degree pass as raw tasks over the materialized edge
+    # blocks: a Dataset execution carries a ~0.5 s scheduling floor that
+    # would be paid once per peel round (the _n_changed lesson,
+    # stages/cc.py); a tiny task per block costs milliseconds
+    refs = ce.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def deg_partial(block, s: np.ndarray):
+        t = block if isinstance(block, pa.Table) else \
+            pa.Table.from_batches([block])
+        if len(t) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = np.isin(a, s) & np.isin(b, s)
+        node = np.concatenate([a[m], b[m]])
+        if len(node) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        u, c = np.unique(node, return_counts=True)
+        return u.astype(np.int64), c.astype(np.int64)
+
     for _ in range(max_rounds):
         sref = ray.put(surv)
-
-        def deg_partial(t: pa.Table, _sref=sref) -> pa.Table:
-            s = ray.get(_sref)
-            a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
-            b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
-            m = np.isin(a, s) & np.isin(b, s)
-            node = np.concatenate([a[m], b[m]])
-            if len(node) == 0:
-                return pa.table({"node": pa.array([], pa.int64()),
-                                 "deg": pa.array([], pa.int64())})
-            u, c = np.unique(node, return_counts=True)
-            return pa.table({"node": pa.array(u, pa.int64()),
-                             "deg": pa.array(c.astype(np.int64),
-                                             pa.int64())})
-
+        parts = ray.get([deg_partial.remote(r, sref) for r in refs])
         deg: dict[int, int] = {}
-        for b in ce.map_batches(deg_partial, batch_format="pyarrow"
-                                ).iter_batches(batch_format="pyarrow"):
-            for n, d in zip(b["node"].to_pylist(), b["deg"].to_pylist()):
+        for u, c in parts:
+            for n, d in zip(u.tolist(), c.tolist()):
                 deg[n] = deg.get(n, 0) + d
         new = np.asarray(sorted(v for v in surv.tolist()
                                 if deg.get(v, 0) >= k), np.int64)
