@@ -3779,7 +3779,8 @@ def q_part_kcore(sf_dir: str):
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_partkey",
                                   "l_linenumber"])
-    return kcore_members(copurchase_edges(li, num_partitions=8), k=30)
+    # k defaults to KCORE_K — the same constant the oracle is built from
+    return kcore_members(copurchase_edges(li, num_partitions=8))
 
 
 QUERIES = {

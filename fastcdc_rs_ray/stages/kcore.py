@@ -103,23 +103,27 @@ def kcore_members(edges_ds, k: int = KCORE_K, num_partitions: int = 8,
         return u.astype(np.int64), c.astype(np.int64)
 
     for _ in range(max_rounds):
+        if len(surv) == 0:
+            break  # empty fixpoint confirmed by the previous round
         sref = ray.put(surv)
         parts = ray.get([deg_partial.remote(r, sref) for r in refs])
-        deg: dict[int, int] = {}
+        # vectorized merge: partial nodes are subsets of the sorted surv
+        acc = np.zeros(len(surv), np.int64)
         for u, c in parts:
-            for n, d in zip(u.tolist(), c.tolist()):
-                deg[n] = deg.get(n, 0) + d
-        new = np.asarray(sorted(v for v in surv.tolist()
-                                if deg.get(v, 0) >= k), np.int64)
+            if len(u):
+                np.add.at(acc, np.searchsorted(surv, u), c)
+        new = surv[acc >= k]
         if len(new) == len(surv):
             break
         surv = new
-        if len(surv) == 0:
-            break
+        # NO early break on empty here: an empty survivor set still needs
+        # the NEXT iteration's trivial confirmation so that emptying on
+        # the final allowed round falls through to the raise — the
+        # oracle only unrolled KCORE_UNROLL rounds and would disagree
     else:
         raise RuntimeError(
             f"kcore_members did not settle within {max_rounds} rounds — "
-            f"the SQL oracle unrolls exactly {max_rounds - 1} peel "
-            f"rounds, so deeper graphs must raise rather than diverge")
+            f"the SQL oracle unrolls exactly {KCORE_UNROLL} peel rounds, "
+            f"so deeper graphs must raise rather than diverge")
 
     return pa.table({"p_partkey": pa.array(surv, pa.int64())})

@@ -66,3 +66,19 @@ def test_deep_peel_raises_beyond_unroll(ray_session):
     pairs = [(i, i + 1) for i in range(n)]
     with pytest.raises(RuntimeError, match="did not settle"):
         kcore_members(_edges(pairs), k=2, max_rounds=5)
+
+
+def test_empty_on_final_round_raises(ray_session):
+    """Emptying on exactly the last allowed peel round must RAISE (the
+    oracle unrolled fewer rounds and would disagree) — review finding:
+    an early empty-break bypassed the contract."""
+    # path of 2n vertices with k=2 peels one vertex pair per end per
+    # round: depth = n.  max_rounds = n means the graph empties ON the
+    # final allowed round -> raise, not silent empty.
+    n = 6
+    pairs = [(i, i + 1) for i in range(2 * n - 1)]
+    with pytest.raises(RuntimeError, match="did not settle"):
+        kcore_members(_edges(pairs), k=2, max_rounds=n)
+    # one more round = fixpoint confirmable -> clean empty result
+    out = kcore_members(_edges(pairs), k=2, max_rounds=n + 1).to_pandas()
+    assert len(out) == 0
