@@ -81,8 +81,20 @@ def main() -> int:
         args.num_partitions = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
 
     t0 = time.perf_counter()
-    ds = read_transcripts(args.input, columns=["conv_id", "turn_idx", "text"],
-                          whole_files=args.pre_partitioned)
+    # an sf testdata dir (raw tables incl. documents.parquet, no
+    # transcripts file) derives its transcripts; a real transcripts
+    # corpus (conv_id, turn_idx, text parquet) reads directly
+    if os.path.isdir(args.input) and os.path.exists(
+            os.path.join(args.input, "documents.parquet")):
+        from fastcdc_rs_ray.sources.transcripts import (
+            transcripts_from_documents,
+        )
+
+        ds = transcripts_from_documents(args.input)
+    else:
+        ds = read_transcripts(args.input,
+                              columns=["conv_id", "turn_idx", "text"],
+                              whole_files=args.pre_partitioned)
 
     kw = dict(num_partitions=args.num_partitions,
               verify_threshold=args.verify_threshold,
