@@ -2335,6 +2335,21 @@ def q_embed_outliers(sf_dir: str):
                         columns=["vec_id", "embedding", "label"]))
 
 
+def q_embed_outliers_gate(sf_dir: str):
+    """1-row small-int localization gate for the driver's persistent
+    embed_outliers hash red row: COUNT / SUM(dist2 % M) / MIN / MAX /
+    vec_id-mixing digest over the full output — one row of small ints
+    leaves a result normalizer nowhere to differ (stages/gates.py
+    embed_outliers_gate; VERDICT r3 item 1)."""
+    import ray.data as rd
+
+    from ..stages.gates import embed_outliers_gate
+
+    return embed_outliers_gate(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"]))
+
+
 def q_kcenter_round1(sf_dir: str):
     """Falsifiable gate for the k-center coreset (the bpe_first_merge
     pattern): the selection's first TWO rows — seed center (min vec_id)
@@ -3835,6 +3850,7 @@ QUERIES = {
     "padding_waste": q_padding_waste,
     "kcenter_round1": q_kcenter_round1,
     "embed_outliers": q_embed_outliers,
+    "embed_outliers_gate": q_embed_outliers_gate,
     "embedding_xty": q_embedding_xty,
     "data_card": q_data_card,
     "pareto_docs": q_pareto_docs,
@@ -4708,6 +4724,16 @@ ORACLE_SQL["kcenter_round1"] = KCENTER_ROUND1_SQL
 from ..stages.vecagg import EMBED_OUTLIERS_SQL, EMBEDDING_XTY_SQL  # noqa: E402
 
 ORACLE_SQL["embed_outliers"] = EMBED_OUTLIERS_SQL
+ORACLE_SQL["embed_outliers_gate"] = f"""
+WITH base AS ({EMBED_OUTLIERS_SQL})
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(dist2 % 1000003) AS BIGINT) AS s_mod,
+       CAST(MIN(dist2) AS BIGINT) AS d_min,
+       CAST(MAX(dist2) AS BIGINT) AS d_max,
+       CAST(SUM(((vec_id % 1000003) * (dist2 % 1000003)) % 1000003)
+            AS BIGINT) AS vm_mod
+FROM base
+"""
 ORACLE_SQL["embedding_xty"] = EMBEDDING_XTY_SQL
 from ..stages.datacard import DATA_CARD_SQL_TEMPLATE  # noqa: E402
 
@@ -5162,12 +5188,32 @@ _DRIVER_CHECKED = {
     "sa_gram_parity", "shard_balance", "simhash_twin_zero",
     "split_exclusive", "suffix_dups", "table_profile", "templated_convs",
     "tool_usage", "turn_dedup", "turn_latency", "winnow_superset",
+    # CORRECTNESS_r03.json (round 3 window; embed_outliers re-pinned)
+    "below_avg_revenue", "bloom_semi_stats", "bloom_skip_scan",
+    "bpe_encode_bytes", "bucketed_join", "category_rollup",
+    "customer_order_counts", "data_card", "dedup_incremental",
+    "embedding_centroids", "embedding_xty", "events_pivot",
+    "funnel_conversions", "heavy_users", "hopping_windows",
+    "hourly_type_series", "inactive_customers", "ingest_jsonl",
+    "ingest_text", "interval_coverage", "inverted_lookup", "large_orders",
+    "median_value_by_type", "merge_snapshot", "monthly_revenue",
+    "moving_sums", "msf_size_gate", "pareto_docs", "part_supplier_counts",
+    "pricing_cube", "pricing_rollup", "priority_exists_counts",
+    "props_k_stats", "purchase_error_users", "quantity_bands",
+    "running_totals", "signup_no_purchase_users", "stratified_sample",
+    "sweep_coverage_gate", "tfidf_terms", "top_tokens",
+    "urgent_vs_purchase", "user_event_paths", "user_spend_rank",
+    "value_quantiles_sketch", "waiting_suppliers", "watermark_windows",
+    "weighted_sample", "zonemap_scan",
 }
 
-# round 3: embed_outliers was the one red row in CORRECTNESS_r02 (hash
-# mismatch) — re-pin it at the head so the NaN/overflow discipline fix
-# is driver-visible alongside 49 never-checked SQL entries.
-_REFIX = ("embed_outliers",)
+# round 4: embed_outliers is STILL the driver's one red row (r02+r03)
+# while the repo's replica hash-matches DuckDB on identical data — pin
+# it at the head TOGETHER with its new 1-row small-int localization
+# gate (stages/gates.py embed_outliers_gate): whichever of the pair
+# goes red in r04 pinpoints whether the divergence lives in the values
+# or in the comparator's 500-row normalization layer (VERDICT r3 item 1).
+_REFIX = ("embed_outliers", "embed_outliers_gate")
 
 
 def _window_order(names: list) -> list:

@@ -461,3 +461,75 @@ def semdedup_planted_gate(embeddings_ds, every: int = 5,
         n_planted=len(planted_rows),
         n_dropped=int((planted_rows["keep"] == 0).sum()),
     )
+
+
+# --------------------------------------------------------------------------
+# embed_outliers: 1-row small-int localization gate (VERDICT r3 item 1)
+# --------------------------------------------------------------------------
+
+OUTLIER_GATE_MOD = 1_000_003
+
+
+def embed_outliers_gate(embeddings_ds, dim: int = 64) -> pa.Table:
+    """(n, s_mod, d_min, d_max, vm_mod): 1-row small-int reduction of the
+    full ``embed_outliers`` output, shipped to LOCALIZE the driver's
+    persistent ``embed_outliers`` hash red row (r02+r03): the repo's
+    replica hash-matches DuckDB on identical data at sf0.001 AND sf0.01,
+    so the divergence must live in the comparator's normalization of the
+    500-row result — one row of ints < 2^50 leaves a normalizer nowhere
+    to differ.  Whichever of the (embed_outliers, embed_outliers_gate)
+    pair goes red in r04 pinpoints the layer.
+
+        n      = COUNT(*)
+        s_mod  = SUM(dist2 % M)                     (M = 1_000_003)
+        d_min  = MIN(dist2),  d_max = MAX(dist2)
+        vm_mod = SUM(((vec_id % M) * (dist2 % M)) % M)
+
+    vm_mod mixes vec_id into the digest so a cross-row permutation of
+    dist2 values (which COUNT/SUM/MIN/MAX cannot see) still flips the
+    gate.  All arithmetic in int64 with explicit Python-int bound checks
+    mirrored by the oracle's BIGINT ops — agree or both fail."""
+    from .vecagg import embed_outliers
+
+    M = OUTLIER_GATE_MOD
+    I64_MAX = (1 << 63) - 1
+    out = embed_outliers(embeddings_ds, dim=dim)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({k: pa.array([], pa.int64())
+                             for k in ("n", "s", "mn", "mx", "vm")})
+        d2 = t["dist2"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vid = t["vec_id"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if d2.min(initial=0) < 0 or vid.min(initial=0) < 0:
+            raise ValueError("embed_outliers_gate: negative dist2/vec_id "
+                             "— modulo semantics would diverge from SQL")
+        dm = d2 % M
+        vm = (vid % M) * dm % M
+        return pa.table({
+            "n": pa.array([len(t)], pa.int64()),
+            "s": pa.array([int(dm.sum())], pa.int64()),
+            "mn": pa.array([int(d2.min())], pa.int64()),
+            "mx": pa.array([int(d2.max())], pa.int64()),
+            "vm": pa.array([int(vm.sum())], pa.int64()),
+        })
+
+    n = s = vm = 0
+    mn, mx = None, None
+    for b in out.map_batches(partial, batch_format="pyarrow"
+                             ).iter_batches(batch_format="pyarrow"):
+        for r in range(b.num_rows):
+            n += b["n"][r].as_py()
+            s += b["s"][r].as_py()
+            vm += b["vm"][r].as_py()
+            bmn, bmx = b["mn"][r].as_py(), b["mx"][r].as_py()
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+    if s > I64_MAX or vm > I64_MAX:
+        raise ValueError("embed_outliers_gate: modular sum exceeds int64 "
+                         "— the oracle's BIGINT SUM would overflow too")
+    return _one_row(n=n, s_mod=s, d_min=mn if mn is not None else 0,
+                    d_max=mx if mx is not None else 0,
+                    vm_mod=vm)

@@ -187,3 +187,48 @@ def test_bpe_replay_sql_byte_level_and_ws_class(ray_session):
         want.astype("int64"))
     # byte-level: the second merge is the UTF-8 pair of 'é'
     assert (195, 169) in set(zip(want["left"], want["right"]))
+
+
+def test_embed_outliers_gate_green_and_red(ray_session):
+    """Green path: the 1-row digest agrees with a direct computation
+    over embed_outliers' own output.  Red path: perturbing ONE
+    embedding component flips s_mod/vm_mod (so the gate is falsifiable),
+    and permuting dist2 across rows flips vm_mod even though
+    n/s_mod/min/max are permutation-blind."""
+    from fastcdc_rs_ray.stages.vecagg import embed_outliers
+
+    M = G.OUTLIER_GATE_MOD
+    emb = _embs(60)
+    out = embed_outliers(emb).to_pandas().sort_values("vec_id")
+    d2 = out["dist2"].to_numpy()
+    vid = out["vec_id"].to_numpy()
+    g = G.embed_outliers_gate(_embs(60)).to_pandas().iloc[0]
+    assert g["n"] == len(d2)
+    assert g["s_mod"] == int((d2 % M).sum())
+    assert g["d_min"] == int(d2.min()) and g["d_max"] == int(d2.max())
+    assert g["vm_mod"] == int(((vid % M) * (d2 % M) % M).sum())
+
+    # red knob 1: one perturbed component changes the digest
+    def poke(t):
+        e = t["embedding"].combine_chunks()
+        flat = e.flatten().to_numpy(zero_copy_only=False).copy()
+        flat[0] += 7.0
+        import pyarrow as _pa
+        return _pa.table({
+            "vec_id": t["vec_id"],
+            "embedding": _pa.FixedSizeListArray.from_arrays(
+                _pa.array(flat, _pa.float32()), 64).cast(
+                _pa.list_(_pa.float32())),
+            "label": t["label"],
+        })
+
+    g2 = G.embed_outliers_gate(
+        _embs(60).map_batches(poke, batch_format="pyarrow")
+    ).to_pandas().iloc[0]
+    assert (g2["s_mod"], g2["vm_mod"]) != (g["s_mod"], g["vm_mod"])
+
+    # red knob 2: a cross-row permutation of dist2 keeps n/s/min/max
+    # but flips the vec_id-mixing digest
+    perm = np.roll(d2, 1)
+    assert int((perm % M).sum()) == g["s_mod"]
+    assert int(((vid % M) * (perm % M) % M).sum()) != g["vm_mod"]
