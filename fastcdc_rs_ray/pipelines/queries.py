@@ -2516,14 +2516,17 @@ def q_urgent_vs_purchase(sf_dir: str):
 
 def q_part_pagerank(sf_dir: str):
     """Integer-quantized PageRank over the part co-purchase graph
-    (rows-only: iterative — pytest pins bit-equality vs a numpy replica)."""
+    (rows-only: iterative — pytest pins bit-equality vs a numpy replica).
+    Self-selecting (the _run_cc pattern): broadcast rank-vector rounds
+    below GRAPH_BROADCAST_EDGE_LIMIT, keyed-exchange rounds beyond —
+    both bit-identical (tests/test_pagerank.py)."""
     import ray.data as rd
 
-    from ..stages.pagerank import copurchase_edges, pagerank
+    from ..stages.pagerank import copurchase_edges, pagerank_auto
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_partkey", "l_linenumber"])
-    return pagerank(copurchase_edges(li, num_partitions=8), n_iter=10)
+    return pagerank_auto(copurchase_edges(li, num_partitions=8), n_iter=10)
 
 
 def q_watermark_windows(sf_dir: str):
@@ -3463,6 +3466,22 @@ def q_triangle_count(sf_dir: str):
                           num_partitions=8)
 
 
+def q_triangle_count_x(sf_dir: str):
+    """triangle_count through degree_mode="exchange" — degrees, endpoint
+    attach and orientation all keyed exchanges, no node-universe-sized
+    driver or broadcast state (the 100 TB growth path; VERDICT r3 item
+    3).  Same oracle SQL as triangle_count: the driver's hash check
+    proves the two plans agree with DuckDB bit-for-bit."""
+    import ray.data as rd
+
+    from ..stages.pagerank import copurchase_edges, triangle_count
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_linenumber"])
+    return triangle_count(copurchase_edges(li, num_partitions=8),
+                          num_partitions=8, degree_mode="exchange")
+
+
 def q_value_mad_by_type(sf_dir: str):
     """Grouped median absolute deviation (robust dispersion): chained exact
     interpolated medians off ONE streaming value-histogram pass — the
@@ -3634,15 +3653,25 @@ def q_doc_neardup_twin_gate(sf_dir: str):
 def q_pagerank_mass_gate(sf_dir: str):
     """PageRank mass gate: every quantized rank >= teleport base and
     total mass <= SCALE (floor divisions only lose mass); n_nodes is
-    SQL-derived from the co-purchase edge derivation (stages/gates.py)."""
+    SQL-derived from the co-purchase edge derivation (stages/gates.py).
+    Runs through pagerank_exchange — the keyed-exchange growth path
+    with no node-universe driver state — so the driver's gate covers
+    the 100 TB plan; bit-identical to the broadcast path by the parity
+    pytest (tests/test_pagerank.py)."""
     import ray.data as rd
 
     from ..stages.gates import pagerank_mass_gate
-    from ..stages.pagerank import SCALE, copurchase_edges, pagerank
+    from ..stages.pagerank import SCALE, copurchase_edges, pagerank_exchange
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_partkey", "l_linenumber"])
-    ranks = pagerank(copurchase_edges(li, num_partitions=8), n_iter=10)
+    # n_iter=4: the gate's invariants (rank >= base, mass <= SCALE,
+    # n_nodes) hold after ANY round count, and each exchange round pays
+    # two hash-shuffle setups — 4 rounds exercise the path at ~40% of
+    # the 10-round cost (part_pagerank remains the canonical 10-round
+    # ranks entry, bit-identical across paths by the parity pytest)
+    ranks = pagerank_exchange(copurchase_edges(li, num_partitions=8),
+                              n_iter=4)
     return pagerank_mass_gate(ranks, SCALE)
 
 
@@ -4014,6 +4043,7 @@ QUERIES = {
     "line_priority_counts": q_line_priority_counts,
     "returned_item_revenue": q_returned_item_revenue,
     "triangle_count": q_triangle_count,
+    "triangle_count_x": q_triangle_count_x,
     "value_mad_by_type": q_value_mad_by_type,
     "dedup_normalized": q_dedup_normalized,
     "corpus_shuffle": q_corpus_shuffle,
@@ -4939,6 +4969,8 @@ FROM edges e1
 JOIN edges e2 ON e2.a = e1.b
 JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
 """
+# the exchange-plan arm answers the identical question — same oracle
+ORACLE_SQL["triangle_count_x"] = ORACLE_SQL["triangle_count"]
 from ..stages.sessions import VALUE_MAD_BY_TYPE_SQL  # noqa: E402
 ORACLE_SQL["value_mad_by_type"] = VALUE_MAD_BY_TYPE_SQL
 from ..stages.dedup import NORMALIZED_DEDUP_SQL  # noqa: E402

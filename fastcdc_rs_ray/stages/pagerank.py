@@ -148,6 +148,236 @@ def pagerank(edges_ds, n_iter: int = 10, damping_pct: int = 85):
                      "rank_q": pa.array(r, pa.int64())})
 
 
+#: pagerank()/triangle_count() hold a node-universe-sized array on the
+#: driver (rank vector / degree map).  Node count <= 2 * edge count, so
+#: the already-materialized edge count is a free conservative proxy for
+#: the self-selection (the _run_cc pattern, pipelines/neardup.py:480):
+#: below the limit the broadcast path's one-exchange rounds win; above
+#: it the keyed-exchange variants keep every data-proportional stage
+#: distributed.  25 M edges ~ <=50 M nodes ~ 400 MB driver rank vector.
+GRAPH_BROADCAST_EDGE_LIMIT = 25_000_000
+
+
+def node_degrees(edges_ds, num_partitions: int = 8):
+    """edges -> Dataset (node, out-deg) through ONE keyed exchange —
+    the distributed replacement for the driver-merged degree pass
+    (VERDICT r3 item 3).  dst-only nodes appear with deg 0, so the
+    result is the full node universe."""
+    deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return deg_schema.empty_table()
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        us, cs = np.unique(src, return_counts=True)
+        ud = np.unique(dst)
+        return pa.table({
+            "node": pa.array(np.concatenate([us, ud]), pa.int64()),
+            "deg": pa.array(np.concatenate(
+                [cs.astype(np.int64), np.zeros(len(ud), np.int64)]),
+                pa.int64()),
+        })
+
+    def reduce_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return deg_schema.empty_table()
+        node = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
+        deg = t["deg"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, inv = np.unique(node, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, deg)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(s, pa.int64())})
+
+    return (edges_ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(num_blocks=num_partitions, keys=["node"])
+            .map_batches(reduce_block, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def pagerank_exchange(edges_ds, n_iter: int = 10, damping_pct: int = 85,
+                      num_partitions: int = 8) -> pa.Table:
+    """Keyed-exchange PageRank — bit-identical to :func:`pagerank`
+    (parity pytest on random graphs) with NO node-universe-sized driver
+    state: the rank vector lives as a Dataset (node, deg, rank) and each
+    round is exactly two keyed exchanges,
+
+      A. state rows + edge rows tag-union, KR on the SOURCE node:
+         each block computes contrib = (85 * r_src) // (100 * deg_src)
+         per edge and pre-reduces it per dst (block-local add.at) —
+         the combiner discipline, so exchange B moves at most
+         |blocks| x |distinct dst| rows, not |edges|;
+      B. state rows + contrib partials tag-union, KR on the DST node:
+         each block emits rank' = base + sum(contribs) plus a per-row
+         `changed` flag whose Dataset sum() is the driver's only
+         per-round scalar (the convergence check).
+
+    Same int64 floor arithmetic as the broadcast path, and int64 sums
+    are associative-exact, so the two paths agree bit-for-bit under any
+    partitioning.  Used above GRAPH_BROADCAST_EDGE_LIMIT where the
+    broadcast rank vector no longer fits the driver."""
+    uA = pa.schema([("key", pa.int64()), ("dst", pa.int64()),
+                    ("deg", pa.int64()), ("rank", pa.int64()),
+                    ("tag", pa.int8())])
+    uB = pa.schema([("key", pa.int64()), ("deg", pa.int64()),
+                    ("rank", pa.int64()), ("c", pa.int64()),
+                    ("tag", pa.int8())])
+    contrib_schema = pa.schema([("key", pa.int64()), ("c", pa.int64())])
+    state_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64()),
+                              ("rank", pa.int64()),
+                              ("changed", pa.int64())])
+
+    edges_ds = edges_ds.materialize()
+    state = node_degrees(edges_ds, num_partitions).materialize()
+    n = state.count()
+    if n == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "rank_q": pa.array([], pa.int64())})
+    base = (SCALE * (100 - damping_pct) // 100) // n
+    r0 = SCALE // n
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"], "deg": t["deg"],
+            "rank": pa.array(np.full(len(t), r0, np.int64), pa.int64()),
+            "changed": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+        }).cast(state_schema)
+
+    state = state.map_batches(init, batch_format="pyarrow").materialize()
+
+    def state_a(t: pa.Table) -> pa.Table:
+        z = np.zeros(len(t), np.int64)
+        return pa.table({
+            "key": t["node"], "dst": pa.array(z, pa.int64()),
+            "deg": t["deg"], "rank": t["rank"],
+            "tag": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+        }).cast(uA)
+
+    def edge_a(t: pa.Table) -> pa.Table:
+        z = np.zeros(len(t), np.int64)
+        return pa.table({
+            "key": t["src"], "dst": t["dst"],
+            "deg": pa.array(z, pa.int64()), "rank": pa.array(z, pa.int64()),
+            "tag": pa.array(np.ones(len(t), np.int8), pa.int8()),
+        }).cast(uA)
+
+    def contrib_block(t: pa.Table, _d=damping_pct) -> pa.Table:
+        if len(t) == 0:
+            return contrib_schema.empty_table()
+        key = t["key"].combine_chunks().to_numpy(zero_copy_only=False)
+        tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        st = tag == 0
+        ed = ~st
+        if not ed.any():
+            return contrib_schema.empty_table()
+        snode = key[st]
+        order = np.argsort(snode)
+        snode = snode[order]
+        sdeg = t["deg"].combine_chunks().to_numpy(
+            zero_copy_only=False)[st][order]
+        srank = t["rank"].combine_chunks().to_numpy(
+            zero_copy_only=False)[st][order]
+        pos = np.searchsorted(snode, key[ed])
+        if (pos >= len(snode)).any() or (snode[np.minimum(
+                pos, len(snode) - 1)] != key[ed]).any():
+            raise ValueError("pagerank_exchange: edge src missing from "
+                             "node universe — KR co-location broken")
+        c = (np.int64(_d) * srank[pos]) // (100 * sdeg[pos])
+        dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)[ed]
+        ud, inv = np.unique(dst, return_inverse=True)
+        s = np.zeros(len(ud), np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({"key": pa.array(ud, pa.int64()),
+                         "c": pa.array(s, pa.int64())})
+
+    def state_b(t: pa.Table) -> pa.Table:
+        z = np.zeros(len(t), np.int64)
+        return pa.table({
+            "key": t["node"], "deg": t["deg"], "rank": t["rank"],
+            "c": pa.array(z, pa.int64()),
+            "tag": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+        }).cast(uB)
+
+    def contrib_b(t: pa.Table) -> pa.Table:
+        z = np.zeros(len(t), np.int64)
+        return pa.table({
+            "key": t["key"], "deg": pa.array(z, pa.int64()),
+            "rank": pa.array(z, pa.int64()), "c": t["c"],
+            "tag": pa.array(np.ones(len(t), np.int8), pa.int8()),
+        }).cast(uB)
+
+    def newrank_block(t: pa.Table, _base=base) -> pa.Table:
+        if len(t) == 0:
+            return state_schema.empty_table()
+        key = t["key"].combine_chunks().to_numpy(zero_copy_only=False)
+        tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        st = tag == 0
+        node = key[st]
+        order = np.argsort(node)
+        node = node[order]
+        deg = t["deg"].combine_chunks().to_numpy(
+            zero_copy_only=False)[st][order]
+        old = t["rank"].combine_chunks().to_numpy(
+            zero_copy_only=False)[st][order]
+        new = np.full(len(node), _base, np.int64)
+        ed = ~st
+        if ed.any():
+            pos = np.searchsorted(node, key[ed])
+            if (pos >= len(node)).any() or (node[np.minimum(
+                    pos, len(node) - 1)] != key[ed]).any():
+                raise ValueError("pagerank_exchange: contribution dst "
+                                 "missing from node universe")
+            np.add.at(new, pos,
+                      t["c"].combine_chunks().to_numpy(
+                          zero_copy_only=False)[ed])
+        return pa.table({
+            "node": pa.array(node, pa.int64()),
+            "deg": pa.array(deg, pa.int64()),
+            "rank": pa.array(new, pa.int64()),
+            "changed": pa.array((new != old).astype(np.int64), pa.int64()),
+        })
+
+    for _ in range(n_iter):
+        contribs = (state.map_batches(state_a, batch_format="pyarrow")
+                    .union(edges_ds.map_batches(edge_a,
+                                                batch_format="pyarrow"))
+                    .repartition(num_blocks=num_partitions, keys=["key"])
+                    .map_batches(contrib_block, batch_format="pyarrow",
+                                 batch_size=None))
+        state = (state.map_batches(state_b, batch_format="pyarrow")
+                 .union(contribs.map_batches(contrib_b,
+                                             batch_format="pyarrow"))
+                 .repartition(num_blocks=num_partitions, keys=["key"])
+                 .map_batches(newrank_block, batch_format="pyarrow",
+                              batch_size=None)).materialize()
+        if state.sum("changed") == 0:
+            break
+
+    out = _collect(state.select_columns(["node", "rank"]))
+    order = np.argsort(out["node"].to_numpy(zero_copy_only=False))
+    return pa.table({
+        "node": pa.array(out["node"].to_numpy(
+            zero_copy_only=False)[order], pa.int64()),
+        "rank_q": pa.array(out["rank"].to_numpy(
+            zero_copy_only=False)[order], pa.int64()),
+    })
+
+
+def pagerank_auto(edges_ds, n_iter: int = 10, damping_pct: int = 85,
+                  num_partitions: int = 8) -> pa.Table:
+    """Self-selecting PageRank (the _run_cc pattern): broadcast rounds
+    while the materialized edge count — a free conservative proxy for
+    the node universe, |nodes| <= 2|edges| — stays under
+    GRAPH_BROADCAST_EDGE_LIMIT, keyed-exchange rounds beyond it."""
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= GRAPH_BROADCAST_EDGE_LIMIT:
+        return pagerank(edges_ds, n_iter=n_iter, damping_pct=damping_pct)
+    return pagerank_exchange(edges_ds, n_iter=n_iter,
+                             damping_pct=damping_pct,
+                             num_partitions=num_partitions)
+
+
 def pagerank_numpy_reference(src: np.ndarray, dst: np.ndarray,
                              n_iter: int = 10, damping_pct: int = 85):
     """Single-matrix replica of the exact integer algorithm."""
@@ -168,7 +398,121 @@ def pagerank_numpy_reference(src: np.ndarray, dst: np.ndarray,
     return nodes, r
 
 
-def triangle_count(edges_ds, num_partitions: int = 8) -> pa.Table:
+def _orient_exchange(ce, deg_partial, num_partitions: int):
+    """Distinct canonical edges (a, b) -> oriented Dataset (lo, hi, dh)
+    with dh = hi's undirected degree, through keyed exchanges only:
+    one KR(node) degree reduction, then two tag-union KR exchanges that
+    attach deg to each endpoint, then a stateless local orientation by
+    lexicographic (deg, node) comparison — no node-universe-sized driver
+    or broadcast state (triangle_count degree_mode="exchange")."""
+    deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    def deg_reduce(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return deg_schema.empty_table()
+        node = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
+        deg = t["deg"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, inv = np.unique(node, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, deg)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(s, pa.int64())})
+
+    degs = (ce.map_batches(deg_partial, batch_format="pyarrow")
+            .repartition(num_blocks=num_partitions, keys=["node"])
+            .map_batches(deg_reduce, batch_format="pyarrow",
+                         batch_size=None)).materialize()
+
+    att = pa.schema([("key", pa.int64()), ("other", pa.int64()),
+                     ("d", pa.int64()), ("tag", pa.int8())])
+
+    def _attach_kernel(t: pa.Table, out_cols) -> pa.Table:
+        out_schema = pa.schema([(c, pa.int64()) for c in out_cols])
+        if len(t) == 0:
+            return out_schema.empty_table()
+        key = t["key"].combine_chunks().to_numpy(zero_copy_only=False)
+        tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        st = tag == 0
+        ed = ~st
+        if not ed.any():
+            return out_schema.empty_table()
+        node = key[st]
+        order = np.argsort(node)
+        node = node[order]
+        dv = t["d"].combine_chunks().to_numpy(zero_copy_only=False
+                                              )[st][order]
+        pos = np.searchsorted(node, key[ed])
+        if (pos >= len(node)).any() or (node[np.minimum(
+                pos, len(node) - 1)] != key[ed]).any():
+            raise ValueError("triangle_count exchange: edge endpoint "
+                             "missing from degree universe")
+        cols = {"k": key[ed], "o": t["other"].combine_chunks().to_numpy(
+            zero_copy_only=False)[ed], "dk": dv[pos],
+            "do": t["d"].combine_chunks().to_numpy(
+                zero_copy_only=False)[ed]}
+        return pa.table({c: pa.array(cols[src], pa.int64())
+                         for c, src in zip(out_cols,
+                                           ("k", "o", "dk", "do"))})
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["node"], "other": pa.array(
+                np.zeros(len(t), np.int64), pa.int64()),
+            "d": t["deg"],
+            "tag": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+        }).cast(att)
+
+    # pass 1: key = a  -> (a, b, da)
+    def edge_rows_a(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["a"], "other": t["b"],
+            "d": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+            "tag": pa.array(np.ones(len(t), np.int8), pa.int8()),
+        }).cast(att)
+
+    p1 = (degs.map_batches(deg_rows, batch_format="pyarrow")
+          .union(ce.map_batches(edge_rows_a, batch_format="pyarrow"))
+          .repartition(num_blocks=num_partitions, keys=["key"])
+          .map_batches(lambda t: _attach_kernel(t, ("a", "b", "da")),
+                       batch_format="pyarrow", batch_size=None))
+
+    # pass 2: key = b  -> (b, a, db, da)
+    def edge_rows_b(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["b"], "other": t["a"], "d": t["da"],
+            "tag": pa.array(np.ones(len(t), np.int8), pa.int8()),
+        }).cast(att)
+
+    p2 = (degs.map_batches(deg_rows, batch_format="pyarrow")
+          .union(p1.map_batches(edge_rows_b, batch_format="pyarrow"))
+          .repartition(num_blocks=num_partitions, keys=["key"])
+          .map_batches(lambda t: _attach_kernel(t, ("b", "a", "db", "da")),
+                       batch_format="pyarrow", batch_size=None))
+
+    def orient_local(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
+                              ("dh", pa.int64())]).empty_table()
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        da = t["da"].combine_chunks().to_numpy(zero_copy_only=False)
+        db = t["db"].combine_chunks().to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        lo = np.where(a_first, a, b)
+        hi = np.where(a_first, b, a)
+        dh = np.where(a_first, db, da)
+        return pa.table({"lo": pa.array(lo, pa.int64()),
+                         "hi": pa.array(hi, pa.int64()),
+                         "dh": pa.array(dh, pa.int64())})
+
+    # materialized for the same exchange-separation reason as the
+    # broadcast plan's oe (two live hash shuffles contend)
+    return p2.map_batches(orient_local,
+                          batch_format="pyarrow").materialize()
+
+
+def triangle_count(edges_ds, num_partitions: int = 8,
+                   degree_mode: str = "auto") -> pa.Table:
     """Exact triangle count over the undirected edge set — the multi-way
     graph SELF-JOIN shape (PageRank = iteration, BFS = traversal,
     triangles = join), fully SQL-oracle-checkable.
@@ -178,16 +522,29 @@ def triangle_count(edges_ds, num_partitions: int = 8) -> pa.Table:
 
     1. canonical distinct edges: per-block canonicalize (lo, hi) + local
        distinct, ONE keyed exchange on (a, b), per-partition distinct;
-    2. degrees: per-block (node, deg) partials merged on the driver — the
-       node universe is dimension-sized (parts), the same broadcastability
-       assumption as :func:`pagerank`'s rank vector; the total order
-       (degree, node) breaks ties deterministically;
-    3. orient every edge low->high in that order: each triangle then has
-       exactly ONE node with two out-edges, so it is found exactly once
-       and the max out-degree is O(sqrt(m)) regardless of raw-degree skew
-       (the hot-node star that breaks naive adjacency grouping);
+    2. degrees + 3. orientation low->high in the (degree, node) total
+       order: each triangle then has exactly ONE node with two
+       out-edges, so it is found exactly once and the max out-degree is
+       O(sqrt(m)) regardless of raw-degree skew (the hot-node star that
+       breaks naive adjacency grouping).  Two interchangeable plans,
+       bit-identical output (parity pytest):
+
+       - ``degree_mode="broadcast"``: per-block (node, deg) partials
+         merged on the driver and the rank array broadcast via ray.put —
+         one pass, valid while the node universe is dimension-sized;
+       - ``degree_mode="exchange"`` (VERDICT r3 item 3, the 100 TB
+         growth path): degrees through ONE keyed exchange on node, then
+         TWO tag-union exchanges attach deg to each endpoint; blocks
+         orient locally by comparing (deg_a, a) vs (deg_b, b) — the
+         comparison IS the total order, so no global rank array and no
+         node-universe-sized state anywhere;
+       - ``degree_mode="auto"``: broadcast while the materialized edge
+         count (free conservative node-universe proxy, |nodes| <=
+         2|edges|) stays under GRAPH_BROADCAST_EDGE_LIMIT.
+
     4. wedges: one keyed exchange on the source endpoint, per-block pair
-       enumeration over each out-adjacency list;
+       enumeration over each out-adjacency list (pairs ordered by the
+       same (deg, node) order in both plans);
     5. closure: wedge rows and oriented-edge rows tag-union through one
        keyed exchange on (v, w); each partition's sorted sweep counts
        wedges whose endpoint pair carries an edge row, and the driver sums
@@ -241,67 +598,115 @@ def triangle_count(edges_ds, num_partitions: int = 8) -> pa.Table:
         return pa.table({"node": pa.array(u, pa.int64()),
                          "deg": pa.array(c.astype(np.int64), pa.int64())})
 
-    dp = _collect(ce.map_batches(deg_partial, batch_format="pyarrow"))
-    if len(dp) == 0:
-        return pa.table({"n_triangles": pa.array([0], pa.int64())})
-    nodes, inv = np.unique(dp["node"].to_numpy(zero_copy_only=False),
-                           return_inverse=True)
-    deg = np.zeros(len(nodes), np.int64)
-    np.add.at(deg, inv, dp["deg"].to_numpy(zero_copy_only=False))
-    # rank = position in the (degree, node) total order
-    rank = np.empty(len(nodes), np.int64)
-    rank[np.lexsort((nodes, deg))] = np.arange(len(nodes))
-    rank_ref = ray.put((nodes, rank))
-
-    def orient(t: pa.Table) -> pa.Table:
-        nd, rk = ray.get(rank_ref)
-        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
-        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
-        ra = rk[np.searchsorted(nd, a)]
-        rb = rk[np.searchsorted(nd, b)]
-        lo = np.where(ra < rb, a, b)
-        hi = np.where(ra < rb, b, a)
-        return pa.table({"lo": pa.array(lo, pa.int64()),
-                         "hi": pa.array(hi, pa.int64())})
-
-    # materialized: keeps the KR(lo) and KR(v,w) exchanges in separate
-    # executions (two live hash-shuffle operators contend on aggregator
-    # CPU reservations — measured 13-15 s vs 10-11 s at sf0.1 when fused)
-    oe = ce.map_batches(orient, batch_format="pyarrow").materialize()
-
     tagged = pa.schema([("v", pa.int64()), ("w", pa.int64()),
                         ("tag", pa.int8())])
 
-    def wedges(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return tagged.empty_table()
-        nd, rk = ray.get(rank_ref)
-        lo = t["lo"].combine_chunks().to_numpy(zero_copy_only=False)
-        hi = t["hi"].combine_chunks().to_numpy(zero_copy_only=False)
-        rh = rk[np.searchsorted(nd, hi)]
-        order = np.lexsort((rh, lo))
-        lo, hi = lo[order], hi[order]
-        starts = np.concatenate(
-            [[0], np.flatnonzero(lo[1:] != lo[:-1]) + 1, [len(lo)]])
-        v_l, w_l = [], []
-        for s, e in zip(starts[:-1], starts[1:]):
-            g = e - s
-            if g < 2:
-                continue
-            nbr = hi[s:e]  # rank-ascending out-neighbors of one source
-            ii, jj = np.triu_indices(g, k=1)
-            v_l.append(nbr[ii])
-            w_l.append(nbr[jj])
-        if not v_l:
-            return tagged.empty_table()
-        v = np.concatenate(v_l)
-        w = np.concatenate(w_l)
-        return pa.table({"v": pa.array(v, pa.int64()),
-                         "w": pa.array(w, pa.int64()),
-                         "tag": pa.array(np.zeros(len(v), np.int8), pa.int8())})
+    n_edges = ce.count()
+    if n_edges == 0:
+        return pa.table({"n_triangles": pa.array([0], pa.int64())})
+    if degree_mode == "auto":
+        degree_mode = ("broadcast"
+                       if n_edges <= GRAPH_BROADCAST_EDGE_LIMIT
+                       else "exchange")
+    if degree_mode not in ("broadcast", "exchange"):
+        raise ValueError(f"triangle_count: unknown degree_mode "
+                         f"{degree_mode!r}")
 
-    wedge_ds = oe.repartition(num_blocks=num_partitions, keys=["lo"]) \
-        .map_batches(wedges, batch_format="pyarrow", batch_size=None)
+    if degree_mode == "exchange":
+        oe = _orient_exchange(ce, deg_partial, num_partitions)
+
+        def wedges_x(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return tagged.empty_table()
+            lo = t["lo"].combine_chunks().to_numpy(zero_copy_only=False)
+            hi = t["hi"].combine_chunks().to_numpy(zero_copy_only=False)
+            dh = t["dh"].combine_chunks().to_numpy(zero_copy_only=False)
+            # neighbors of each source ascending in (deg, node) — the
+            # same total order the broadcast plan's rank array encodes
+            order = np.lexsort((hi, dh, lo))
+            lo, hi = lo[order], hi[order]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(lo[1:] != lo[:-1]) + 1, [len(lo)]])
+            v_l, w_l = [], []
+            for s, e in zip(starts[:-1], starts[1:]):
+                g = e - s
+                if g < 2:
+                    continue
+                nbr = hi[s:e]
+                ii, jj = np.triu_indices(g, k=1)
+                v_l.append(nbr[ii])
+                w_l.append(nbr[jj])
+            if not v_l:
+                return tagged.empty_table()
+            v = np.concatenate(v_l)
+            w = np.concatenate(w_l)
+            return pa.table({"v": pa.array(v, pa.int64()),
+                             "w": pa.array(w, pa.int64()),
+                             "tag": pa.array(np.zeros(len(v), np.int8),
+                                             pa.int8())})
+
+        wedge_ds = oe.repartition(num_blocks=num_partitions, keys=["lo"]) \
+            .map_batches(wedges_x, batch_format="pyarrow", batch_size=None)
+    else:
+        dp = _collect(ce.map_batches(deg_partial, batch_format="pyarrow"))
+        if len(dp) == 0:
+            return pa.table({"n_triangles": pa.array([0], pa.int64())})
+        nodes, inv = np.unique(dp["node"].to_numpy(zero_copy_only=False),
+                               return_inverse=True)
+        deg = np.zeros(len(nodes), np.int64)
+        np.add.at(deg, inv, dp["deg"].to_numpy(zero_copy_only=False))
+        # rank = position in the (degree, node) total order
+        rank = np.empty(len(nodes), np.int64)
+        rank[np.lexsort((nodes, deg))] = np.arange(len(nodes))
+        rank_ref = ray.put((nodes, rank))
+
+        def orient(t: pa.Table) -> pa.Table:
+            nd, rk = ray.get(rank_ref)
+            a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+            b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+            ra = rk[np.searchsorted(nd, a)]
+            rb = rk[np.searchsorted(nd, b)]
+            lo = np.where(ra < rb, a, b)
+            hi = np.where(ra < rb, b, a)
+            return pa.table({"lo": pa.array(lo, pa.int64()),
+                             "hi": pa.array(hi, pa.int64())})
+
+        # materialized: keeps the KR(lo) and KR(v,w) exchanges in separate
+        # executions (two live hash-shuffle operators contend on aggregator
+        # CPU reservations — measured 13-15 s vs 10-11 s at sf0.1 when fused)
+        oe = ce.map_batches(orient, batch_format="pyarrow").materialize()
+
+        def wedges(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return tagged.empty_table()
+            nd, rk = ray.get(rank_ref)
+            lo = t["lo"].combine_chunks().to_numpy(zero_copy_only=False)
+            hi = t["hi"].combine_chunks().to_numpy(zero_copy_only=False)
+            rh = rk[np.searchsorted(nd, hi)]
+            order = np.lexsort((rh, lo))
+            lo, hi = lo[order], hi[order]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(lo[1:] != lo[:-1]) + 1, [len(lo)]])
+            v_l, w_l = [], []
+            for s, e in zip(starts[:-1], starts[1:]):
+                g = e - s
+                if g < 2:
+                    continue
+                nbr = hi[s:e]  # rank-ascending out-neighbors of one source
+                ii, jj = np.triu_indices(g, k=1)
+                v_l.append(nbr[ii])
+                w_l.append(nbr[jj])
+            if not v_l:
+                return tagged.empty_table()
+            v = np.concatenate(v_l)
+            w = np.concatenate(w_l)
+            return pa.table({"v": pa.array(v, pa.int64()),
+                             "w": pa.array(w, pa.int64()),
+                             "tag": pa.array(np.zeros(len(v), np.int8),
+                                             pa.int8())})
+
+        wedge_ds = oe.repartition(num_blocks=num_partitions, keys=["lo"]) \
+            .map_batches(wedges, batch_format="pyarrow", batch_size=None)
 
     def edge_rows(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -61,3 +61,62 @@ def test_pagerank_matches_reference(ray_session, tmp_path):
     # mass stays bounded and positive
     assert (out["rank_q"] > 0).all()
     assert out["rank_q"].sum() <= 10**12
+
+
+def test_pagerank_exchange_parity(ray_session):
+    """The keyed-exchange growth path (VERDICT r3 item 3) is
+    bit-identical to the broadcast path AND the numpy replica on random
+    graphs, under different partitionings; pagerank_auto picks broadcast
+    below the edge limit."""
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.pagerank import (
+        GRAPH_BROADCAST_EDGE_LIMIT,
+        pagerank_auto,
+        pagerank_exchange,
+    )
+
+    rng = np.random.default_rng(29)
+    src = rng.integers(0, 250, 2500).astype(np.int64)
+    dst = rng.integers(0, 250, 2500).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    nodes, ranks = pagerank_numpy_reference(src, dst, n_iter=7)
+    for blocks, parts in ((1, 3), (9, 5)):
+        ds = rd.from_arrow(t).repartition(blocks)
+        bc = pagerank(ds, n_iter=7).to_pandas().sort_values(
+            "node").reset_index(drop=True)
+        ex = pagerank_exchange(ds, n_iter=7,
+                               num_partitions=parts).to_pandas(
+            ).sort_values("node").reset_index(drop=True)
+        assert bc.equals(ex)
+        assert (ex["node"].to_numpy() == nodes).all()
+        assert (ex["rank_q"].to_numpy() == ranks).all()
+
+    # auto: below the limit it must take the broadcast path (same result
+    # either way — the constant only picks the cheaper plan)
+    assert len(src) < GRAPH_BROADCAST_EDGE_LIMIT
+    au = pagerank_auto(rd.from_arrow(t), n_iter=7).to_pandas(
+        ).sort_values("node").reset_index(drop=True)
+    assert (au["rank_q"].to_numpy() == ranks).all()
+
+
+def test_pagerank_exchange_empty_and_dangling(ray_session):
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.pagerank import pagerank_exchange
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())}))
+    assert len(pagerank_exchange(empty)) == 0
+    # dangling sink (node 9 has no out-edges) must still get base mass
+    ds = rd.from_arrow(pa.table({"src": pa.array([1, 2], pa.int64()),
+                                 "dst": pa.array([9, 9], pa.int64())}))
+    bc = pagerank(ds, n_iter=5).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    ex = pagerank_exchange(ds, n_iter=5).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    assert bc.equals(ex)
+    assert (ex["rank_q"] > 0).all()
