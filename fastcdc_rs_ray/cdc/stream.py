@@ -34,6 +34,16 @@ from .config import ChunkerConfig
 from .kernel import Chunk
 
 
+class EmptyStream(Exception):
+    """Zero-byte source under ``strict_empty=True`` — the parity twin of
+    the reference's ``Error::Empty`` (src/v2020/mod.rs:669-704): its
+    ``StreamCDC.read_chunk`` returns ``Err(Error::Empty)`` when the very
+    first fill reads no data, so a caller iterating a zero-byte source
+    observes the distinguished end-of-source error rather than a silent
+    zero-chunk stream.  Table semantics prefer the silent form (empty
+    payload -> zero rows), so strict mode is opt-in."""
+
+
 class StreamChunker:
     """Feed bytes incrementally; collect chunks bit-identical to whole-buffer
     chunking of the concatenation.
@@ -50,9 +60,11 @@ class StreamChunker:
     """
 
     def __init__(self, cfg: ChunkerConfig | None = None, impl: str = "auto",
-                 min_scan_bytes: int | None = None):
+                 min_scan_bytes: int | None = None,
+                 strict_empty: bool = False):
         self.cfg = cfg or ChunkerConfig()
         self.impl = impl
+        self.strict_empty = strict_empty
         # Don't run the kernel until this many bytes are buffered (amortizes
         # the rescan of the unsafe tail); EOF always flushes.
         self.min_scan_bytes = (
@@ -83,10 +95,14 @@ class StreamChunker:
         return self._cut(eof=False)
 
     def finalize(self) -> list[Chunk]:
-        """Signal EOF; return the remaining chunks (tail semantics apply)."""
+        """Signal EOF; return the remaining chunks (tail semantics apply).
+        Under ``strict_empty=True`` a stream that never carried a byte
+        raises :class:`EmptyStream` (reference ``Error::Empty`` parity)."""
         if self._finalized:
             return []
         self._finalized = True
+        if self.strict_empty and self._base == 0 and not self._buf:
+            raise EmptyStream("zero-byte source (reference Error::Empty)")
         return self._cut(eof=True)
 
     def _cut(self, eof: bool) -> list[Chunk]:
@@ -115,15 +131,17 @@ class StreamChunker:
 
 
 def stream_chunks(source, cfg: ChunkerConfig | None = None, *,
-                  impl: str = "auto", read_size: int = 4 << 20) -> Iterator[Chunk]:
+                  impl: str = "auto", read_size: int = 4 << 20,
+                  strict_empty: bool = False) -> Iterator[Chunk]:
     """Chunk a byte stream with bounded memory (StreamCDC/AsyncStreamCDC as
     one generator — Ray tasks are the async fan-out, SURVEY §2.1 S2/S3).
 
     ``source`` is a file-like object (``.read(n)``) or an iterable of byte
     pieces.  Yields :class:`Chunk` records with global offsets, bit-identical
-    to whole-buffer chunking.
+    to whole-buffer chunking.  ``strict_empty=True`` raises
+    :class:`EmptyStream` on a zero-byte source (``Error::Empty`` parity).
     """
-    sc = StreamChunker(cfg, impl)
+    sc = StreamChunker(cfg, impl, strict_empty=strict_empty)
     if isinstance(source, (bytes, bytearray, memoryview)):
         # iterating raw bytes yields ints — treat a single buffer as one piece
         source = [bytes(source)]
@@ -144,7 +162,8 @@ def stream_chunks(source, cfg: ChunkerConfig | None = None, *,
 
 async def stream_chunks_async(source, cfg: ChunkerConfig | None = None, *,
                               impl: str = "auto",
-                              read_size: int = 4 << 20):
+                              read_size: int = 4 << 20,
+                              strict_empty: bool = False):
     """Async generator over a byte stream — the asyncio-facing drop-in
     for the reference's ``AsyncStreamCDC::as_stream()``
     (src/v2020/async_stream_cdc.rs:222-249): ``async for chunk in
@@ -165,7 +184,7 @@ async def stream_chunks_async(source, cfg: ChunkerConfig | None = None, *,
     global offsets are identical to the sync paths; only the driving
     protocol differs.
     """
-    sc = StreamChunker(cfg, impl)
+    sc = StreamChunker(cfg, impl, strict_empty=strict_empty)
     if isinstance(source, (bytes, bytearray, memoryview)):
         for c in sc.update(bytes(source)):
             yield c

@@ -106,3 +106,43 @@ def test_chunk_files_streamed_matches_chunk_files(ray_session, tmp_path):
     assert a.equals(b[a.columns.tolist()])
     assert (a["path"] != paths[0]).all()  # empty file contributes no rows
     assert len(a) > 0
+
+
+def test_strict_empty_error_parity():
+    """Reference Error::Empty parity (src/v2020/mod.rs:669-704): a
+    zero-byte source raises EmptyStream under strict_empty=True, stays
+    a silent zero-chunk stream by default, and never fires once a byte
+    has been seen — even when the final buffer is already drained."""
+    import asyncio
+
+    from fastcdc_rs_ray.cdc.stream import EmptyStream, stream_chunks_async
+
+    cfg = ChunkerConfig(min_size=64, avg_size=256, max_size=1024)
+    # default: silent empty
+    assert list(stream_chunks(b"", cfg)) == []
+    sc = StreamChunker(cfg)
+    assert sc.update(b"") == [] and sc.finalize() == []
+
+    # strict: raises on truly empty
+    with pytest.raises(EmptyStream):
+        list(stream_chunks(b"", cfg, strict_empty=True))
+    sc = StreamChunker(cfg, strict_empty=True)
+    sc.update(b"")
+    with pytest.raises(EmptyStream):
+        sc.finalize()
+
+    # strict + non-empty: normal semantics, bit-identical to default
+    data = bytes(np.random.default_rng(3).integers(0, 256, 5000,
+                                                   dtype=np.uint8))
+    a = list(stream_chunks(data, cfg))
+    b = list(stream_chunks(data, cfg, strict_empty=True))
+    assert a == b and len(a) > 0
+
+    # async twin
+    async def drain(src, **kw):
+        return [c async for c in stream_chunks_async(src, cfg, **kw)]
+
+    assert asyncio.run(drain(b"")) == []
+    with pytest.raises(EmptyStream):
+        asyncio.run(drain(b"", strict_empty=True))
+    assert asyncio.run(drain(data, strict_empty=True)) == a
