@@ -29,11 +29,36 @@ manifest.
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import hashlib
 import os
 import shutil
 import uuid
+
+try:
+    import fcntl
+except ImportError:  # non-POSIX: single-process semantics only
+    fcntl = None
+
+
+@contextlib.contextmanager
+def _exclusive(lock_path: str):
+    """fcntl.flock-exclusive section (ADVICE r3): two processes sharing
+    an out_dir must not interleave the check-teardown-dump-rename
+    sequence — the '.tmp-*' sweep could delete a sibling's in-flight
+    dump, and a rename onto a just-recreated out_dir raises ENOTEMPTY.
+    flock is advisory but every writer goes through staged(), and the
+    lock file persists (unlink would race a third waiter)."""
+    if fcntl is None:
+        yield
+        return
+    with open(lock_path, "a+") as lf:
+        fcntl.flock(lf.fileno(), fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lf.fileno(), fcntl.LOCK_UN)
 
 
 def source_fingerprint(*paths: str) -> str:
@@ -68,21 +93,31 @@ def staged(out_dir: str, dump_fn, fingerprint: str = "static") -> None:
     """
     out_dir = out_dir.rstrip("/")
     done = out_dir + ".done"
-    if os.path.isdir(out_dir) and os.path.exists(done):
-        with open(done) as f:
-            if f.read().strip() == fingerprint:
-                return
-    # Stale fingerprint, missing marker (interrupted dump), or missing
-    # dir: tear down whatever half-state exists, then rebuild.
-    if os.path.exists(done):
-        os.remove(done)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    for stale in glob.glob(out_dir + ".tmp-*"):
-        shutil.rmtree(stale, ignore_errors=True)
+
+    def _current() -> bool:
+        if os.path.isdir(out_dir) and os.path.exists(done):
+            with open(done) as f:
+                return f.read().strip() == fingerprint
+        return False
+
+    if _current():  # fast path, no lock traffic
+        return
     os.makedirs(os.path.dirname(out_dir) or ".", exist_ok=True)
-    tmp = out_dir + f".tmp-{uuid.uuid4().hex[:8]}"
-    os.makedirs(tmp)
-    dump_fn(tmp)
-    os.rename(tmp, out_dir)
-    with open(done, "w") as f:
-        f.write(fingerprint)
+    with _exclusive(out_dir + ".lock"):
+        if _current():  # a concurrent caller staged it while we waited
+            return
+        # Stale fingerprint, missing marker (interrupted dump), or
+        # missing dir: tear down whatever half-state exists, rebuild.
+        # Inside the lock the '.tmp-*' orphans are guaranteed dead (any
+        # live dump would hold the lock), so the sweep is safe.
+        if os.path.exists(done):
+            os.remove(done)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        for stale in glob.glob(out_dir + ".tmp-*"):
+            shutil.rmtree(stale, ignore_errors=True)
+        tmp = out_dir + f".tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        dump_fn(tmp)
+        os.rename(tmp, out_dir)
+        with open(done, "w") as f:
+            f.write(fingerprint)

@@ -187,6 +187,18 @@ def train_centroids(sample: np.ndarray, n_cells: int, n_iter: int = 8,
     return cent
 
 
+def _probe_cells(qsim: np.ndarray, p: int) -> np.ndarray:
+    """First ``p`` cells per query in the (-affinity, cell_index) total
+    order — a stable argsort, so tied centroid affinities at the
+    n_probe boundary break deterministically toward the lower cell
+    index.  Shared by _IVFScorer and _MultiProbeScorer so the per-level
+    results really are bit-identical at the same (k, n_cells, n_probe)
+    (ADVICE r3: argpartition vs argsort could probe different cell sets
+    under ties).  n_cells is small, so the full sort costs nothing."""
+    p = min(p, qsim.shape[1])
+    return np.argsort(-qsim, axis=1, kind="stable")[:, :p]
+
+
 class _IVFScorer:
     """Like _TopKScorer but each batch only scores vectors whose cell is
     probed by at least one query (cell assignment is recomputed per batch
@@ -200,8 +212,7 @@ class _IVFScorer:
         self.cent = ray.get(centroids_ref)
         self.k = k
         qsim = self.qm @ self.cent.T
-        npb = min(n_probe, self.cent.shape[0])
-        self.probed = np.argpartition(-qsim, npb - 1, axis=1)[:, :npb]  # (Q, n_probe)
+        self.probed = _probe_cells(qsim, n_probe)  # (Q, n_probe)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -261,9 +272,8 @@ class _MultiProbeScorer:
         self.k = k
         self.probes = tuple(sorted(probes))
         qsim = self.qm @ self.cent.T
-        order = np.argsort(-qsim, axis=1)  # (Q, n_cells) cells by affinity
         self.probe_sorted = {
-            p: np.sort(order[:, :min(p, self.cent.shape[0])], axis=1)
+            p: np.sort(_probe_cells(qsim, p), axis=1)
             for p in self.probes
         }
 

@@ -72,7 +72,11 @@ def last_touch_attribution(events_ds, window_us: int = ATTR_WINDOW_US,
         tp = touch_pos[conv]
         ok = (tp >= 0) & (ts[conv] - np.where(tp >= 0, ts[tp], 0)
                           <= window_us)
-        v_c = np.round(val[conv[ok]] * 100).astype(np.int64)
+        # floor(x*100 + 0.5) = SQL ROUND's half-AWAY-FROM-ZERO for the
+        # non-negative values here; np.round is half-to-even and would
+        # silently drift one cent from the oracle on inputs finer than
+        # 2 decimals (ADVICE r3)
+        v_c = np.floor(val[conv[ok]] * 100.0 + 0.5).astype(np.int64)
         return pa.table({
             "n_purchases": pa.array([len(conv)], pa.int64()),
             "n_attributed": pa.array([int(ok.sum())], pa.int64()),

@@ -57,6 +57,18 @@ def kcore_members(edges_ds, k: int = KCORE_K, num_partitions: int = 8,
         a, b = a[keep], b[keep]
         if len(a) == 0:
             return canon_schema.empty_table()
+        # the a*2^32 + b packing silently corrupts the edge set for b >=
+        # 2^32 and OVERFLOWS int64 for a >= 2^31 (a <= b by canon) —
+        # RAISE instead, matching the repo's agree-or-both-fail
+        # discipline (ADVICE r3); dedupe via a structured view if wider
+        # ids are ever needed
+        if int(a.min()) < 0 or int(a.max()) >= (1 << 31) \
+                or int(b.max()) >= (1 << 32):
+            raise ValueError(
+                "part_kcore: packed-edge distinct needs vertex ids in "
+                "[0, 2^31) for the high word and [0, 2^32) for the low "
+                f"word — got a in [{int(a.min())}, {int(a.max())}], "
+                f"b max {int(b.max())}")
         key = np.unique(a.astype(np.int64) * np.int64(1 << 32)
                         + b.astype(np.int64))
         return pa.table({

@@ -147,3 +147,46 @@ def test_ingest_csv_not_doubled_after_interrupt(ray_session, tmp_path):
     assert int(got["n_events"].sum()) == 30
     assert int(got["sum_value_c"].sum()) == sum(
         round(0.25 * i * 100) for i in range(30))
+
+
+def _worker_stage(args):
+    out, fp, idx = args
+    import json
+    import os as _os
+    import time as _t
+
+    from fastcdc_rs_ray.sources.staging import staged
+
+    def dump(tmp):
+        # slow, multi-file dump: plenty of interleaving surface
+        for k in range(5):
+            with open(_os.path.join(tmp, f"shard{k}.json"), "w") as f:
+                json.dump({"writer": idx, "k": k}, f)
+            _t.sleep(0.02)
+
+    staged(out, dump, fingerprint=fp)
+    return sorted(_os.listdir(out))
+
+
+def test_staged_concurrent_processes_single_winner(tmp_path):
+    """ADVICE r3: concurrent callers sharing an out_dir must serialize
+    the check-teardown-dump-rename sequence (flock) — no ENOTEMPTY on
+    rename, no sweeping a sibling's live tmp dir, and the final layout
+    is one complete 5-shard dump from a single writer."""
+    import json
+    from concurrent.futures import ProcessPoolExecutor
+
+    out = str(tmp_path / "shared_layout")
+    with ProcessPoolExecutor(max_workers=6) as ex:
+        results = list(ex.map(_worker_stage,
+                              [(out, "fp-A", i) for i in range(6)]))
+    assert all(r == [f"shard{k}.json" for k in range(5)] for r in results)
+    writers = set()
+    for k in range(5):
+        with open(os.path.join(out, f"shard{k}.json")) as f:
+            writers.add(json.load(f)["writer"])
+    assert len(writers) == 1          # one winner wrote the whole layout
+    assert os.path.exists(out + ".done")
+    # no orphan tmp dirs survive
+    import glob as _g
+    assert _g.glob(out + ".tmp-*") == []
