@@ -3764,6 +3764,62 @@ def q_semdedup_planted_gate(sf_dir: str):
     return semdedup_planted_gate(_embeddings(sf_dir))
 
 
+def q_bigfile_stitch_gate(sf_dir: str):
+    """1-row gate for chunks_bigfile (VERDICT r3 item 5): the parallel
+    range-scan + seam-stitch chunk set of the concatenated-documents
+    file equals the whole-buffer sequential chunk set exactly, and its
+    total bytes equal the oracle's SUM(strlen(text))
+    (stages/gates.py bigfile_stitch_gate)."""
+    from ..sources.files import stage_documents_as_one_file
+    from ..stages.gates import bigfile_stitch_gate
+
+    path = stage_documents_as_one_file(sf_dir)
+    return bigfile_stitch_gate(path, DEFAULT_CONFIG,
+                               range_bytes=64 << 10, overlap=32 << 10)
+
+
+def q_neardup_incr_gate(sf_dir: str):
+    """1-row planted-twin recall gate for neardup_incremental: exact
+    copies of every shingle-bearing doc_id%10==0 document, ingested as
+    snapshot 2 through the standing sharded LSH index, all come back
+    matched at sim_ppm=1e6 (stages/gates.py neardup_incr_twin_gate)."""
+    from ..stages.gates import neardup_incr_twin_gate
+
+    return neardup_incr_twin_gate(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def q_media_roundtrip_gate(sf_dir: str):
+    """1-row decode-roundtrip gate for media_real / media_frames: every
+    genuine BMP/WAV payload decode->re-encode round-trips byte-exactly
+    with metadata-consistent shape, through the production actor-pool
+    map_batches shape (stages/gates.py media_roundtrip_gate).  Corpus
+    size follows the media_pipeline scaling rule, restated by the
+    oracle."""
+    from ..stages.gates import media_roundtrip_gate
+
+    n_docs = _documents(sf_dir, ["doc_id"]).count()
+    return media_roundtrip_gate(n=min(max(n_docs // 4, 32), 512))
+
+
+def q_fingerprint_twin_gate(sf_dir: str):
+    """1-row gate for doc_fingerprint: an exact copy of every
+    doc_id%10==0 document fingerprints byte-identically (one keyed
+    exchange on the base id; stages/gates.py fingerprint_twin_gate)."""
+    from ..stages.gates import fingerprint_twin_gate
+
+    return fingerprint_twin_gate(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def q_embed_lsh_twin_gate(sf_dir: str):
+    """1-row gate for embed_neardup_lsh: an identical copy of every
+    vec_id%5==0 embedding buckets with its source in every hyperplane
+    table and verifies at cosine exactly 1, so the (base, copy) pair is
+    always emitted (stages/gates.py embed_lsh_twin_gate)."""
+    from ..stages.gates import embed_lsh_twin_gate
+
+    return embed_lsh_twin_gate(_embeddings(sf_dir))
+
+
 def q_windowed_dedup(sf_dir: str):
     """Time-windowed dedup (refetch/replay suppression): an event is a
     window-duplicate iff the same (user, event_type) occurred within the
@@ -4070,6 +4126,11 @@ QUERIES = {
     "compress_double_gate": q_compress_double_gate,
     "locality_gain_gate": q_locality_gain_gate,
     "semdedup_planted_gate": q_semdedup_planted_gate,
+    "bigfile_stitch_gate": q_bigfile_stitch_gate,
+    "neardup_incr_gate": q_neardup_incr_gate,
+    "media_roundtrip_gate": q_media_roundtrip_gate,
+    "fingerprint_twin_gate": q_fingerprint_twin_gate,
+    "embed_lsh_twin_gate": q_embed_lsh_twin_gate,
     # round-3 new operator families
     "windowed_dedup": q_windowed_dedup,
     "part_linkage": q_part_linkage,
@@ -4987,6 +5048,36 @@ from ..sources.columnar import INGEST_MIXED_SCHEMA_SQL  # noqa: E402
 ORACLE_SQL["ingest_mixed_schema"] = INGEST_MIXED_SCHEMA_SQL
 from ..stages.sessions import SLIDING_WINDOW_SUMS_SQL  # noqa: E402
 ORACLE_SQL["sliding_window_sums"] = SLIDING_WINDOW_SUMS_SQL
+
+# round-4 gates over the remaining rows-only tiers (VERDICT r3 item 5):
+# each oracle restates the planted-population count / corpus identity
+# the engine must reproduce exactly, plus the invariant flag.
+ORACLE_SQL["bigfile_stitch_gate"] = """
+SELECT CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(1 AS BIGINT) AS stitch_eq_whole
+FROM documents
+"""
+ORACLE_SQL["neardup_incr_gate"] = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+       CAST(COUNT(*) AS BIGINT) AS n_matched
+FROM documents WHERE doc_id % 10 = 0 AND {_TOKENS_SQL} >= 1
+"""
+ORACLE_SQL["media_roundtrip_gate"] = """
+WITH c AS (SELECT COUNT(*) AS n FROM documents)
+SELECT CAST(LEAST(GREATEST(n // 4, 32), 512) AS BIGINT) AS n_media,
+       CAST(LEAST(GREATEST(n // 4, 32), 512) AS BIGINT) AS n_roundtrip_ok
+FROM c
+"""
+ORACLE_SQL["fingerprint_twin_gate"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+       CAST(COUNT(*) AS BIGINT) AS n_equal
+FROM documents WHERE doc_id % 10 = 0
+"""
+ORACLE_SQL["embed_lsh_twin_gate"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+       CAST(COUNT(*) AS BIGINT) AS n_paired
+FROM embeddings WHERE vec_id % 5 = 0
+"""
 
 
 # --- round-3 invariant-gate oracles (stages/gates.py) ----------------------

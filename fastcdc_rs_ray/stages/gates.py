@@ -33,6 +33,16 @@ Covered tiers -> gate:
                           hash-of-id order on a twin-bearing corpus)
   semantic_dedup       -> semdedup_planted_gate (planted exact-duplicate
                           embeddings all dropped)
+  chunks_bigfile       -> bigfile_stitch_gate (parallel seam-stitch chunk
+                          set == whole-buffer set, bytes == SQL strlen sum)
+  neardup_incremental  -> neardup_incr_gate (planted snapshot-2 twins all
+                          matched at sim 1.0 through the standing index)
+  media_real/frames    -> media_roundtrip_gate (BMP/WAV decode->encode
+                          byte-exact with meta-consistent shapes)
+  doc_fingerprint      -> fingerprint_twin_gate (copies fingerprint
+                          byte-identically; one keyed exchange)
+  embed_neardup_lsh    -> embed_lsh_twin_gate (identical-copy pairs always
+                          emitted: same buckets, cosine exactly 1)
 """
 
 from __future__ import annotations
@@ -533,3 +543,304 @@ def embed_outliers_gate(embeddings_ds, dim: int = 64) -> pa.Table:
     return _one_row(n=n, s_mod=s, d_min=mn if mn is not None else 0,
                     d_max=mx if mx is not None else 0,
                     vm_mod=vm)
+
+
+# --------------------------------------------------------------------------
+# round-4 gates: the remaining never-SQL-gated rows-only tiers
+# (VERDICT r3 item 5)
+# --------------------------------------------------------------------------
+
+#: deliberate verification arm — the whole-file sequential re-chunk is
+#: O(file) driver work, confined to a byte budget like sa_gram_parity
+BIGFILE_GATE_BYTE_BUDGET = 256 << 20
+
+
+def bigfile_stitch_gate(path: str, cfg, range_bytes: int = 64 << 10,
+                        overlap: int = 32 << 10, whole_cfg=None,
+                        byte_budget: int = BIGFILE_GATE_BYTE_BUDGET
+                        ) -> pa.Table:
+    """(total_bytes, stitch_eq_whole): the parallel range-scan +
+    seam-stitch chunking of ONE file (sources/bigfile.py) must produce
+    EXACTLY the whole-buffer sequential chunk set — compared as the full
+    (offset, length, hash) triple set, reduced to one row.  total_bytes
+    doubles as coverage (must equal the file size, which the oracle
+    derives as SUM(strlen(text)) over the concatenated documents).
+
+    ``whole_cfg`` is the falsifiability knob: chunking the sequential
+    arm under a different config flips the flag to 0."""
+    import os
+
+    from ..cdc import chunk_rows
+    from ..sources.bigfile import chunk_file_parallel
+
+    size = os.path.getsize(path)
+    if size > byte_budget:
+        raise ValueError(
+            f"bigfile_stitch_gate: {size} bytes exceeds the "
+            f"{byte_budget}-byte sequential-arm budget — raise it "
+            "explicitly or gate a prefix")
+    ds, _bridges = chunk_file_parallel(path, cfg, range_bytes=range_bytes,
+                                       overlap=overlap)
+    par = ds.select_columns(["offset", "length", "hash"]).to_pandas()
+    data = np.fromfile(path, dtype=np.uint8)
+    offsets = np.array([0, size], dtype=np.int64)
+    _, h, off, ln = chunk_rows(data, offsets, whole_cfg or cfg)
+
+    a = sorted(zip(par["offset"].tolist(), par["length"].tolist(),
+                   (int(x) for x in par["hash"].tolist())))
+    b = sorted(zip(off.tolist(), ln.tolist(), (int(x) for x in h.tolist())))
+    total = int(par["length"].sum())
+    eq = int(a == b and total == size)
+    return _one_row(total_bytes=total, stitch_eq_whole=eq)
+
+
+NDI_COPY_OFFSET = 10_000_000
+
+
+def neardup_incr_twin_gate(documents_ds, every: int = 10,
+                           tau: float = 0.5) -> pa.Table:
+    """(n_planted, n_matched): exact copies of every shingle-bearing
+    ``doc_id % every == 0`` document, ingested as crawl snapshot 2
+    through the standing sharded LSH index after snapshot 1 (the full
+    corpus), must ALL come back matched with sim_ppm = 1_000_000 —
+    identical text -> identical MinHash signature -> every band
+    collides and exact verification scores 1.0.  The oracle counts the
+    same population (>= 1 TOKEN_RE token, mirrored SQL regexp).
+    ``tau > 1`` is the falsifiability knob (nothing reaches it)."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.neardup import doc_signatures
+    from .neardup_incr import incremental_neardup_snapshots
+
+    docs = documents_ds.select_columns(["doc_id", "text"]).materialize()
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(ids) and int(ids.max()) >= NDI_COPY_OFFSET:
+            raise ValueError("doc_id >= NDI_COPY_OFFSET — raise offset")
+        sel = np.flatnonzero(ids % every == 0)
+        return pa.table({
+            "doc_id": pa.array(ids[sel] + NDI_COPY_OFFSET, pa.int64()),
+            "text": t["text"].combine_chunks().take(
+                pa.array(sel, pa.int64())),
+        })
+
+    sig_a = doc_signatures(docs)
+    sig_b = doc_signatures(
+        docs.map_batches(plant, batch_format="pyarrow"))
+    n_planted = sig_b.count()
+    out = incremental_neardup_snapshots([sig_a, sig_b], tau=tau)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        ids = pc.cast(t["conv_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = t["matched"].combine_chunks().to_numpy(zero_copy_only=False)
+        sim = t["sim_ppm"].combine_chunks().to_numpy(zero_copy_only=False)
+        hit = (ids >= NDI_COPY_OFFSET) & m & (sim == 1_000_000)
+        return pa.table({"n": pa.array([int(hit.sum())], pa.int64())})
+
+    n = 0
+    for b in out.map_batches(partial, batch_format="pyarrow"
+                             ).iter_batches(batch_format="pyarrow"):
+        n += sum(b["n"].to_pylist())
+    return _one_row(n_planted=n_planted, n_matched=n)
+
+
+def media_roundtrip_gate(n: int, corrupt: bool = False) -> pa.Table:
+    """(n_media, n_roundtrip_ok): over the deterministic REAL-format
+    corpus (genuine 24-bit BMP / 16-bit PCM WAV bytes), decode with the
+    pure-numpy magic-byte decoder and re-encode with the canonical
+    writer; the bytes must round-trip EXACTLY and the decoded shape must
+    match the typed metadata.  Runs as the same actor-pool map_batches
+    shape as the production featurizer (state in __init__).  ``corrupt``
+    flips one payload byte per row — the falsifiability knob."""
+    import ray.data as rd
+
+    from .multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+        synth_real_media_table,
+    )
+
+    media = rd.from_arrow(synth_real_media_table(n=n))
+
+    class RoundTripper:
+        def __init__(self):
+            self.dec = {"image": decode_bmp, "audio": decode_wav}
+            self.enc = {"image": encode_bmp, "audio": encode_wav}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ok = 0
+            mt = t["media_type"].to_pylist()
+            meta = t["meta"].to_pylist()
+            for i, payload in enumerate(t["payload"].to_pylist()):
+                if corrupt:
+                    payload = payload[:-1] + bytes(
+                        [payload[-1] ^ 0xFF])
+                try:
+                    arr = self.dec[mt[i]](payload)
+                except Exception:
+                    continue
+                shape_ok = (arr.shape[-1] == meta[i]["width"]
+                            and (mt[i] == "audio"
+                                 or arr.shape[0] == meta[i]["height"]))
+                if shape_ok and self.enc[mt[i]](arr) == payload:
+                    ok += 1
+            return pa.table({"n": pa.array([len(t)], pa.int64()),
+                             "ok": pa.array([ok], pa.int64())})
+
+    tot = good = 0
+    for b in media.map_batches(RoundTripper, batch_size=16, concurrency=2,
+                               batch_format="pyarrow"
+                               ).iter_batches(batch_format="pyarrow"):
+        tot += sum(b["n"].to_pylist())
+        good += sum(b["ok"].to_pylist())
+    return _one_row(n_media=tot, n_roundtrip_ok=good)
+
+
+FP_COPY_OFFSET = 10_000_000
+
+
+def fingerprint_twin_gate(documents_ds, every: int = 10,
+                          perturb: bool = False) -> pa.Table:
+    """(n_planted, n_equal): an exact copy of every ``doc_id % every ==
+    0`` document must produce a byte-identical rolling-hash fingerprint
+    (functions/text.py fingerprint_batch: content-defined chunk hashes
+    mixed with ordinals).  Pairs co-locate through ONE keyed exchange on
+    the base id; per-block equality counts merge on the driver.
+    ``perturb`` appends one byte to each copy — the falsifiability knob
+    (a content change MUST flip the fingerprint)."""
+    import pyarrow.compute as pc
+
+    from ..functions.text import fingerprint_batch
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(ids) and int(ids.max()) >= FP_COPY_OFFSET:
+            raise ValueError("doc_id >= FP_COPY_OFFSET — raise offset")
+        sel = np.flatnonzero(ids % every == 0)
+        text = t["text"].combine_chunks()
+        copies = text.take(pa.array(sel, pa.int64()))
+        if perturb:
+            copies = pc.binary_join_element_wise(
+                copies, pa.scalar("!"), "")
+        return pa.table({
+            "doc_id": pa.array(
+                np.concatenate([ids, ids[sel] + FP_COPY_OFFSET]),
+                pa.int64()),
+            "text": pa.concat_arrays([text, copies]),
+        })
+
+    fp = documents_ds.select_columns(["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow").map_batches(
+        fingerprint_batch, batch_format="pyarrow")
+
+    def base(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "pair": pa.array(ids % FP_COPY_OFFSET, pa.int64()),
+            "is_copy": pa.array((ids >= FP_COPY_OFFSET).astype(np.int8),
+                                pa.int8()),
+            "fp": t["fingerprint"],
+        })
+
+    ex = fp.map_batches(base, batch_format="pyarrow").repartition(
+        num_blocks=8, keys=["pair"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"np_": pa.array([0], pa.int64()),
+                             "ne": pa.array([0], pa.int64())})
+        pair = t["pair"].combine_chunks().to_numpy(zero_copy_only=False)
+        isc = t["is_copy"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["fp"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((isc, pair))
+        pair, isc, v = pair[order], isc[order], v[order]
+        copies = isc == 1
+        n_pl = int(copies.sum())
+        # base row for pair p directly precedes its copy row (lexsort)
+        pos = np.flatnonzero(copies)
+        ok = (pos > 0) & (pair[np.maximum(pos - 1, 0)] == pair[pos]) \
+            & (isc[np.maximum(pos - 1, 0)] == 0)
+        n_eq = int((v[np.maximum(pos - 1, 0)][ok]
+                    == v[pos][ok]).sum()) if len(pos) else 0
+        return pa.table({"np_": pa.array([n_pl], pa.int64()),
+                         "ne": pa.array([n_eq], pa.int64())})
+
+    n_pl = n_eq = 0
+    for b in ex.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None).iter_batches(
+            batch_format="pyarrow"):
+        n_pl += sum(b["np_"].to_pylist())
+        n_eq += sum(b["ne"].to_pylist())
+    return _one_row(n_planted=n_pl, n_equal=n_eq)
+
+
+ELSH_COPY_OFFSET = 10_000_000
+
+
+def embed_lsh_twin_gate(embeddings_ds, every: int = 5,
+                        tau: float = 0.99) -> pa.Table:
+    """(n_planted, n_paired): an identical copy of every ``vec_id %
+    every == 0`` embedding lands in the same bucket of EVERY hyperplane
+    table (deterministic planes, identical vector) and verifies at
+    cosine exactly 1 — so embed_neardup_lsh must emit the (base, copy)
+    pair for every planted copy.  ``tau > 1`` is the falsifiability
+    knob (cosine cannot exceed 1)."""
+    from .embed_lsh import embed_neardup_lsh
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(ids) and int(ids.max()) >= ELSH_COPY_OFFSET:
+            raise ValueError("vec_id >= ELSH_COPY_OFFSET — raise offset")
+        sel = np.flatnonzero(ids % every == 0)
+        base = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "embedding": t["embedding"]})
+        if len(sel) == 0:
+            return base
+        return pa.concat_tables([base, pa.table({
+            "vec_id": pa.array(ids[sel] + ELSH_COPY_OFFSET, pa.int64()),
+            "embedding": t["embedding"].combine_chunks().take(
+                pa.array(sel, pa.int64())),
+        })])
+
+    planted = embeddings_ds.select_columns(
+        ["vec_id", "embedding"]).materialize()
+
+    def count_planted(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"n": pa.array([int((ids % every == 0).sum())],
+                                       pa.int64())})
+
+    n_planted = 0
+    for b in planted.map_batches(count_planted, batch_format="pyarrow"
+                                 ).iter_batches(batch_format="pyarrow"):
+        n_planted += sum(b["n"].to_pylist())
+
+    pairs = embed_neardup_lsh(
+        planted.map_batches(plant, batch_format="pyarrow"), tau=tau)
+
+    def hit_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        hit = (hi == lo + ELSH_COPY_OFFSET) & (lo % every == 0)
+        return pa.table({"n": pa.array([int(hit.sum())], pa.int64())})
+
+    n = 0
+    for b in pairs.map_batches(hit_partial, batch_format="pyarrow"
+                               ).iter_batches(batch_format="pyarrow"):
+        n += sum(b["n"].to_pylist())
+    return _one_row(n_planted=n_planted, n_paired=n)

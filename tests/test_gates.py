@@ -232,3 +232,53 @@ def test_embed_outliers_gate_green_and_red(ray_session):
     perm = np.roll(d2, 1)
     assert int((perm % M).sum()) == g["s_mod"]
     assert int(((vid % M) * (perm % M) % M).sum()) != g["vm_mod"]
+
+
+def test_bigfile_stitch_gate_paths(ray_session, tmp_path):
+    from fastcdc_rs_ray.cdc.config import ChunkerConfig
+
+    rng = np.random.default_rng(41)
+    p = str(tmp_path / "big.bin")
+    with open(p, "wb") as f:
+        f.write(rng.integers(0, 256, 400_000, dtype=np.uint8).tobytes())
+    cfg = ChunkerConfig(min_size=256, avg_size=1024, max_size=4096)
+    g = G.bigfile_stitch_gate(p, cfg, range_bytes=32 << 10,
+                              overlap=16 << 10).to_pandas().iloc[0]
+    assert g["total_bytes"] == 400_000 and g["stitch_eq_whole"] == 1
+    # red knob: sequential arm under a different config
+    other = ChunkerConfig(min_size=128, avg_size=512, max_size=2048)
+    r = G.bigfile_stitch_gate(p, cfg, range_bytes=32 << 10,
+                              overlap=16 << 10,
+                              whole_cfg=other).to_pandas().iloc[0]
+    assert r["stitch_eq_whole"] == 0
+    # budget RAISE
+    with pytest.raises(ValueError):
+        G.bigfile_stitch_gate(p, cfg, byte_budget=1000)
+
+
+def test_neardup_incr_twin_gate_red_path(ray_session):
+    g = G.neardup_incr_twin_gate(_docs(80)).to_pandas().iloc[0]
+    assert g["n_planted"] > 0 and g["n_matched"] == g["n_planted"]
+    r = G.neardup_incr_twin_gate(_docs(80), tau=1.1).to_pandas().iloc[0]
+    assert r["n_matched"] == 0
+
+
+def test_media_roundtrip_gate_red_path(ray_session):
+    g = G.media_roundtrip_gate(48).to_pandas().iloc[0]
+    assert g["n_media"] == 48 and g["n_roundtrip_ok"] == 48
+    r = G.media_roundtrip_gate(48, corrupt=True).to_pandas().iloc[0]
+    assert r["n_roundtrip_ok"] < 48
+
+
+def test_fingerprint_twin_gate_red_path(ray_session):
+    g = G.fingerprint_twin_gate(_docs(90)).to_pandas().iloc[0]
+    assert g["n_planted"] == 9 and g["n_equal"] == 9
+    r = G.fingerprint_twin_gate(_docs(90), perturb=True).to_pandas().iloc[0]
+    assert r["n_equal"] < r["n_planted"]
+
+
+def test_embed_lsh_twin_gate_red_path(ray_session):
+    g = G.embed_lsh_twin_gate(_embs(60)).to_pandas().iloc[0]
+    assert g["n_planted"] == 12 and g["n_paired"] == 12
+    r = G.embed_lsh_twin_gate(_embs(60), tau=1.1).to_pandas().iloc[0]
+    assert r["n_paired"] == 0
