@@ -43,6 +43,8 @@ rebuildable from checkpoint rather than by re-reading text.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -142,6 +144,48 @@ def _shard_class():
         def stats(self) -> dict:
             return {"bands": len(self.bands), "sigs": len(self.sigs)}
 
+        def dump_state(self):
+            """Shard state as two Arrow tables (plasma-friendly):
+            bands expanded to (band_key, conv_key) member rows, sigs as
+            (conv_key, gen, sig bytes)."""
+            bk, bc = [], []
+            for k, members in self.bands.items():
+                bk.extend([k] * len(members))
+                bc.extend(members)
+            bands = pa.table({
+                "band_key": pa.array(bk, pa.uint64()),
+                "conv_key": pa.array(bc, pa.uint64()),
+            })
+            sk, sg, sb = [], [], []
+            for k, (gen, blob) in self.sigs.items():
+                sk.append(k)
+                sg.append(gen)
+                sb.append(blob)
+            sigs = pa.table({
+                "conv_key": pa.array(sk, pa.uint64()),
+                "gen": pa.array(sg, pa.int64()),
+                "sig": pa.array(sb, pa.binary()),
+            })
+            return bands, sigs
+
+        def load_state(self, bands: pa.Table, sigs: pa.Table) -> None:
+            """Rebuild dicts from dump_state() tables.  Bucket lists are
+            re-sorted, so membership equals the min-set the live index
+            held (add_bands keeps buckets sorted already — sorting again
+            is idempotent)."""
+            self.bands = {}
+            for k, c in zip(bands["band_key"].to_pylist(),
+                            bands["conv_key"].to_pylist()):
+                self.bands.setdefault(k, []).append(c)
+            for m in self.bands.values():
+                m.sort()
+            self.sigs = {
+                k: (g, bytes(b))
+                for k, g, b in zip(sigs["conv_key"].to_pylist(),
+                                   sigs["gen"].to_pylist(),
+                                   sigs["sig"].to_pylist())
+            }
+
     return NearDupShard
 
 
@@ -184,7 +228,80 @@ class NearDupIndex:
         self.n_shards = n_shards
         self.n_bands = n_bands
         self.tau = tau
+        self.bucket_cap = bucket_cap
         self._gen = 0  # per-ingest generation stamp (see NearDupShard.sigs)
+
+    def checkpoint(self, ckpt_dir: str) -> dict:
+        """Persist the standing index to parquet, crash-safely (VERDICT
+        r3 item 8): each shard dumps its band buckets and signature
+        store to ``shard=<i>/{bands,sigs}.parquet`` inside a tmp dir
+        that is atomically renamed onto ``ckpt_dir``; ``meta.json``
+        (config + generation counter + per-shard row counts — the
+        lineage record) lands inside, and a ``_SUCCESS`` sibling marker
+        is written LAST, so a crashed checkpoint leaves either the
+        previous complete state or an ignorable orphan.  Returns the
+        manifest dict."""
+        import json
+        import shutil
+        import uuid
+
+        import pyarrow.parquet as pq
+        import ray
+
+        dumps = ray.get([s.dump_state.remote() for s in self.shards])
+        ckpt_dir = ckpt_dir.rstrip("/")
+        tmp = ckpt_dir + f".tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        manifest = {
+            "n_shards": self.n_shards, "n_bands": self.n_bands,
+            "tau": self.tau, "bucket_cap": self.bucket_cap,
+            "gen": self._gen, "shards": [],
+        }
+        for i, (bands, sigs) in enumerate(dumps):
+            sd = os.path.join(tmp, f"shard={i}")
+            os.makedirs(sd)
+            pq.write_table(bands, os.path.join(sd, "bands.parquet"))
+            pq.write_table(sigs, os.path.join(sd, "sigs.parquet"))
+            manifest["shards"].append(
+                {"shard": i, "band_rows": len(bands), "sig_rows": len(sigs)})
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(manifest, f)
+        if os.path.exists(ckpt_dir + "._SUCCESS"):
+            os.remove(ckpt_dir + "._SUCCESS")
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        os.rename(tmp, ckpt_dir)
+        with open(ckpt_dir + "._SUCCESS", "w") as f:
+            f.write("ok")
+        return manifest
+
+    @classmethod
+    def restore(cls, ckpt_dir: str) -> "NearDupIndex":
+        """Rebuild a standing index (actors + generation counter) from a
+        :meth:`checkpoint` directory — crawl-over-crawl ingest survives
+        a job restart without re-reading history."""
+        import json
+
+        import pyarrow.parquet as pq
+        import ray
+
+        ckpt_dir = ckpt_dir.rstrip("/")
+        if not os.path.exists(ckpt_dir + "._SUCCESS"):
+            raise FileNotFoundError(
+                f"no complete index checkpoint at {ckpt_dir} "
+                "(_SUCCESS marker missing)")
+        with open(os.path.join(ckpt_dir, "meta.json")) as f:
+            meta = json.load(f)
+        idx = cls(n_shards=meta["n_shards"], n_bands=meta["n_bands"],
+                  tau=meta["tau"], bucket_cap=meta["bucket_cap"])
+        idx._gen = meta["gen"]
+        refs = []
+        for i, s in enumerate(idx.shards):
+            sd = os.path.join(ckpt_dir, f"shard={i}")
+            refs.append(s.load_state.remote(
+                pq.read_table(os.path.join(sd, "bands.parquet")),
+                pq.read_table(os.path.join(sd, "sigs.parquet"))))
+        ray.get(refs)
+        return idx
 
     def ingest(self, sig_ds):
         import ray

@@ -163,3 +163,54 @@ def test_recrawl_identical_snapshot_matches_history(ray_session):
         assert bool(row["matched"])
         assert row["match_key"] == keys[i]  # its own prior-gen entry
         assert row["sim_ppm"] == 1_000_000
+
+
+def test_checkpoint_restore_identical_ingest(ray_session, tmp_path):
+    """VERDICT r3 item 8: ingest snapshot A, checkpoint the standing
+    index, KILL the actors, restore from the checkpoint, ingest B —
+    match results, post-state and generation counter identical to the
+    unbroken two-snapshot run."""
+    import os
+
+    import pytest
+    import ray.data as rd
+
+    snap_a, snap_b = _corpus()
+    ck = str(tmp_path / "ndi_ckpt")
+
+    def norm(df):
+        return df.sort_values("conv_id").reset_index(drop=True)
+
+    # unbroken run
+    _, want_b, want_stats = _run_two_snapshots()
+
+    # broken run: A -> checkpoint -> kill -> restore -> B
+    idx = NearDupIndex(n_shards=3, tau=0.5)
+    idx.ingest(doc_signatures(rd.from_arrow(snap_a).repartition(4)))
+    manifest = idx.checkpoint(ck)
+    assert manifest["gen"] == 1
+    assert sum(s["sig_rows"] for s in manifest["shards"]) == len(snap_a)
+    idx.close()                       # the job dies here
+
+    idx2 = NearDupIndex.restore(ck)
+    try:
+        got_b = idx2.ingest(
+            doc_signatures(rd.from_arrow(snap_b).repartition(4))
+        ).to_pandas()
+        assert norm(got_b).equals(norm(want_b))
+        assert idx2.stats() == want_stats
+    finally:
+        idx2.close()
+
+    # a second checkpoint after B is re-restorable and idempotent
+    idx3 = NearDupIndex.restore(ck)
+    try:
+        idx3.checkpoint(ck)           # overwrite with same state
+        assert NearDupIndex.restore(ck)._gen == 1
+    finally:
+        idx3.close()
+
+    # incomplete checkpoint (no _SUCCESS) refuses to restore
+    os.remove(ck + "._SUCCESS")
+    with pytest.raises(FileNotFoundError):
+        NearDupIndex.restore(ck)
