@@ -375,7 +375,13 @@ def _prepare_corpus(n_convs: int, path: str) -> str:
     return corpus
 
 
-def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+#: quiet-window threshold for the per-sample host first-touch probes
+#: (tools/scaling_median.py uses the same constant)
+SCALING_QUIET_S = 1.5
+
+
+def run_scaling(lo: int = 8, hi: int = 32,
+                n_samples: int | None = None) -> dict:
     """Two-cluster-size evidence, both regimes:
 
     - strong: identical input at lo and hi cpus.  On one node this measures
@@ -385,21 +391,42 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
       N-node -> 4N-node regime of the north rule (cluster grows because the
       corpus grew).  Efficiency = per-cpu throughput ratio.
 
-    Two reps per level, keep the faster (shared machine; min is the honest
-    estimate of what the configuration can do).
+    The headline ``weak_efficiency`` is the MEDIAN over ``n_samples``
+    (default 3, env GRAFT_SCALING_SAMPLES) fresh (lo-leg, hi-leg)
+    pairs, preferring probe-quiet samples — the round-3 close measured
+    a 0.846 single-shot against a 0.936 15-sample median on the same
+    build, so a single noisy host window must not be able to print a
+    sub-bar number (VERDICT r3 item 7).  Per-sample efficiencies and
+    probes are all reported.
     """
+    if n_samples is None:
+        n_samples = int(os.environ.get("GRAFT_SCALING_SAMPLES", "3"))
     corpus = _prepare_corpus(SCALE_CONVS, SCALE_CORPUS)
+    small = _prepare_corpus(SCALE_CONVS * lo // hi, SCALE_CORPUS + "_small")
     probe_before = _first_touch_probe()
     a = min((_scaling_child(corpus, lo) for _ in range(2)), key=lambda d: d["value"])
-    b = min((_scaling_child(corpus, hi) for _ in range(2)), key=lambda d: d["value"])
+
+    samples = []
+    for _ in range(max(1, n_samples)):
+        w_i = _scaling_child(small, lo)
+        b_i = _scaling_child(corpus, hi)
+        probe_after = _first_touch_probe()
+        samples.append({
+            "w": w_i, "b": b_i,
+            "eff": (b_i["turns_per_sec"] / hi) / (w_i["turns_per_sec"] / lo),
+            "quiet": max(probe_after,
+                         w_i.get("host_first_touch_200mb_s") or 0.0,
+                         b_i.get("host_first_touch_200mb_s") or 0.0)
+            < SCALING_QUIET_S,
+        })
+    import statistics
+
+    pool = [s for s in samples if s["quiet"]] or samples
+    eff_weak = statistics.median(s["eff"] for s in pool)
+    b = min((s["b"] for s in samples), key=lambda d: d["value"])
+    w = min((s["w"] for s in samples), key=lambda d: d["value"])
     ta, tb = a["value"], b["value"]
     eff_strong = (ta / tb) / (hi / lo)
-
-    small = _prepare_corpus(SCALE_CONVS * lo // hi, SCALE_CORPUS + "_small")
-    w = min((_scaling_child(small, lo) for _ in range(2)), key=lambda d: d["value"])
-    tp_lo_per_cpu = w["turns_per_sec"] / lo
-    tp_hi_per_cpu = b["turns_per_sec"] / hi
-    eff_weak = tp_hi_per_cpu / tp_lo_per_cpu
     return {
         "metric": "scaling_efficiency",
         "value": round(eff_strong, 3),
@@ -412,11 +439,14 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
         "hi_turns_per_sec": b["turns_per_sec"],
         "input_turns": a["input_turns"],
         "weak_efficiency": round(eff_weak, 3),
+        "weak_samples": [round(s["eff"], 3) for s in samples],
+        "weak_samples_quiet": [s["quiet"] for s in samples],
         "weak_lo_sec": w["value"],
         "weak_lo_turns": w["input_turns"],
         "weak_note": "fixed data per cpu (N->4N nodes with the corpus "
         "growing 4x): per-cpu throughput at lo on a lo/hi-sized corpus vs "
-        "at hi on the full corpus",
+        f"at hi on the full corpus; headline = median over {len(samples)} "
+        "fresh sample pairs (quiet-preferred)",
         "corpus": corpus,
         "n_convs": SCALE_CONVS,
         "physical_cpus": os.cpu_count(),
