@@ -171,6 +171,14 @@ BENCH_QUERIES = [
     "part_linkage",
     "last_touch",
     "part_kcore",
+    # round 4: exchange-plan graph arm + localization/invariant gates
+    "triangle_count_x",
+    "embed_outliers_gate",
+    "bigfile_stitch_gate",
+    "neardup_incr_gate",
+    "media_roundtrip_gate",
+    "fingerprint_twin_gate",
+    "embed_lsh_twin_gate",
 ]
 
 
