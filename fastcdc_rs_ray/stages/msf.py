@@ -46,6 +46,14 @@ def _canon_weighted(edges_ds, price_ref):
         m = s != d  # self-loops are never in an MSF
         lo = np.minimum(s[m], d[m])
         hi = np.maximum(s[m], d[m])
+        # same guard discipline as part_kcore (ADVICE r3): the packed
+        # distinct corrupts silently outside [0, 2^32) (and a negative
+        # id would wrap-index the broadcast price array)
+        if len(lo) and (int(lo.min()) < 0 or int(lo.max()) >= (1 << 31)
+                        or int(hi.max()) >= (1 << 32)):
+            raise ValueError(
+                "part_msf: vertex ids out of packed-edge range "
+                f"[0, 2^32) — got [{int(lo.min())}, {int(hi.max())}]")
         key = lo * np.int64(1 << 32) + hi
         uk = np.unique(key)
         lo, hi = uk >> np.int64(32), uk & np.int64((1 << 32) - 1)
