@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "part_kcore",
     # round 4: exchange-plan graph arm + localization/invariant gates
     "triangle_count_x",
+    "part_reachability_x",
     "embed_outliers_gate",
     "bigfile_stitch_gate",
     "neardup_incr_gate",

@@ -3109,6 +3109,22 @@ def q_part_reachability(sf_dir: str):
                         source=0, max_hops=4)
 
 
+def q_part_reachability_x(sf_dir: str):
+    """BFS through reachability_exchange — frontier/visited live as
+    Datasets, two tag-union keyed exchanges per hop, NO broadcast
+    frontier (the 100 TB growth plan, same contract as
+    pagerank_exchange).  Shares part_reachability's recursive-CTE
+    oracle so the exchange plan is driver-hash-gated directly."""
+    import ray.data as rd
+
+    from ..stages.pagerank import copurchase_edges, reachability_exchange
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_linenumber"])
+    return reachability_exchange(copurchase_edges(li, num_partitions=8),
+                                 source=0, max_hops=4)
+
+
 def q_part_components(sf_dir: str):
     """Connected components of a sparse co-purchase part graph (edges
     restricted to orders with l_orderkey % 101 == 0 — avg degree ~0.5, a
@@ -4075,6 +4091,7 @@ QUERIES = {
     "concurrent_events": q_concurrent_events,
     "events_unpivot": q_events_unpivot,
     "part_reachability": q_part_reachability,
+    "part_reachability_x": q_part_reachability_x,
     "pair_edit_distance": q_pair_edit_distance,
     "favorite_event_type": q_favorite_event_type,
     "nation_revenue_share": q_nation_revenue_share,
@@ -4880,6 +4897,8 @@ r(node, d) AS (
 )
 SELECT node, CAST(min(d) AS BIGINT) AS dist FROM r GROUP BY node
 """
+# the exchange-plan BFS arm answers the identical question — same oracle
+ORACLE_SQL["part_reachability_x"] = ORACLE_SQL["part_reachability"]
 ORACLE_SQL["events_unpivot"] = """
 WITH p AS (
   SELECT user_id,

@@ -742,6 +742,131 @@ def triangle_count(edges_ds, num_partitions: int = 8,
     return pa.table({"n_triangles": pa.array([total], pa.int64())})
 
 
+def reachability_exchange(edges_ds, source: int = 0, max_hops: int = 4,
+                          num_partitions: int = 8) -> pa.Table:
+    """Keyed-exchange BFS — bit-identical to :func:`reachability`
+    (parity pytest) with NO frontier/visited broadcast: per hop,
+
+      A. frontier rows + edge rows tag-union, KR on the SOURCE node:
+         blocks emit the distinct successors of frontier members
+         (block-pre-distinct — the combiner discipline);
+      B. visited rows + candidate rows tag-union, KR on the node:
+         blocks emit candidates with no visited row as (node, hop).
+
+    visited/frontier live as Datasets; the only per-hop driver scalar
+    is the fresh-node count (stop condition).  Two keyed exchanges per
+    hop; the growth path past GRAPH_BROADCAST_EDGE_LIMIT where the
+    broadcast frontier no longer fits (same contract as
+    pagerank_exchange / triangle degree_mode="exchange")."""
+    uF = pa.schema([("key", pa.int64()), ("dst", pa.int64()),
+                    ("tag", pa.int8())])
+    uV = pa.schema([("key", pa.int64()), ("dist", pa.int64()),
+                    ("tag", pa.int8())])
+    nd_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+
+    import ray.data as rd
+
+    edges_ds = edges_ds.materialize()
+    visited = rd.from_arrow(pa.table({
+        "node": pa.array([source], pa.int64()),
+        "dist": pa.array([0], pa.int64())})).materialize()
+    frontier = visited
+
+    def frontier_rows(t: pa.Table) -> pa.Table:
+        z = np.zeros(len(t), np.int64)
+        return pa.table({
+            "key": t["node"], "dst": pa.array(z, pa.int64()),
+            "tag": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+        }).cast(uF)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["src"], "dst": t["dst"],
+            "tag": pa.array(np.ones(len(t), np.int8), pa.int8()),
+        }).cast(uF)
+
+    def successors(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"key": pa.array([], pa.int64())})
+        key = t["key"].combine_chunks().to_numpy(zero_copy_only=False)
+        tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        fr = np.unique(key[tag == 0])
+        if not len(fr):
+            return pa.table({"key": pa.array([], pa.int64())})
+        ed = tag == 1
+        src = key[ed]
+        pos = np.searchsorted(fr, src)
+        hit = fr[np.minimum(pos, len(fr) - 1)] == src
+        dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)[ed]
+        return pa.table({"key": pa.array(np.unique(dst[hit]), pa.int64())})
+
+    def visited_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["node"], "dist": t["dist"],
+            "tag": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+        }).cast(uV)
+
+    def cand_rows(t: pa.Table, _hop: int) -> pa.Table:
+        return pa.table({
+            "key": t["key"],
+            "dist": pa.array(np.full(len(t), _hop, np.int64), pa.int64()),
+            "tag": pa.array(np.ones(len(t), np.int8), pa.int8()),
+        }).cast(uV)
+
+    def fresh_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return nd_schema.empty_table()
+        key = t["key"].combine_chunks().to_numpy(zero_copy_only=False)
+        tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        seen = np.unique(key[tag == 0])
+        cand = key[tag == 1]
+        dist = t["dist"].combine_chunks().to_numpy(
+            zero_copy_only=False)[tag == 1]
+        if len(seen):
+            pos = np.searchsorted(seen, cand)
+            new = seen[np.minimum(pos, len(seen) - 1)] != cand
+        else:
+            new = np.ones(len(cand), bool)
+        # candidates may repeat across blocks' distinct passes — within
+        # this KR block they are already unique per source emit; dedup
+        # anyway for safety (dist is constant this hop)
+        un = np.unique(cand[new])
+        return pa.table({
+            "node": pa.array(un, pa.int64()),
+            "dist": pa.array(np.full(len(un), dist[0] if len(dist) else 0,
+                                     np.int64), pa.int64()),
+        })
+
+    for hop in range(1, max_hops + 1):
+        cands = (frontier.map_batches(frontier_rows,
+                                      batch_format="pyarrow")
+                 .union(edges_ds.map_batches(edge_rows,
+                                             batch_format="pyarrow"))
+                 .repartition(num_blocks=num_partitions, keys=["key"])
+                 .map_batches(successors, batch_format="pyarrow",
+                              batch_size=None))
+        fresh = (visited.map_batches(visited_rows, batch_format="pyarrow")
+                 .union(cands.map_batches(
+                     lambda t, _h=hop: cand_rows(t, _h),
+                     batch_format="pyarrow"))
+                 .repartition(num_blocks=num_partitions, keys=["key"])
+                 .map_batches(fresh_block, batch_format="pyarrow",
+                              batch_size=None)).materialize()
+        if fresh.count() == 0:
+            break
+        visited = visited.union(fresh).materialize()
+        frontier = fresh
+
+    out = _collect(visited)
+    order = np.argsort(out["node"].to_numpy(zero_copy_only=False))
+    return pa.table({
+        "node": pa.array(out["node"].to_numpy(
+            zero_copy_only=False)[order], pa.int64()),
+        "dist": pa.array(out["dist"].to_numpy(
+            zero_copy_only=False)[order], pa.int64()),
+    })
+
+
 def reachability(edges_ds, source: int = 0, max_hops: int = 4) -> pa.Table:
     """BFS over the edge Dataset: (node, dist = min hops from ``source``)
     for every node within ``max_hops`` — the graph-traversal class, and

@@ -120,3 +120,30 @@ def test_pagerank_exchange_empty_and_dangling(ray_session):
         "node").reset_index(drop=True)
     assert bc.equals(ex)
     assert (ex["rank_q"] > 0).all()
+
+
+def test_reachability_exchange_parity(ray_session):
+    """Keyed-exchange BFS (no broadcast frontier/visited) is
+    bit-identical to the broadcast path on random graphs, source
+    inside and outside cycles, different partitionings."""
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.pagerank import (
+        reachability,
+        reachability_exchange,
+    )
+
+    rng = np.random.default_rng(37)
+    src = rng.integers(0, 150, 1200).astype(np.int64)
+    dst = rng.integers(0, 150, 1200).astype(np.int64)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    for blocks, parts, s, hops in ((1, 3, 0, 4), (7, 5, 7, 3)):
+        ds = rd.from_arrow(t).repartition(blocks)
+        a = reachability(ds, source=s, max_hops=hops).to_pandas()
+        b = reachability_exchange(ds, source=s, max_hops=hops,
+                                  num_partitions=parts).to_pandas()
+        assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    # isolated source: just itself at dist 0
+    iso = reachability_exchange(
+        rd.from_arrow(t), source=99_999, max_hops=3)
+    assert iso.to_pandas().values.tolist() == [[99_999, 0]]
