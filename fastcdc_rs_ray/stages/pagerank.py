@@ -338,10 +338,19 @@ def pagerank_exchange(edges_ds, n_iter: int = 10, damping_pct: int = 85,
             "changed": pa.array((new != old).astype(np.int64), pa.int64()),
         })
 
+    # the rank-independent edge projection is computed ONCE (it re-enters
+    # the KR every round, but the per-round map over raw edges is saved)
+    edges_a = edges_ds.map_batches(edge_a,
+                                   batch_format="pyarrow").materialize()
+
     for _ in range(n_iter):
+        # both KRs stay in ONE execution per round: a mid-round
+        # materialize barrier measured 14.8 s vs 11.6 s on the 4-round
+        # sf0.1 gate — the contribution stream is block-pre-reduced
+        # (tiny), so pipelining beats exchange separation here, the
+        # opposite trade from the triangle plan's row-heavy oe
         contribs = (state.map_batches(state_a, batch_format="pyarrow")
-                    .union(edges_ds.map_batches(edge_a,
-                                                batch_format="pyarrow"))
+                    .union(edges_a)
                     .repartition(num_blocks=num_partitions, keys=["key"])
                     .map_batches(contrib_block, batch_format="pyarrow",
                                  batch_size=None))
