@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     # round 4: exchange-plan graph arm + localization/invariant gates
     "triangle_count_x",
     "part_reachability_x",
+    "part_kcore_x",
     "embed_outliers_gate",
     "bigfile_stitch_gate",
     "neardup_incr_gate",

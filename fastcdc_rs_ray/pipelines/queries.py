@@ -3901,6 +3901,24 @@ def q_part_kcore(sf_dir: str):
     return kcore_members(copurchase_edges(li, num_partitions=8))
 
 
+def q_part_kcore_x(sf_dir: str):
+    """k-core through kcore_members_exchange — the surviving subgraph
+    lives as the edge Dataset, three keyed exchanges per peel round
+    (degree reduction + two endpoint-filter attaches), NO survivor
+    broadcast (the 100 TB growth plan, closing the last
+    broadcast-dimension assumption in the graph family).  Shares
+    part_kcore's MATERIALIZED-CTE peeling oracle."""
+    import ray.data as rd
+
+    from ..stages.kcore import kcore_members_exchange
+    from ..stages.pagerank import copurchase_edges
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey",
+                                  "l_linenumber"])
+    return kcore_members_exchange(copurchase_edges(li, num_partitions=8))
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "turn_equality": q_turn_equality,
@@ -4153,6 +4171,7 @@ QUERIES = {
     "part_linkage": q_part_linkage,
     "last_touch": q_last_touch,
     "part_kcore": q_part_kcore,
+    "part_kcore_x": q_part_kcore_x,
 }
 
 
@@ -5283,6 +5302,8 @@ WHERE NOT list_contains(f.removed, n.v)"""
 
 
 ORACLE_SQL["part_kcore"] = _kcore_sql(_KCORE_K, _KCORE_UNROLL)
+# the exchange-plan peeling arm answers the identical question
+ORACLE_SQL["part_kcore_x"] = ORACLE_SQL["part_kcore"]
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.

@@ -40,11 +40,14 @@ KCORE_K = 30
 KCORE_UNROLL = 12
 
 
-def kcore_members(edges_ds, k: int = KCORE_K, num_partitions: int = 8,
-                  max_rounds: int = KCORE_UNROLL + 1) -> pa.Table:
-    import ray
+_CANON = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
-    canon_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+def canonical_edges(edges_ds, num_partitions: int = 8):
+    """(src, dst) -> materialized distinct canonical (a < b) edge
+    Dataset via one keyed exchange (shared by the broadcast and
+    exchange peeling plans)."""
+    canon_schema = _CANON
 
     def canon(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -83,8 +86,15 @@ def kcore_members(edges_ds, k: int = KCORE_K, num_partitions: int = 8,
         return canon(pa.table({"src": t["a"], "dst": t["b"]})) \
             if len(t) else canon_schema.empty_table()
 
-    ce = ce.map_batches(distinct, batch_format="pyarrow",
-                        batch_size=None).materialize()
+    return ce.map_batches(distinct, batch_format="pyarrow",
+                          batch_size=None).materialize()
+
+
+def kcore_members(edges_ds, k: int = KCORE_K, num_partitions: int = 8,
+                  max_rounds: int = KCORE_UNROLL + 1) -> pa.Table:
+    import ray
+
+    ce = canonical_edges(edges_ds, num_partitions)
 
     # node universe (dimension-sized)
     nodes: set[int] = set()
@@ -138,4 +148,139 @@ def kcore_members(edges_ds, k: int = KCORE_K, num_partitions: int = 8,
             f"the SQL oracle unrolls exactly {KCORE_UNROLL} peel rounds, "
             f"so deeper graphs must raise rather than diverge")
 
+    return pa.table({"p_partkey": pa.array(surv, pa.int64())})
+
+
+def kcore_members_exchange(edges_ds, k: int = KCORE_K,
+                           num_partitions: int = 8,
+                           max_rounds: int = KCORE_UNROLL + 1) -> pa.Table:
+    """Keyed-exchange k-core peeling — same synchronous batch-peeling
+    fixpoint as :func:`kcore_members` (parity pytest) with NO
+    node-universe driver or broadcast state: the surviving subgraph
+    lives as the canonical edge Dataset, and each round is three keyed
+    exchanges,
+
+      1. KR(node) degree reduction over the surviving edges (both
+         endpoints, block-pre-reduced);
+      2. tag-union KR on endpoint ``a``: keep-rows (deg >= k) + edge
+         rows; blocks drop edges whose a-endpoint was peeled;
+      3. the same on endpoint ``b``.
+
+    A node whose last edge disappears simply vanishes from the edge
+    state — identical to the broadcast plan's deg-0 removal, because
+    k-core members always carry >= k >= 1 edges.  The per-round driver
+    scalars are two Dataset counts (the removal check).  RAISES past
+    ``max_rounds`` exactly like the broadcast plan (the SQL oracle's
+    unroll bound — agree-or-both-fail)."""
+    deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+    att = pa.schema([("key", pa.int64()), ("other", pa.int64()),
+                     ("tag", pa.int8())])
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return deg_schema.empty_table()
+        node = np.concatenate([
+            t["a"].combine_chunks().to_numpy(zero_copy_only=False),
+            t["b"].combine_chunks().to_numpy(zero_copy_only=False)])
+        u, c = np.unique(node, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(c.astype(np.int64), pa.int64())})
+
+    def deg_reduce(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return deg_schema.empty_table()
+        node = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
+        deg = t["deg"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, inv = np.unique(node, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, deg)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(s, pa.int64())})
+
+    def keep_reduce(t: pa.Table, _k=k) -> pa.Table:
+        """deg_reduce fused with the keep filter: emits att-schema rows
+        for nodes with deg >= k only (one execution per round instead
+        of degs + keeps)."""
+        if len(t) == 0:
+            return att.empty_table()
+        r = deg_reduce(t)
+        node = r["node"].to_numpy(zero_copy_only=False)
+        deg = r["deg"].to_numpy(zero_copy_only=False)
+        kp = node[deg >= _k]
+        return pa.table({
+            "key": pa.array(kp, pa.int64()),
+            "other": pa.array(np.zeros(len(kp), np.int64), pa.int64()),
+            "tag": pa.array(np.zeros(len(kp), np.int8), pa.int8()),
+        }).cast(att)
+
+    def edge_rows(t: pa.Table, key_col: str, other_col: str) -> pa.Table:
+        return pa.table({
+            "key": t[key_col], "other": t[other_col],
+            "tag": pa.array(np.ones(len(t), np.int8), pa.int8()),
+        }).cast(att)
+
+    def filter_block(t: pa.Table, out_key: str, out_other: str) -> pa.Table:
+        out_schema = pa.schema([(out_key, pa.int64()),
+                                (out_other, pa.int64())])
+        if len(t) == 0:
+            return out_schema.empty_table()
+        key = t["key"].combine_chunks().to_numpy(zero_copy_only=False)
+        tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        kept = np.unique(key[tag == 0])
+        ed = tag == 1
+        if not ed.any() or not len(kept):
+            return out_schema.empty_table()
+        ek = key[ed]
+        pos = np.searchsorted(kept, ek)
+        ok = kept[np.minimum(pos, len(kept) - 1)] == ek
+        return pa.table({
+            out_key: pa.array(ek[ok], pa.int64()),
+            out_other: pa.array(t["other"].combine_chunks().to_numpy(
+                zero_copy_only=False)[ed][ok], pa.int64()),
+        })
+
+    E = canonical_edges(edges_ds, num_partitions)
+    n_edges = E.count()
+    for _ in range(max_rounds):
+        # fused degree-reduce + keep filter: one KR execution per round
+        keeps = (E.map_batches(deg_partial, batch_format="pyarrow")
+                 .repartition(num_blocks=num_partitions, keys=["node"])
+                 .map_batches(keep_reduce, batch_format="pyarrow",
+                              batch_size=None)).materialize()
+        # drop edges with a peeled endpoint: KR on a, then on b (one
+        # chained execution — the contribution streams are small)
+        E = (keeps.union(E.map_batches(
+                lambda t: edge_rows(t, "a", "b"), batch_format="pyarrow"))
+             .repartition(num_blocks=num_partitions, keys=["key"])
+             .map_batches(lambda t: filter_block(t, "a", "b"),
+                          batch_format="pyarrow", batch_size=None))
+        E = (keeps.union(E.map_batches(
+                lambda t: edge_rows(t, "b", "a"), batch_format="pyarrow"))
+             .repartition(num_blocks=num_partitions, keys=["key"])
+             .map_batches(lambda t: filter_block(t, "b", "a"),
+                          batch_format="pyarrow", batch_size=None)
+             ).materialize()
+        n_new = E.count()
+        # edge-count fixpoint: every peeled node carries >= 1 surviving
+        # incident edge (deg-0 nodes don't exist in edge state), so
+        # "no edge removed" <=> "no node peeled"
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+    else:
+        raise RuntimeError(
+            f"kcore_members_exchange did not settle within {max_rounds} "
+            f"rounds — the SQL oracle unrolls exactly {KCORE_UNROLL} "
+            "peel rounds, so deeper graphs must raise rather than "
+            "diverge")
+
+    out_nodes = (E.map_batches(deg_partial, batch_format="pyarrow")
+                 .repartition(num_blocks=num_partitions, keys=["node"])
+                 .map_batches(deg_reduce, batch_format="pyarrow",
+                              batch_size=None)
+                 .select_columns(["node"]))
+    col = []
+    for b in out_nodes.iter_batches(batch_format="pyarrow"):
+        col.append(b["node"].to_numpy(zero_copy_only=False))
+    surv = np.sort(np.concatenate(col)) if col else np.empty(0, np.int64)
     return pa.table({"p_partkey": pa.array(surv, pa.int64())})

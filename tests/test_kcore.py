@@ -82,3 +82,35 @@ def test_empty_on_final_round_raises(ray_session):
     # one more round = fixpoint confirmable -> clean empty result
     out = kcore_members(_edges(pairs), k=2, max_rounds=n + 1).to_pandas()
     assert len(out) == 0
+
+
+def test_kcore_exchange_parity(ray_session):
+    """Keyed-exchange peeling (no survivor broadcast) matches the
+    broadcast plan and brute force on random + planted graphs, and
+    raises past the unroll depth exactly like the broadcast plan."""
+    from fastcdc_rs_ray.stages.kcore import kcore_members_exchange
+
+    rng = np.random.default_rng(47)
+    pairs = list(zip(rng.integers(0, 70, 700).tolist(),
+                     rng.integers(0, 70, 700).tolist()))
+    for k in (2, 3, 5):
+        bc = set(kcore_members(_edges(pairs), k=k).to_pandas().p_partkey)
+        ex = set(kcore_members_exchange(
+            _edges(pairs), k=k, num_partitions=3).to_pandas().p_partkey)
+        assert bc == ex == _brute(pairs, k)
+
+    # triangle+tail: k=2 core is the triangle, two peel rounds
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    ex = set(kcore_members_exchange(_edges(pairs), k=2).to_pandas().p_partkey)
+    assert ex == {1, 2, 3}
+    # empty core
+    ex0 = kcore_members_exchange(_edges(pairs), k=4).to_pandas()
+    assert len(ex0) == 0
+
+    # unroll-depth raise: a long path peels one layer per round from
+    # each end — depth > max_rounds must raise in BOTH plans
+    path = [(i, i + 1) for i in range(30)]
+    with pytest.raises(RuntimeError):
+        kcore_members_exchange(_edges(path), k=2, max_rounds=3)
+    with pytest.raises(RuntimeError):
+        kcore_members(_edges(path), k=2, max_rounds=3)
