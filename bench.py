@@ -181,6 +181,8 @@ BENCH_QUERIES = [
     "media_roundtrip_gate",
     "fingerprint_twin_gate",
     "embed_lsh_twin_gate",
+    "pq_endpoint_gate",
+    "neardup_keep_gate",
 ]
 
 

@@ -3836,6 +3836,28 @@ def q_embed_lsh_twin_gate(sf_dir: str):
     return embed_lsh_twin_gate(_embeddings(sf_dir))
 
 
+def q_pq_endpoint_gate(sf_dir: str):
+    """PQ endpoint gate: with the ADC shortlist widened to the whole
+    corpus, the exact re-rank must reproduce brute-force top-k exactly
+    (1000 permille) — the compressed-scan twin of ann_recall_monotone's
+    all-cells endpoint (stages/gates.py pq_endpoint_gate)."""
+    from ..stages.ann import load_queries_from_dataset
+    from ..stages.gates import pq_endpoint_gate
+
+    ds = _embeddings(sf_dir)
+    qids, qmat = load_queries_from_dataset(ds, ANN_N_QUERIES)
+    return pq_endpoint_gate(ds, qids, qmat, k=ANN_K)
+
+
+def q_neardup_keep_gate(sf_dir: str):
+    """Dedup-action gate for neardup_keep: no planted exact-twin pair
+    survives representative selection intact (n_both_kept == 0, with
+    the SQL-derivable twin census; stages/gates.py neardup_keep_gate)."""
+    from ..stages.gates import neardup_keep_gate
+
+    return neardup_keep_gate(transcripts_from_documents(sf_dir))
+
+
 def q_windowed_dedup(sf_dir: str):
     """Time-windowed dedup (refetch/replay suppression): an event is a
     window-duplicate iff the same (user, event_type) occurred within the
@@ -4166,6 +4188,8 @@ QUERIES = {
     "media_roundtrip_gate": q_media_roundtrip_gate,
     "fingerprint_twin_gate": q_fingerprint_twin_gate,
     "embed_lsh_twin_gate": q_embed_lsh_twin_gate,
+    "pq_endpoint_gate": q_pq_endpoint_gate,
+    "neardup_keep_gate": q_neardup_keep_gate,
     # round-3 new operator families
     "windowed_dedup": q_windowed_dedup,
     "part_linkage": q_part_linkage,
@@ -5115,6 +5139,19 @@ ORACLE_SQL["embed_lsh_twin_gate"] = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
        CAST(COUNT(*) AS BIGINT) AS n_paired
 FROM embeddings WHERE vec_id % 5 = 0
+"""
+ORACLE_SQL["pq_endpoint_gate"] = f"""
+SELECT CAST({ANN_N_QUERIES} AS BIGINT) AS n_queries,
+       CAST(1000 AS BIGINT) AS match_permille
+"""
+ORACLE_SQL["neardup_keep_gate"] = f"""
+WITH exact_twins AS (
+  SELECT DISTINCT doc_id // {DOCS_TURNS_PER_CONV} AS c FROM documents
+  WHERE (doc_id // {DOCS_TURNS_PER_CONV}) % 20 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_twins,
+       CAST(0 AS BIGINT) AS n_both_kept
+FROM exact_twins
 """
 
 

@@ -43,6 +43,10 @@ Covered tiers -> gate:
                           byte-identically; one keyed exchange)
   embed_neardup_lsh    -> embed_lsh_twin_gate (identical-copy pairs always
                           emitted: same buckets, cosine exactly 1)
+  ann_topk_pq          -> pq_endpoint_gate (all-corpus shortlist ->
+                          exact-re-rank top-k == brute force)
+  neardup_keep         -> neardup_keep_gate (no planted twin pair
+                          survives representative selection)
 """
 
 from __future__ import annotations
@@ -844,3 +848,107 @@ def embed_lsh_twin_gate(embeddings_ds, every: int = 5,
                                ).iter_batches(batch_format="pyarrow"):
         n += sum(b["n"].to_pylist())
     return _one_row(n_planted=n_planted, n_paired=n)
+
+
+def pq_endpoint_gate(emb_ds, qids, qmat, k: int = 10, m: int = 8,
+                     ks: int = 16, truth_k: int | None = None) -> pa.Table:
+    """(n_queries, match_permille): with the ADC shortlist widened to
+    the WHOLE corpus (rerank*k >= n), PQ's exact re-rank phase selects
+    from every vector's true cosine, so the per-query top-k SET must
+    equal exact brute force — the compressed-scan twin of
+    ann_recall_monotone's all-cells endpoint.  PQ's lossy codes decide
+    only the shortlist, and an all-corpus shortlist makes them
+    irrelevant; anything below 1000 permille means the re-rank phase
+    itself (fetch / searchsorted alignment / merge) is broken.
+    ``truth_k`` is the falsifiability knob (mismatched truth drops the
+    endpoint)."""
+    from .ann import ann_topk_bruteforce, ann_topk_pq
+
+    n = emb_ds.count()
+    rerank = -(-n // k) + 1          # shortlist covers the corpus
+    pq = ann_topk_pq(emb_ds, qids, qmat, k=k, m=m, ks=ks, rerank=rerank)
+    bf = ann_topk_bruteforce(emb_ds, qids, qmat, k=truth_k or k)
+
+    def pairs(t: pa.Table) -> dict[int, set]:
+        out: dict[int, set] = {}
+        for q, v in zip(t["query_id"].to_pylist(),
+                        t["neighbor_id"].to_pylist()):
+            out.setdefault(q, set()).add(v)
+        return out
+
+    a, b = pairs(pq), pairs(bf)
+    num = sum(len(a.get(q, set()) & tv) for q, tv in b.items())
+    den = sum(len(tv) for tv in b.values())
+    return _one_row(n_queries=len(b),
+                    match_permille=1000 * num // max(1, den))
+
+
+def neardup_keep_gate(transcripts_ds, keep_all: bool = False) -> pa.Table:
+    """(n_exact_twins, n_both_kept): the dedup ACTION gate — the corpus
+    derivation plants byte-identical twins (``twin-X`` copies ``conv-X``
+    when X % 20 == 0), twin recall puts each pair in one cluster, and
+    ``representatives`` keeps exactly ONE conversation per cluster, so
+    no exact-twin pair may survive dedup intact: n_both_kept == 0,
+    always.  n_exact_twins is the SQL-derivable census (the
+    neardup_twin_recall expression).  ``keep_all=True`` bypasses the
+    representative selection — the falsifiability knob (every pair then
+    survives, n_both_kept == n_exact_twins > 0)."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.neardup import neardup_clusters, representatives
+
+    clusters = neardup_clusters(transcripts_ds, num_partitions=16,
+                                verify_threshold=0.4).materialize()
+    kept = clusters if keep_all else representatives(clusters)
+
+    # census over the FULL cluster table (every conv appears once)
+    def census(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].combine_chunks()
+        if len(conv) == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        num = pc.cast(pc.utf8_slice_codeunits(conv, 5, 13),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        is_twin = pc.equal(pc.utf8_slice_codeunits(conv, 0, 5),
+                           "twin-").to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array(
+            [int((is_twin & (num % 20 == 0)).sum())], pa.int64())})
+
+    n_twins = 0
+    for b in clusters.map_batches(census, batch_format="pyarrow"
+                                  ).iter_batches(batch_format="pyarrow"):
+        n_twins += sum(b["n"].to_pylist())
+
+    def tag(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].combine_chunks()
+        if len(conv) == 0:
+            return pa.table({"num": pa.array([], pa.int64()),
+                             "is_twin": pa.array([], pa.int8())})
+        num = pc.cast(pc.utf8_slice_codeunits(conv, 5, 13), pa.int64())
+        n = num.to_numpy(zero_copy_only=False)
+        is_twin = pc.equal(pc.utf8_slice_codeunits(conv, 0, 5),
+                           "twin-").cast(pa.int8())
+        return pa.table({"num": num, "is_twin": is_twin}).filter(
+            pa.array(n % 20 == 0))
+
+    ex = kept.map_batches(tag, batch_format="pyarrow").repartition(
+        num_blocks=8, keys=["num"])
+
+    def both_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        num = t["num"].combine_chunks().to_numpy(zero_copy_only=False)
+        tw = t["is_twin"].combine_chunks().to_numpy(zero_copy_only=False)
+        u = np.unique(num)
+        both = 0
+        for x in u:  # pairs per block: tiny (twin census / partitions)
+            m = num == x
+            if (tw[m] == 1).any() and (tw[m] == 0).any():
+                both += 1
+        return pa.table({"n": pa.array([both], pa.int64())})
+
+    n_both = 0
+    for b in ex.map_batches(both_partial, batch_format="pyarrow",
+                            batch_size=None).iter_batches(
+            batch_format="pyarrow"):
+        n_both += sum(b["n"].to_pylist())
+    return _one_row(n_exact_twins=n_twins, n_both_kept=n_both)

@@ -282,3 +282,29 @@ def test_embed_lsh_twin_gate_red_path(ray_session):
     assert g["n_planted"] == 12 and g["n_paired"] == 12
     r = G.embed_lsh_twin_gate(_embs(60), tau=1.1).to_pandas().iloc[0]
     assert r["n_paired"] == 0
+
+
+def test_pq_endpoint_gate_red_path(ray_session):
+    from fastcdc_rs_ray.stages.ann import load_queries_from_dataset
+
+    emb = _embs(70)
+    qids, qmat = load_queries_from_dataset(emb, 4)
+    g = G.pq_endpoint_gate(_embs(70), qids, qmat, k=5).to_pandas().iloc[0]
+    assert g["n_queries"] == 4 and g["match_permille"] == 1000
+    r = G.pq_endpoint_gate(_embs(70), qids, qmat, k=5,
+                           truth_k=9).to_pandas().iloc[0]
+    assert r["match_permille"] < 1000
+
+
+def test_neardup_keep_gate_red_path(ray_session):
+    import ray.data as rd
+
+    import fastcdc_rs_ray.pipelines.queries as Q
+
+    t = Q.transcripts_from_documents("/root/testdata/sf0.001")
+    g = G.neardup_keep_gate(t).to_pandas().iloc[0]
+    assert g["n_exact_twins"] > 0 and g["n_both_kept"] == 0
+    r = G.neardup_keep_gate(
+        Q.transcripts_from_documents("/root/testdata/sf0.001"),
+        keep_all=True).to_pandas().iloc[0]
+    assert r["n_both_kept"] == r["n_exact_twins"] > 0
