@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "embed_lsh_twin_gate",
     "pq_endpoint_gate",
     "neardup_keep_gate",
+    "stream_parity_gate",
+    "media_thumbs_gate",
 ]
 
 

@@ -3858,6 +3858,29 @@ def q_neardup_keep_gate(sf_dir: str):
     return neardup_keep_gate(transcripts_from_documents(sf_dir))
 
 
+def q_stream_parity_gate(sf_dir: str):
+    """Corpus-level stream≡slice parity: the bounded-memory
+    StreamChunker path over the staged files reproduces the whole-file
+    source's chunk rows exactly per document (one tag-union keyed
+    exchange; stages/gates.py stream_parity_gate) — the SQL-gated twin
+    of chunks_stream's synthetic parity pytests."""
+    from ..stages.gates import stream_parity_gate
+
+    return stream_parity_gate(sf_dir)
+
+
+def q_media_thumbs_gate(sf_dir: str):
+    """Thumbnail invariants for media_thumbs: every image row's thumb
+    payload decodes to exactly 16x16 with gray_sum matching the emitted
+    metadata, audio rows carry null thumbs (stages/gates.py
+    media_thumbs_gate); n_images restated by the oracle from the corpus
+    scaling rule."""
+    from ..stages.gates import media_thumbs_gate
+
+    n_docs = _documents(sf_dir, ["doc_id"]).count()
+    return media_thumbs_gate(n=min(max(n_docs // 4, 32), 512))
+
+
 def q_windowed_dedup(sf_dir: str):
     """Time-windowed dedup (refetch/replay suppression): an event is a
     window-duplicate iff the same (user, event_type) occurred within the
@@ -4190,6 +4213,8 @@ QUERIES = {
     "embed_lsh_twin_gate": q_embed_lsh_twin_gate,
     "pq_endpoint_gate": q_pq_endpoint_gate,
     "neardup_keep_gate": q_neardup_keep_gate,
+    "stream_parity_gate": q_stream_parity_gate,
+    "media_thumbs_gate": q_media_thumbs_gate,
     # round-3 new operator families
     "windowed_dedup": q_windowed_dedup,
     "part_linkage": q_part_linkage,
@@ -5143,6 +5168,18 @@ FROM embeddings WHERE vec_id % 5 = 0
 ORACLE_SQL["pq_endpoint_gate"] = f"""
 SELECT CAST({ANN_N_QUERIES} AS BIGINT) AS n_queries,
        CAST(1000 AS BIGINT) AS match_permille
+"""
+ORACLE_SQL["stream_parity_gate"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_equal
+FROM documents WHERE strlen(text) > 0
+"""
+ORACLE_SQL["media_thumbs_gate"] = """
+WITH c AS (SELECT COUNT(*) AS n FROM documents),
+     m AS (SELECT LEAST(GREATEST(n // 4, 32), 512) AS nm FROM c)
+SELECT CAST((nm + 1) // 2 AS BIGINT) AS n_images,
+       CAST((nm + 1) // 2 AS BIGINT) AS n_thumb_ok
+FROM m
 """
 ORACLE_SQL["neardup_keep_gate"] = f"""
 WITH exact_twins AS (

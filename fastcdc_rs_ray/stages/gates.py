@@ -47,6 +47,10 @@ Covered tiers -> gate:
                           exact-re-rank top-k == brute force)
   neardup_keep         -> neardup_keep_gate (no planted twin pair
                           survives representative selection)
+  chunks_stream        -> stream_parity_gate (streamed corpus chunk rows
+                          == whole-file rows per document)
+  media_thumbs         -> media_thumbs_gate (thumb payloads decode to the
+                          exact requested dims + matching gray_sum)
 """
 
 from __future__ import annotations
@@ -952,3 +956,120 @@ def neardup_keep_gate(transcripts_ds, keep_all: bool = False) -> pa.Table:
             batch_format="pyarrow"):
         n_both += sum(b["n"].to_pylist())
     return _one_row(n_exact_twins=n_twins, n_both_kept=n_both)
+
+
+def stream_parity_gate(sf_dir: str, num_partitions: int = 8) -> pa.Table:
+    """(n_docs, n_equal): the bounded-memory StreamChunker path over the
+    staged per-document files must produce EXACTLY the whole-file
+    source's chunk rows, compared per document as ordered
+    (offset, length, hash) sequences through one tag-union keyed
+    exchange — the corpus-level SQL-gated twin of the synthetic
+    stream≡slice parity pytests.  n_docs = documents with >= 1 byte
+    (empty files emit no chunk rows on either path), which the oracle
+    derives as COUNT(*) WHERE strlen(text) > 0."""
+    from ..cdc import ChunkerConfig  # noqa: F401  (doc anchor)
+    from ..sources.files import chunks_from_document_files
+
+    whole = chunks_from_document_files(sf_dir, None, streamed=False)
+    stream = chunks_from_document_files(sf_dir, None, streamed=True)
+
+    tagged = pa.schema([("doc_id", pa.int64()), ("offset", pa.int64()),
+                        ("length", pa.int64()), ("hash", pa.uint64()),
+                        ("tag", pa.int8())])
+
+    def rows(tag_v):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "offset": pc.cast(t["offset"], pa.int64()),
+                "length": pc.cast(t["length"], pa.int64()),
+                "hash": pc.cast(t["hash"], pa.uint64()),
+                "tag": pa.array(np.full(len(t), tag_v, np.int8),
+                                pa.int8()),
+            }).cast(tagged)
+        return f
+
+    ex = (whole.map_batches(rows(0), batch_format="pyarrow")
+          .union(stream.map_batches(rows(1), batch_format="pyarrow"))
+          .repartition(num_blocks=num_partitions, keys=["doc_id"]))
+
+    def compare_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"nd": pa.array([0], pa.int64()),
+                             "ne": pa.array([0], pa.int64())})
+        doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        off = t["offset"].combine_chunks().to_numpy(zero_copy_only=False)
+        ln = t["length"].combine_chunks().to_numpy(zero_copy_only=False)
+        hv = t["hash"].combine_chunks().to_numpy(zero_copy_only=False)
+        tg = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((hv, ln, off, tg, doc))
+        doc, off, ln, hv, tg = (doc[order], off[order], ln[order],
+                                hv[order], tg[order])
+        nd = ne = 0
+        starts = np.concatenate(
+            [[0], np.flatnonzero(doc[1:] != doc[:-1]) + 1, [len(doc)]])
+        for s, e in zip(starts[:-1], starts[1:]):
+            nd += 1
+            a = tg[s:e] == 0
+            b = ~a
+            if a.sum() != b.sum():
+                continue
+            if (np.array_equal(off[s:e][a], off[s:e][b])
+                    and np.array_equal(ln[s:e][a], ln[s:e][b])
+                    and np.array_equal(hv[s:e][a], hv[s:e][b])):
+                ne += 1
+        return pa.table({"nd": pa.array([nd], pa.int64()),
+                         "ne": pa.array([ne], pa.int64())})
+
+    nd = ne = 0
+    for b in ex.map_batches(compare_block, batch_format="pyarrow",
+                            batch_size=None).iter_batches(
+            batch_format="pyarrow"):
+        nd += sum(b["nd"].to_pylist())
+        ne += sum(b["ne"].to_pylist())
+    return _one_row(n_docs=nd, n_equal=ne)
+
+
+def media_thumbs_gate(n: int, thumb: int = 16,
+                      wrong_thumb: int | None = None) -> pa.Table:
+    """(n_images, n_thumb_ok): every BMP row's thumbnail payload decodes
+    back to exactly ``thumb`` x ``thumb`` with a gray_sum matching the
+    emitted metadata; audio rows pass through with null thumbs.  The
+    oracle restates n_images from the corpus scaling rule (even rows of
+    the synthetic media table are images).  ``wrong_thumb`` decodes
+    against a different expected size — the falsifiability knob."""
+    import ray.data as rd
+
+    from .multimodal import (
+        decode_bmp,
+        media_thumbnails,
+        synth_real_media_table,
+    )
+
+    media = rd.from_arrow(synth_real_media_table(n=n))
+    out = media_thumbnails(media, thumb=thumb)
+    want = wrong_thumb or thumb
+
+    def check(t: pa.Table) -> pa.Table:
+        n_img = ok = 0
+        kinds = t["kind"].to_pylist()
+        gsum = t["gray_sum"].to_pylist()
+        for i, blob in enumerate(t["thumb"].to_pylist()):
+            if kinds[i] != "image":
+                if blob is not None:
+                    raise ValueError("audio row carries a thumb payload")
+                continue
+            n_img += 1
+            frame = decode_bmp(blob)
+            if frame.shape == (want, want) \
+                    and int(frame.astype(np.int64).sum()) == gsum[i]:
+                ok += 1
+        return pa.table({"n": pa.array([n_img], pa.int64()),
+                         "ok": pa.array([ok], pa.int64())})
+
+    n_img = ok = 0
+    for b in out.map_batches(check, batch_format="pyarrow"
+                             ).iter_batches(batch_format="pyarrow"):
+        n_img += sum(b["n"].to_pylist())
+        ok += sum(b["ok"].to_pylist())
+    return _one_row(n_images=n_img, n_thumb_ok=ok)

@@ -308,3 +308,15 @@ def test_neardup_keep_gate_red_path(ray_session):
         Q.transcripts_from_documents("/root/testdata/sf0.001"),
         keep_all=True).to_pandas().iloc[0]
     assert r["n_both_kept"] == r["n_exact_twins"] > 0
+
+
+def test_media_thumbs_gate_red_path(ray_session):
+    g = G.media_thumbs_gate(40).to_pandas().iloc[0]
+    assert g["n_images"] == 20 and g["n_thumb_ok"] == 20
+    r = G.media_thumbs_gate(40, wrong_thumb=17).to_pandas().iloc[0]
+    assert r["n_thumb_ok"] == 0
+
+
+def test_stream_parity_gate_green(ray_session):
+    g = G.stream_parity_gate("/root/testdata/sf0.001").to_pandas().iloc[0]
+    assert g["n_docs"] > 0 and g["n_equal"] == g["n_docs"]
