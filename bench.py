@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "neardup_keep_gate",
     "stream_parity_gate",
     "media_thumbs_gate",
+    "cluster_terms_gate",
 ]
 
 

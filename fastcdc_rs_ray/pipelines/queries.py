@@ -3881,6 +3881,17 @@ def q_media_thumbs_gate(sf_dir: str):
     return media_thumbs_gate(n=min(max(n_docs // 4, 32), 512))
 
 
+def q_cluster_terms_gate(sf_dir: str):
+    """cluster_terms invariants: every emitted total_cnt equals an
+    independent streaming recount of that token, 1 <= cnt <= total_cnt,
+    ranks form 1..top_n per cluster (stages/gates.py
+    cluster_terms_gate); n_rows = k*top_n restated by the oracle."""
+    from ..stages.gates import cluster_terms_gate
+
+    return cluster_terms_gate(_documents(sf_dir, ["doc_id", "text"]),
+                              _embeddings(sf_dir), k=8, top_n=3)
+
+
 def q_windowed_dedup(sf_dir: str):
     """Time-windowed dedup (refetch/replay suppression): an event is a
     window-duplicate iff the same (user, event_type) occurred within the
@@ -4215,6 +4226,7 @@ QUERIES = {
     "neardup_keep_gate": q_neardup_keep_gate,
     "stream_parity_gate": q_stream_parity_gate,
     "media_thumbs_gate": q_media_thumbs_gate,
+    "cluster_terms_gate": q_cluster_terms_gate,
     # round-3 new operator families
     "windowed_dedup": q_windowed_dedup,
     "part_linkage": q_part_linkage,
@@ -5180,6 +5192,10 @@ WITH c AS (SELECT COUNT(*) AS n FROM documents),
 SELECT CAST((nm + 1) // 2 AS BIGINT) AS n_images,
        CAST((nm + 1) // 2 AS BIGINT) AS n_thumb_ok
 FROM m
+"""
+ORACLE_SQL["cluster_terms_gate"] = """
+SELECT CAST(24 AS BIGINT) AS n_rows,
+       CAST(24 AS BIGINT) AS n_consistent
 """
 ORACLE_SQL["neardup_keep_gate"] = f"""
 WITH exact_twins AS (

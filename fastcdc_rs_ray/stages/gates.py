@@ -51,6 +51,8 @@ Covered tiers -> gate:
                           == whole-file rows per document)
   media_thumbs         -> media_thumbs_gate (thumb payloads decode to the
                           exact requested dims + matching gray_sum)
+  cluster_terms        -> cluster_terms_gate (emitted corpus counts ==
+                          independent recount; rank/containment laws)
 """
 
 from __future__ import annotations
@@ -1073,3 +1075,63 @@ def media_thumbs_gate(n: int, thumb: int = 16,
         n_img += sum(b["n"].to_pylist())
         ok += sum(b["ok"].to_pylist())
     return _one_row(n_images=n_img, n_thumb_ok=ok)
+
+
+def cluster_terms_gate(documents_ds, embeddings_ds, k: int = 8,
+                       top_n: int = 3, perturb: bool = False) -> pa.Table:
+    """(n_rows, n_consistent): every cluster_terms output row's claimed
+    corpus-wide ``total_cnt`` must equal an INDEPENDENT streaming
+    recount of that token (same shared tokenizer, but none of the
+    topics pipeline's join/exchange/merge machinery — so a broken
+    doc-cluster attach or count merge flips the gate), its in-cluster
+    ``cnt`` must satisfy 1 <= cnt <= total_cnt, and ranks must be the
+    distinct 0..top_n-1 per cluster.  n_rows = k * top_n, restated by
+    the oracle.
+    ``perturb`` offsets the recount by one — the falsifiability knob."""
+    from ..functions.text import _flat_tokens
+    from .topics import cluster_terms
+
+    documents_ds = documents_ds.materialize()
+    out = cluster_terms(documents_ds, embeddings_ds, k=k, top_n=top_n)
+    toks = sorted(set(out["token"].to_pylist()))
+    tok_index = {t: i for i, t in enumerate(toks)}
+
+    def recount(t: pa.Table, _toks=tuple(toks)) -> pa.Table:
+        flat, _row, _n = _flat_tokens(t["text"])
+        cnt = np.zeros(len(_toks), np.int64)
+        if len(flat):
+            import pyarrow as _pa
+
+            arr = flat if isinstance(flat, _pa.Array) else _pa.array(flat)
+            for i, tk in enumerate(_toks):
+                cnt[i] = pc.sum(pc.equal(arr, tk)).as_py() or 0
+        return pa.table({
+            "ix": pa.array(np.arange(len(_toks), dtype=np.int64),
+                           pa.int64()),
+            "c": pa.array(cnt, pa.int64()),
+        })
+
+    totals = np.zeros(len(toks), np.int64)
+    for b in documents_ds.select_columns(["text"]).map_batches(
+            recount, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        np.add.at(totals, b["ix"].to_numpy(zero_copy_only=False),
+                  b["c"].to_numpy(zero_copy_only=False))
+    if perturb:
+        totals = totals + 1
+
+    n_rows = len(out)
+    n_ok = 0
+    seen_ranks: dict[int, set] = {}
+    for cl, rk, tok, cnt, tot in zip(out["cluster"].to_pylist(),
+                                     out["rank"].to_pylist(),
+                                     out["token"].to_pylist(),
+                                     out["cnt"].to_pylist(),
+                                     out["total_cnt"].to_pylist()):
+        ranks = seen_ranks.setdefault(cl, set())
+        ok = (tot == int(totals[tok_index[tok]])
+              and 1 <= cnt <= tot
+              and 0 <= rk < top_n and rk not in ranks)
+        ranks.add(rk)
+        n_ok += int(ok)
+    return _one_row(n_rows=n_rows, n_consistent=n_ok)

@@ -320,3 +320,12 @@ def test_media_thumbs_gate_red_path(ray_session):
 def test_stream_parity_gate_green(ray_session):
     g = G.stream_parity_gate("/root/testdata/sf0.001").to_pandas().iloc[0]
     assert g["n_docs"] > 0 and g["n_equal"] == g["n_docs"]
+
+
+def test_cluster_terms_gate_red_path(ray_session):
+    g = G.cluster_terms_gate(_docs(80), _embs(80), k=4,
+                             top_n=2).to_pandas().iloc[0]
+    assert g["n_rows"] == 8 and g["n_consistent"] == 8
+    r = G.cluster_terms_gate(_docs(80), _embs(80), k=4, top_n=2,
+                             perturb=True).to_pandas().iloc[0]
+    assert r["n_consistent"] == 0
