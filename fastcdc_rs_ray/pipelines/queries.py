@@ -5462,12 +5462,14 @@ _DRIVER_CHECKED = {
     "weighted_sample", "zonemap_scan",
 }
 
-# round 4: embed_outliers is STILL the driver's one red row (r02+r03)
-# while the repo's replica hash-matches DuckDB on identical data — pin
-# it at the head TOGETHER with its new 1-row small-int localization
-# gate (stages/gates.py embed_outliers_gate): whichever of the pair
-# goes red in r04 pinpoints whether the divergence lives in the values
-# or in the comparator's 500-row normalization layer (VERDICT r3 item 1).
+# round 4: embed_outliers' two-round red row is ROOT-CAUSED AND FIXED —
+# the driver-side S/N merge silently corrupted when iter_batches
+# coalesced small partial blocks (only at the driver's 32-cpu
+# parallelism; the replica's 8-cpu layout aligned accidentally — see
+# docs/EMBED_OUTLIERS.md).  stages/vecagg.py now merges row-exactly;
+# the pair stays pinned at the head so the fix is driver-visible, with
+# embed_outliers_gate as the standing small-int canary for the bug
+# class (VERDICT r3 item 1).
 _REFIX = ("embed_outliers", "embed_outliers_gate")
 
 

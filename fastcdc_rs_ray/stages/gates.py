@@ -492,13 +492,15 @@ OUTLIER_GATE_MOD = 1_000_003
 
 def embed_outliers_gate(embeddings_ds, dim: int = 64) -> pa.Table:
     """(n, s_mod, d_min, d_max, vm_mod): 1-row small-int reduction of the
-    full ``embed_outliers`` output, shipped to LOCALIZE the driver's
-    persistent ``embed_outliers`` hash red row (r02+r03): the repo's
-    replica hash-matches DuckDB on identical data at sf0.001 AND sf0.01,
-    so the divergence must live in the comparator's normalization of the
-    500-row result — one row of ints < 2^50 leaves a normalizer nowhere
-    to differ.  Whichever of the (embed_outliers, embed_outliers_gate)
-    pair goes red in r04 pinpoints the layer.
+    full ``embed_outliers`` output — originally shipped to LOCALIZE the
+    driver's persistent hash red row (r02+r03), which round 4 then
+    ROOT-CAUSED and fixed: the driver-side S/N merge was corrupted by
+    iter_batches COALESCING small partial blocks at the driver's 32-cpu
+    parallelism while the replica's 8-cpu block layout happened to
+    align (see docs/EMBED_OUTLIERS.md; stages/vecagg.py now merges
+    row-exactly via np.add.at + i==0 count rows + block-sized batches).
+    The gate stays registered as a standing canary: any regression of
+    that bug class flips these small ints immediately.
 
         n      = COUNT(*)
         s_mod  = SUM(dist2 % M)                     (M = 1_000_003)

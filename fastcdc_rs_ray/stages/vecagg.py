@@ -367,11 +367,27 @@ def embed_outliers(embeddings_ds, dim: int = 64,
             "n": pa.array(np.repeat(n, dim), pa.int64()),
         })
 
+    # ROW-EXACT merge (round-4 root cause of the driver's two-round
+    # embed_outliers red row): the original loop did
+    # ``sums[L][i[m]] += s[m]`` + ``counts[L] += n[m][0]``, which is
+    # only correct when every iter_batches batch holds AT MOST ONE
+    # partial block's rows per label — numpy fancy-index += drops
+    # duplicate indices and n[m][0] takes one block's count.  The
+    # default 256-row iter_batches COALESCES small partial blocks, so
+    # at high parallelism (driver: 32 cpus -> 64 tiny read blocks) two
+    # partials' rows for one label could share a batch and silently
+    # corrupt S and N — invisible at the replica's 8 cpus, where the
+    # 640-row partials happened to align with the 256-row batches.
+    # np.add.at accumulates duplicate (label, i) pairs exactly, the
+    # count rides only on each partial's i == 0 row (exactly one per
+    # (partial, label), whatever the batching), and batch_size=None
+    # yields whole blocks so a partial is never split mid-label either.
     sums: dict[int, np.ndarray] = {}
     counts: dict[int, int] = {}
     src = embeddings_ds.select_columns(["vec_id", "embedding", "label"])
     for b in src.map_batches(sum_partial, batch_format="pyarrow"
-                             ).iter_batches(batch_format="pyarrow"):
+                             ).iter_batches(batch_format="pyarrow",
+                                            batch_size=None):
         if not b.num_rows:
             continue
         lab = b["label"].to_numpy(zero_copy_only=False)
@@ -381,8 +397,9 @@ def embed_outliers(embeddings_ds, dim: int = 64,
         for L in np.unique(lab):
             m = lab == L
             sums.setdefault(int(L), np.zeros(dim, np.int64))
-            sums[int(L)][i[m]] += s[m]
-            counts[int(L)] = counts.get(int(L), 0) + int(n[m][0])
+            np.add.at(sums[int(L)], i[m], s[m])
+            first = m & (i == 0)
+            counts[int(L)] = counts.get(int(L), 0) + int(n[first].sum())
     labs = sorted(sums)
     S = np.stack([sums[L] for L in labs]) if labs else np.zeros((0, dim),
                                                                 np.int64)

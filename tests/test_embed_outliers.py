@@ -91,3 +91,46 @@ def test_oracle_raises_on_same_overflow():
     con.register("embeddings", t)
     with pytest.raises(Exception):
         con.execute(EMBED_OUTLIERS_SQL).fetchall()
+
+
+def test_merge_exact_under_tiny_coalesced_partials(ray_session):
+    """Round-4 regression for the driver's two-round red row: with many
+    tiny input blocks the per-block (label x dim) partials are small
+    enough that a default-sized iter_batches batch COALESCES several
+    partials — the old merge used numpy fancy-index += (drops duplicate
+    (label, i) indices) and took one block's count via n[m][0], so the
+    same label arriving from two partials in one batch silently
+    corrupted S and N.  The replica's 8-cpu block layout happened to
+    align 640-row partials with 256-row batches, which is why two
+    rounds of sf-sweeps stayed green while the driver's 32-cpu window
+    was red.  All rows share ONE label here so ANY coalescing corrupts
+    the old merge; the row-exact merge (np.add.at + i==0 count rows +
+    block-sized batches) must match the single-matrix reference under a
+    200-block layout."""
+    import ray.data as rd
+
+    from fastcdc_rs_ray.stages.vecagg import embed_outliers
+
+    rng = np.random.default_rng(61)
+    n, dim = 200, 64
+    m = rng.normal(scale=0.5, size=(n, dim)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1), pa.float32()), dim).cast(
+            pa.list_(pa.float32())),
+        "label": pa.array([0] * n, pa.int32()),
+    })
+    out = embed_outliers(
+        rd.from_arrow(t).repartition(200)).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+
+    q = np.floor(m.astype(np.float64) * 1000.0).astype(np.int64)
+    S = q.sum(axis=0)
+    diff = np.int64(n) * q - S
+    want = np.einsum("ij,ij->i", diff, diff)
+    assert (out["dist2"].to_numpy() == want).all()
+    # and the layout must not matter at all
+    one = embed_outliers(rd.from_arrow(t)).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    assert one.equals(out)
