@@ -49,9 +49,15 @@ def main() -> int:
     only = set(sys.argv[2:]) or None
     import ray
 
+    # GRAFT_VERIFY_CPUS: the round-4 embed_outliers lesson — a merge bug
+    # was only visible at the DRIVER's 32-cpu block layout while the
+    # replica's default 8 cpus aligned accidentally.  Sweep at BOTH.
+    import os
+
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 ignore_reinit_error=True)
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("GRAFT_VERIFY_CPUS", "8")),
+                 include_dashboard=False, ignore_reinit_error=True)
     sys.path.insert(0, ".")
     import __ray_entry__ as e
 
