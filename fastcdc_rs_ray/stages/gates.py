@@ -1082,31 +1082,59 @@ def media_thumbs_gate(n: int, thumb: int = 16,
 def cluster_terms_gate(documents_ds, embeddings_ds, k: int = 8,
                        top_n: int = 3, perturb: bool = False) -> pa.Table:
     """(n_rows, n_consistent): every cluster_terms output row's claimed
-    corpus-wide ``total_cnt`` must equal an INDEPENDENT streaming
-    recount of that token (same shared tokenizer, but none of the
-    topics pipeline's join/exchange/merge machinery — so a broken
-    doc-cluster attach or count merge flips the gate), its in-cluster
-    ``cnt`` must satisfy 1 <= cnt <= total_cnt, and ranks must be the
-    distinct 0..top_n-1 per cluster.  n_rows = k * top_n, restated by
-    the oracle.
-    ``perturb`` offsets the recount by one — the falsifiability knob."""
+    ``total_cnt`` must equal an INDEPENDENT streaming recount of that
+    token over the CLUSTERED sub-corpus — the documents that actually
+    carry an embedding row, which is cluster_terms' counting universe
+    (at sf0.1 only 2000 of 5000 documents are embedded; a full-corpus
+    recount is ~2.5x larger — the bug this gate's first version had).
+    Same shared tokenizer, none of the topics pipeline's
+    join/exchange/merge machinery, so a broken doc-cluster attach or
+    count merge flips the gate.  Additionally 1 <= cnt <= total_cnt and
+    ranks must be the distinct 0..top_n-1 per cluster.  n_rows =
+    k * top_n, restated by the oracle.
+    ``perturb`` offsets the recount by one — the falsifiability knob.
+
+    The embedded-doc id set broadcasts into the recount tasks (8 bytes
+    per embedded doc — gate-acceptable here; a 100 TB gate would
+    semi-join on doc_id instead)."""
+    import ray
+
     from ..functions.text import _flat_tokens
     from .topics import cluster_terms
 
     documents_ds = documents_ds.materialize()
+    embeddings_ds = embeddings_ds.materialize()
     out = cluster_terms(documents_ds, embeddings_ds, k=k, top_n=top_n)
     toks = sorted(set(out["token"].to_pylist()))
     tok_index = {t: i for i, t in enumerate(toks)}
 
-    def recount(t: pa.Table, _toks=tuple(toks)) -> pa.Table:
-        flat, _row, _n = _flat_tokens(t["text"])
-        cnt = np.zeros(len(_toks), np.int64)
-        if len(flat):
-            import pyarrow as _pa
+    ids = []
+    for b in embeddings_ds.select_columns(["vec_id"]).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        ids.append(b["vec_id"].to_numpy(zero_copy_only=False))
+    emb_ids = np.sort(np.concatenate(ids)) if ids else np.empty(
+        0, np.int64)
+    idref = ray.put(emb_ids)
 
-            arr = flat if isinstance(flat, _pa.Array) else _pa.array(flat)
-            for i, tk in enumerate(_toks):
-                cnt[i] = pc.sum(pc.equal(arr, tk)).as_py() or 0
+    def recount(t: pa.Table, _toks=tuple(toks)) -> pa.Table:
+        eids = ray.get(idref)
+        doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(eids, doc)
+        keep = np.flatnonzero(
+            (pos < len(eids)) & (eids[np.minimum(pos, len(eids) - 1)]
+                                 == doc)) if len(eids) else np.empty(0,
+                                                                     np.int64)
+        sub = t.take(pa.array(keep, pa.int64()))
+        cnt = np.zeros(len(_toks), np.int64)
+        if len(sub):
+            flat, _row, _n = _flat_tokens(sub["text"])
+            if len(flat):
+                import pyarrow as _pa
+
+                arr = flat if isinstance(flat, _pa.Array) else \
+                    _pa.array(flat)
+                for i, tk in enumerate(_toks):
+                    cnt[i] = pc.sum(pc.equal(arr, tk)).as_py() or 0
         return pa.table({
             "ix": pa.array(np.arange(len(_toks), dtype=np.int64),
                            pa.int64()),
@@ -1114,7 +1142,7 @@ def cluster_terms_gate(documents_ds, embeddings_ds, k: int = 8,
         })
 
     totals = np.zeros(len(toks), np.int64)
-    for b in documents_ds.select_columns(["text"]).map_batches(
+    for b in documents_ds.select_columns(["doc_id", "text"]).map_batches(
             recount, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow"):
         np.add.at(totals, b["ix"].to_numpy(zero_copy_only=False),

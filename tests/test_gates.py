@@ -329,3 +329,13 @@ def test_cluster_terms_gate_red_path(ray_session):
     r = G.cluster_terms_gate(_docs(80), _embs(80), k=4, top_n=2,
                              perturb=True).to_pandas().iloc[0]
     assert r["n_consistent"] == 0
+
+
+def test_cluster_terms_gate_subcorpus_universe(ray_session):
+    """sf0.1 shape: embeddings cover only HALF the documents — the
+    gate's recount must use the CLUSTERED sub-corpus (the pipeline's
+    counting universe), not the full document table (the first gate
+    version's bug: full-corpus recount ~2.5x the claimed totals)."""
+    g = G.cluster_terms_gate(_docs(120), _embs(60), k=4,
+                             top_n=2).to_pandas().iloc[0]
+    assert g["n_rows"] == 8 and g["n_consistent"] == 8
