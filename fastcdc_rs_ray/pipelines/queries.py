@@ -5460,17 +5460,34 @@ _DRIVER_CHECKED = {
     "urgent_vs_purchase", "user_event_paths", "user_spend_rank",
     "value_quantiles_sketch", "waiting_suppliers", "watermark_windows",
     "weighted_sample", "zonemap_scan",
+    # CORRECTNESS_r04.json (round 4 window — 50/50 green, first all-green
+    # window; embed_outliers fix driver-confirmed)
+    "bpe_train_merges", "concurrent_events", "corpus_shuffle",
+    "curate_docs", "decontaminate", "dedup_normalized", "embed_outliers",
+    "embed_outliers_gate", "events_unpivot", "export_partitioned",
+    "favorite_event_type", "first_event_type", "forecast_revenue",
+    "hist_spread_gate", "hourly_anomalies", "idle_balance_by_segment",
+    "ingest_arrow_ipc", "ingest_csv", "ingest_jsonl_gz",
+    "ingest_mixed_schema", "ingest_orc", "ingest_quarantine",
+    "line_priority_counts", "login_streaks", "market_share",
+    "min_cost_supplier", "monthly_revenue_growth", "nation_revenue_share",
+    "new_users_curve", "pair_edit_distance", "part_reachability",
+    "part_reachability_x", "part_value_share", "pii_redact",
+    "product_profit", "repetition", "returned_item_revenue",
+    "sliding_window_sums", "small_qty_revenue", "special_revenue",
+    "surplus_suppliers", "token_count_bpe", "top_supplier_revenue",
+    "triangle_count", "triangle_count_x", "user_event_bigrams",
+    "user_spend_ntile", "value_dispersion", "value_mad_by_type",
+    "value_quartiles_cont",
 }
 
-# round 4: embed_outliers' two-round red row is ROOT-CAUSED AND FIXED —
-# the driver-side S/N merge silently corrupted when iter_batches
-# coalesced small partial blocks (only at the driver's 32-cpu
-# parallelism; the replica's 8-cpu layout aligned accidentally — see
-# docs/EMBED_OUTLIERS.md).  stages/vecagg.py now merges row-exactly;
-# the pair stays pinned at the head so the fix is driver-visible, with
-# embed_outliers_gate as the standing small-int canary for the bug
-# class (VERDICT r3 item 1).
-_REFIX = ("embed_outliers", "embed_outliers_gate")
+# round 5: CORRECTNESS_r04 was 50/50 green (embed_outliers fix
+# driver-confirmed), so nothing needs re-pinning.  The never-checked
+# bucket now holds exactly the final 26 SQL entries (the r3/r4 gates +
+# windowed_dedup / part_linkage / last_touch / part_kcore / part_kcore_x
+# — VERDICT r4 item 1); after this round every SQL-oracled entry will
+# have a driver verdict.
+_REFIX = ()
 
 
 def _window_order(names: list) -> list:
