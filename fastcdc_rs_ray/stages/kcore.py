@@ -151,14 +151,16 @@ def kcore_members(edges_ds, k: int = KCORE_K, num_partitions: int = 8,
     return pa.table({"p_partkey": pa.array(surv, pa.int64())})
 
 
-def kcore_members_exchange(edges_ds, k: int = KCORE_K,
-                           num_partitions: int = 8,
-                           max_rounds: int = KCORE_UNROLL + 1) -> pa.Table:
+def kcore_members_exchange_ds(edges_ds, k: int = KCORE_K,
+                              num_partitions: int = 8,
+                              max_rounds: int = KCORE_UNROLL + 1):
     """Keyed-exchange k-core peeling — same synchronous batch-peeling
     fixpoint as :func:`kcore_members` (parity pytest) with NO
-    node-universe driver or broadcast state: the surviving subgraph
-    lives as the canonical edge Dataset, and each round is three keyed
-    exchanges,
+    node-universe driver or broadcast state, INCLUDING the output: the
+    surviving member set is returned as a ``Dataset`` of (p_partkey)
+    for downstream stages / ``write_parquet`` (VERDICT r4 item 2).
+    The surviving subgraph lives as the canonical edge Dataset, and
+    each round is three keyed exchanges,
 
       1. KR(node) degree reduction over the surviving edges (both
          endpoints, block-pre-reduced);
@@ -274,13 +276,28 @@ def kcore_members_exchange(edges_ds, k: int = KCORE_K,
             "peel rounds, so deeper graphs must raise rather than "
             "diverge")
 
-    out_nodes = (E.map_batches(deg_partial, batch_format="pyarrow")
-                 .repartition(num_blocks=num_partitions, keys=["node"])
-                 .map_batches(deg_reduce, batch_format="pyarrow",
-                              batch_size=None)
-                 .select_columns(["node"]))
+    def member_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": t["node"]})
+
+    return (E.map_batches(deg_partial, batch_format="pyarrow")
+            .repartition(num_blocks=num_partitions, keys=["node"])
+            .map_batches(deg_reduce, batch_format="pyarrow",
+                         batch_size=None)
+            .select_columns(["node"])
+            .map_batches(member_rows, batch_format="pyarrow"))
+
+
+def kcore_members_exchange(edges_ds, k: int = KCORE_K,
+                           num_partitions: int = 8,
+                           max_rounds: int = KCORE_UNROLL + 1) -> pa.Table:
+    """Oracle-scale finalizer over :func:`kcore_members_exchange_ds`:
+    driver collect + global sort.  ONLY for registered-query wrappers
+    and parity tests; large-graph callers consume the Dataset form."""
+    ds = kcore_members_exchange_ds(edges_ds, k=k,
+                                   num_partitions=num_partitions,
+                                   max_rounds=max_rounds)
     col = []
-    for b in out_nodes.iter_batches(batch_format="pyarrow"):
-        col.append(b["node"].to_numpy(zero_copy_only=False))
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        col.append(b["p_partkey"].to_numpy(zero_copy_only=False))
     surv = np.sort(np.concatenate(col)) if col else np.empty(0, np.int64)
     return pa.table({"p_partkey": pa.array(surv, pa.int64())})

@@ -233,20 +233,28 @@ class NearDupIndex:
 
     def checkpoint(self, ckpt_dir: str) -> dict:
         """Persist the standing index to parquet, crash-safely (VERDICT
-        r3 item 8): each shard dumps its band buckets and signature
-        store to ``shard=<i>/{bands,sigs}.parquet`` inside a tmp dir
-        that is atomically renamed onto ``ckpt_dir``; ``meta.json``
-        (config + generation counter + per-shard row counts — the
-        lineage record) lands inside, and a ``_SUCCESS`` sibling marker
-        is written LAST, so a crashed checkpoint leaves either the
-        previous complete state or an ignorable orphan.  Returns the
-        manifest dict."""
+        r3 item 8, hardened per ADVICE r4): each shard dumps its band
+        buckets and signature store to ``shard=<i>/{bands,sigs}.parquet``
+        inside a tmp dir; ``meta.json`` (config + generation counter +
+        per-shard row counts — the lineage record) lands inside.  The
+        OLD checkpoint stays durable until the new one is complete: the
+        existing dir is renamed ASIDE (not rmtree'd) before the tmp dir
+        renames into place and ``_SUCCESS`` is rewritten, and only then
+        is the old copy deleted — a crash at ANY point leaves either the
+        previous complete state (marker + payload both intact, or
+        recoverable from the ``.old-*`` dir) or the new complete state,
+        never neither.  The whole sequence runs under the same flock
+        discipline as sources/staging.staged(), so two concurrent
+        checkpoint() calls on one ckpt_dir cannot interleave the
+        rename chain.  Returns the manifest dict."""
         import json
         import shutil
         import uuid
 
         import pyarrow.parquet as pq
         import ray
+
+        from ..sources.staging import _exclusive
 
         dumps = ray.get([s.dump_state.remote() for s in self.shards])
         ckpt_dir = ckpt_dir.rstrip("/")
@@ -266,12 +274,24 @@ class NearDupIndex:
                 {"shard": i, "band_rows": len(bands), "sig_rows": len(sigs)})
         with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump(manifest, f)
-        if os.path.exists(ckpt_dir + "._SUCCESS"):
-            os.remove(ckpt_dir + "._SUCCESS")
-        shutil.rmtree(ckpt_dir, ignore_errors=True)
-        os.rename(tmp, ckpt_dir)
-        with open(ckpt_dir + "._SUCCESS", "w") as f:
+        # the marker lives INSIDE the dir so marker and payload move in
+        # the same atomic rename — no window where a marker points at a
+        # missing or partial payload
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
             f.write("ok")
+        with _exclusive(ckpt_dir + ".lock"):
+            old = None
+            if os.path.exists(ckpt_dir):
+                # keep the previous complete state durable (marker AND
+                # payload) until the replacement is fully in place
+                old = ckpt_dir + f".old-{uuid.uuid4().hex[:8]}"
+                os.rename(ckpt_dir, old)
+            os.rename(tmp, ckpt_dir)
+            if old is not None:
+                shutil.rmtree(old, ignore_errors=True)
+            # migrate away the legacy sibling marker, if any
+            if os.path.exists(ckpt_dir + "._SUCCESS"):
+                os.remove(ckpt_dir + "._SUCCESS")
         return manifest
 
     @classmethod
@@ -285,7 +305,9 @@ class NearDupIndex:
         import ray
 
         ckpt_dir = ckpt_dir.rstrip("/")
-        if not os.path.exists(ckpt_dir + "._SUCCESS"):
+        # marker inside the dir (current format) or legacy sibling
+        if not (os.path.exists(os.path.join(ckpt_dir, "_SUCCESS"))
+                or os.path.exists(ckpt_dir + "._SUCCESS")):
             raise FileNotFoundError(
                 f"no complete index checkpoint at {ckpt_dir} "
                 "(_SUCCESS marker missing)")

@@ -28,6 +28,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .cc import _sever as _cc_sever
+
 SCALE = 1_000_000_000_000  # 1e12: rank unit = 1e-12 of total mass
 
 _EDGE = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
@@ -72,10 +74,12 @@ def copurchase_edges(lineitem_ds, num_partitions: int = 8):
 
 
 def _collect(ds) -> pa.Table:
-    return pa.concat_tables(
-        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-         for b in ds.iter_batches(batch_format="pyarrow")]
-    )
+    tables = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+              for b in ds.iter_batches(batch_format="pyarrow")]
+    if not tables:  # zero-batch stream (e.g. the empty-graph early return)
+        sch = ds.schema()
+        return getattr(sch, "base_schema", sch).empty_table()
+    return pa.concat_tables(tables)
 
 
 def pagerank(edges_ds, n_iter: int = 10, damping_pct: int = 85):
@@ -196,12 +200,17 @@ def node_degrees(edges_ds, num_partitions: int = 8):
                          batch_size=None))
 
 
-def pagerank_exchange(edges_ds, n_iter: int = 10, damping_pct: int = 85,
-                      num_partitions: int = 8) -> pa.Table:
+def pagerank_exchange_ds(edges_ds, n_iter: int = 10, damping_pct: int = 85,
+                         num_partitions: int = 8):
     """Keyed-exchange PageRank — bit-identical to :func:`pagerank`
     (parity pytest on random graphs) with NO node-universe-sized driver
-    state: the rank vector lives as a Dataset (node, deg, rank) and each
-    round is exactly two keyed exchanges,
+    state ANYWHERE, including the output: returns the final state as a
+    ``Dataset`` of (node, rank_q) for downstream stages /
+    ``write_parquet`` (VERDICT r4 item 2 — above
+    GRAPH_BROADCAST_EDGE_LIMIT a driver-collected |V|-sized table would
+    re-introduce the bottleneck this plan removes).  The rank vector
+    lives as a Dataset (node, deg, rank) and each round is exactly two
+    keyed exchanges,
 
       A. state rows + edge rows tag-union, KR on the SOURCE node:
          each block computes contrib = (85 * r_src) // (100 * deg_src)
@@ -228,12 +237,15 @@ def pagerank_exchange(edges_ds, n_iter: int = 10, damping_pct: int = 85,
                               ("rank", pa.int64()),
                               ("changed", pa.int64())])
 
+    import ray.data as rd
+
     edges_ds = edges_ds.materialize()
     state = node_degrees(edges_ds, num_partitions).materialize()
     n = state.count()
     if n == 0:
-        return pa.table({"node": pa.array([], pa.int64()),
-                         "rank_q": pa.array([], pa.int64())})
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank_q": pa.array([], pa.int64())}))
     base = (SCALE * (100 - damping_pct) // 100) // n
     r0 = SCALE // n
 
@@ -363,12 +375,26 @@ def pagerank_exchange(edges_ds, n_iter: int = 10, damping_pct: int = 85,
         if state.sum("changed") == 0:
             break
 
-    out = _collect(state.select_columns(["node", "rank"]))
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "rank_q": t["rank"]})
+
+    return state.map_batches(project, batch_format="pyarrow")
+
+
+def pagerank_exchange(edges_ds, n_iter: int = 10, damping_pct: int = 85,
+                      num_partitions: int = 8) -> pa.Table:
+    """Oracle-scale finalizer over :func:`pagerank_exchange_ds`: driver
+    collect + global node sort.  ONLY for registered-query wrappers and
+    parity tests (inherently oracle-scale results); large-graph callers
+    consume the Dataset form."""
+    out = _collect(pagerank_exchange_ds(
+        edges_ds, n_iter=n_iter, damping_pct=damping_pct,
+        num_partitions=num_partitions))
     order = np.argsort(out["node"].to_numpy(zero_copy_only=False))
     return pa.table({
         "node": pa.array(out["node"].to_numpy(
             zero_copy_only=False)[order], pa.int64()),
-        "rank_q": pa.array(out["rank"].to_numpy(
+        "rank_q": pa.array(out["rank_q"].to_numpy(
             zero_copy_only=False)[order], pa.int64()),
     })
 
@@ -751,10 +777,12 @@ def triangle_count(edges_ds, num_partitions: int = 8,
     return pa.table({"n_triangles": pa.array([total], pa.int64())})
 
 
-def reachability_exchange(edges_ds, source: int = 0, max_hops: int = 4,
-                          num_partitions: int = 8) -> pa.Table:
+def reachability_exchange_ds(edges_ds, source: int = 0, max_hops: int = 4,
+                             num_partitions: int = 8):
     """Keyed-exchange BFS — bit-identical to :func:`reachability`
-    (parity pytest) with NO frontier/visited broadcast: per hop,
+    (parity pytest) with NO frontier/visited broadcast and NO
+    node-universe driver output: returns the visited set as a
+    ``Dataset`` of (node, dist) (VERDICT r4 item 2).  Per hop,
 
       A. frontier rows + edge rows tag-union, KR on the SOURCE node:
          blocks emit the distinct successors of frontier members
@@ -863,10 +891,27 @@ def reachability_exchange(edges_ds, source: int = 0, max_hops: int = 4,
                               batch_size=None)).materialize()
         if fresh.count() == 0:
             break
-        visited = visited.union(fresh).materialize()
+        # _sever drops the logical-plan history each hop: the visited
+        # union otherwise grows the carried plan DAG linearly per hop —
+        # the exact shape of the round-2 CC plan-lineage blowup
+        # (stages/cc.py:114) — harmless at max_hops=4, exponential setup
+        # cost on a deep BFS (VERDICT r4 item 5; flat-wall pytest at
+        # max_hops=32 on a path graph).
+        visited = _cc_sever(visited.union(fresh).materialize())
         frontier = fresh
 
-    out = _collect(visited)
+    return visited
+
+
+def reachability_exchange(edges_ds, source: int = 0, max_hops: int = 4,
+                          num_partitions: int = 8) -> pa.Table:
+    """Oracle-scale finalizer over :func:`reachability_exchange_ds`:
+    driver collect + global node sort.  ONLY for registered-query
+    wrappers and parity tests; large-graph callers consume the Dataset
+    form."""
+    out = _collect(reachability_exchange_ds(
+        edges_ds, source=source, max_hops=max_hops,
+        num_partitions=num_partitions))
     order = np.argsort(out["node"].to_numpy(zero_copy_only=False))
     return pa.table({
         "node": pa.array(out["node"].to_numpy(

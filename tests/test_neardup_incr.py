@@ -211,6 +211,58 @@ def test_checkpoint_restore_identical_ingest(ray_session, tmp_path):
         idx3.close()
 
     # incomplete checkpoint (no _SUCCESS) refuses to restore
-    os.remove(ck + "._SUCCESS")
+    os.remove(os.path.join(ck, "_SUCCESS"))
     with pytest.raises(FileNotFoundError):
         NearDupIndex.restore(ck)
+
+
+def test_checkpoint_crash_never_destroys_previous_state(
+        ray_session, tmp_path, monkeypatch):
+    """ADVICE r4: a crash ANYWHERE inside checkpoint() must leave a
+    complete restorable state — either the previous checkpoint (still
+    at ckpt_dir, or renamed aside to .old-*) or the new one.  The old
+    protocol rmtree'd the previous checkpoint before the new rename,
+    so a crash in that window destroyed the only complete state.
+
+    Simulated crash: fail the rename that installs the NEW payload,
+    after the old one has been moved aside."""
+    import glob
+    import os
+
+    import pytest
+    import ray.data as rd
+
+    snap_a, _snap_b = _corpus()
+    ck = str(tmp_path / "crash_ckpt")
+
+    idx = NearDupIndex(n_shards=2, tau=0.5)
+    try:
+        idx.ingest(doc_signatures(rd.from_arrow(snap_a).repartition(2)))
+        idx.checkpoint(ck)            # checkpoint #1, complete
+
+        real_rename = os.rename
+
+        def crashing_rename(src, dst):
+            if dst == ck and ".tmp-" in src:  # installing the new payload
+                raise OSError("simulated crash mid-swap")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(os, "rename", crashing_rename)
+        with pytest.raises(OSError, match="simulated crash"):
+            idx.checkpoint(ck)
+        monkeypatch.setattr(os, "rename", real_rename)
+
+        # the previous complete state survives: at ckpt_dir itself, or
+        # renamed aside with its internal marker intact
+        candidates = ([ck] if os.path.exists(ck) else []) + sorted(
+            glob.glob(ck + ".old-*"))
+        complete = [c for c in candidates
+                    if os.path.exists(os.path.join(c, "_SUCCESS"))]
+        assert complete, "crash destroyed every complete checkpoint"
+        restored = NearDupIndex.restore(complete[0])
+        try:
+            assert restored._gen == 1
+        finally:
+            restored.close()
+    finally:
+        idx.close()
