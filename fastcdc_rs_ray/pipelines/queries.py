@@ -3881,6 +3881,19 @@ def q_media_thumbs_gate(sf_dir: str):
     return media_thumbs_gate(n=min(max(n_docs // 4, 32), 512))
 
 
+def q_media_frames_gate(sf_dir: str):
+    """Frame-plan conservation for media_frames: each media item's
+    sampled-frame rows equal ceil(n_frames/k), with n_frames re-derived
+    independently from the payload's self-describing header
+    (stages/gates.py media_frames_gate); n_media restated by the oracle
+    from the corpus scaling rule.  Closes the last ungated media
+    rows-only entry (VERDICT r4 item 6)."""
+    from ..stages.gates import media_frames_gate
+
+    n_docs = _documents(sf_dir, ["doc_id"]).count()
+    return media_frames_gate(n=min(max(n_docs // 4, 32), 512))
+
+
 def q_cluster_terms_gate(sf_dir: str):
     """cluster_terms invariants: every emitted total_cnt equals an
     independent streaming recount of that token, 1 <= cnt <= total_cnt,
@@ -4226,6 +4239,7 @@ QUERIES = {
     "neardup_keep_gate": q_neardup_keep_gate,
     "stream_parity_gate": q_stream_parity_gate,
     "media_thumbs_gate": q_media_thumbs_gate,
+    "media_frames_gate": q_media_frames_gate,
     "cluster_terms_gate": q_cluster_terms_gate,
     # round-3 new operator families
     "windowed_dedup": q_windowed_dedup,
@@ -5191,6 +5205,13 @@ WITH c AS (SELECT COUNT(*) AS n FROM documents),
      m AS (SELECT LEAST(GREATEST(n // 4, 32), 512) AS nm FROM c)
 SELECT CAST((nm + 1) // 2 AS BIGINT) AS n_images,
        CAST((nm + 1) // 2 AS BIGINT) AS n_thumb_ok
+FROM m
+"""
+ORACLE_SQL["media_frames_gate"] = """
+WITH c AS (SELECT COUNT(*) AS n FROM documents),
+     m AS (SELECT LEAST(GREATEST(n // 4, 32), 512) AS nm FROM c)
+SELECT CAST(nm AS BIGINT) AS n_media,
+       CAST(nm AS BIGINT) AS n_frame_match
 FROM m
 """
 ORACLE_SQL["cluster_terms_gate"] = """

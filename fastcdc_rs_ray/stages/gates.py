@@ -1165,3 +1165,42 @@ def cluster_terms_gate(documents_ds, embeddings_ds, k: int = 8,
         ranks.add(rk)
         n_ok += int(ok)
     return _one_row(n_rows=n_rows, n_consistent=n_ok)
+
+
+def media_frames_gate(n: int, every_k: int = 4,
+                      wrong_k: int | None = None) -> pa.Table:
+    """(n_media, n_frame_match): the frame-sampling plan emits exactly
+    ceil(n_frames / k) rows per media item, where n_frames is re-derived
+    INDEPENDENTLY from each payload's self-describing header (the
+    sampler itself reads the meta struct — a drifted meta/payload pair
+    or a broken index explosion both break the match).  Closes the
+    rows-only coverage gap for ``media_frames`` (VERDICT r4 item 6).
+    ``wrong_k`` recomputes the expectation with a different stride —
+    the falsifiability knob."""
+    import ray.data as rd
+
+    from .multimodal import sample_frames, synth_media_table
+
+    media_t = synth_media_table(n=n)
+    frames = sample_frames(rd.from_arrow(media_t), every_k=every_k,
+                           batch_size=16, concurrency=2)
+
+    # independent expectation: payload header bytes 0:12 are
+    # (w, h, n_frames) as little-endian int32 (synth_media_table:54)
+    expect: dict[int, int] = {}
+    kk = wrong_k or every_k
+    for mid, payload in zip(media_t["id"].to_pylist(),
+                            media_t["payload"].to_pylist()):
+        f = int(np.frombuffer(payload[:12], dtype=np.int32)[2])
+        expect[int(mid)] = (f + kk - 1) // kk
+
+    got: dict[int, int] = {}
+    for b in frames.select_columns(["id"]).iter_batches(
+            batch_format="pyarrow"):
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(ids, return_counts=True)
+        for i, cnt in zip(u.tolist(), c.tolist()):
+            got[i] = got.get(i, 0) + cnt  # per-row counts: coalescing-safe
+
+    n_match = sum(1 for i, e in expect.items() if got.get(i, 0) == e)
+    return _one_row(n_media=len(expect), n_frame_match=n_match)

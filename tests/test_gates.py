@@ -339,3 +339,16 @@ def test_cluster_terms_gate_subcorpus_universe(ray_session):
     g = G.cluster_terms_gate(_docs(120), _embs(60), k=4,
                              top_n=2).to_pandas().iloc[0]
     assert g["n_rows"] == 8 and g["n_consistent"] == 8
+
+
+def test_media_frames_gate_red_path(ray_session):
+    """Green: every media item's sampled-frame count equals the
+    payload-header expectation.  Red: a wrong stride in the expectation
+    (the falsifiability knob) must drop the match count."""
+    from fastcdc_rs_ray.stages import gates as G
+
+    green = G.media_frames_gate(n=40, every_k=4)
+    assert green["n_media"][0].as_py() == 40
+    assert green["n_frame_match"][0].as_py() == 40
+    red = G.media_frames_gate(n=40, every_k=4, wrong_k=3)
+    assert red["n_frame_match"][0].as_py() < 40

@@ -45,7 +45,7 @@ AUDITED = {
     "stages/editdist.py": 2,
     "stages/embed_lsh.py": 2,
     "stages/funnel.py": 1,
-    "stages/gates.py": 14,
+    "stages/gates.py": 15,
     "stages/hierarchy.py": 1,
     "stages/invariants.py": 1,
     "stages/joins.py": 13,
