@@ -158,7 +158,23 @@ def pagerank(edges_ds, n_iter: int = 10, damping_pct: int = 85):
 #: the self-selection (the _run_cc pattern, pipelines/neardup.py:480):
 #: below the limit the broadcast path's one-exchange rounds win; above
 #: it the keyed-exchange variants keep every data-proportional stage
-#: distributed.  25 M edges ~ <=50 M nodes ~ 400 MB driver rank vector.
+#: distributed.
+#:
+#: MEASURED (round 5, tools/measure_graph_crossover.py, 32 cpus,
+#: Zipf-skewed synthetic graphs, n_iter=3, checksums bit-identical at
+#: every scale — see BASELINE.md "graph crossover"):
+#:     1 M edges: broadcast  3.3 s  vs exchange 17.9 s  (5.5x)
+#:    10 M edges: broadcast 23.7 s  vs exchange 45.5 s  (1.9x)
+#:    50 M edges: broadcast 101.4 s vs exchange 79.8 s  (0.79x — the
+#:                exchange plan WINS)
+#: log-interpolated wall crossover ~25-30 M edges, so the constant is
+#: now evidence-backed, not just reasoned.  Driver-memory footprint
+#: (ADVICE r4): the broadcast plan's simultaneous footprint is ~6x
+#: 8 B x |nodes| (nodes + deg + rank arrays, the per-round ray.put of
+#: the rank vector, and the collected contribution partials), i.e.
+#: ~2.4 GB at the 25 M-edge / <=50 M-node boundary — not the 400 MB a
+#: single rank vector suggests; lower the limit on drivers with < 8 GB
+#: of headroom.
 GRAPH_BROADCAST_EDGE_LIMIT = 25_000_000
 
 
