@@ -186,6 +186,9 @@ BENCH_QUERIES = [
     "stream_parity_gate",
     "media_thumbs_gate",
     "cluster_terms_gate",
+    # round 5
+    "media_frames_gate",
+    "curation_release",
 ]
 
 

@@ -1647,6 +1647,21 @@ def q_new_users_curve(sf_dir: str):
     return new_users_curve(ds, num_partitions=8)
 
 
+def q_curation_release(sf_dir: str):
+    """End-to-end composed curation release (VERDICT r4 item 8):
+    curate_docs -> flagship near-dup clusters -> representatives ->
+    leakage-safe split -> pack_docs -> data_card as ONE chained
+    pipeline with conservation laws checked at every stage boundary
+    (rows in = kept + dropped; same-cluster-same-split; token totals
+    conserved through packing; card count == release count).  Emits a
+    1-row summary: the curate counts are SQL-restated exactly, the
+    cross-stage conservation booleans engine-verified with perturb
+    knobs pytest-pinned (pipelines/release.py)."""
+    from .release import curation_release
+
+    return curation_release(sf_dir)
+
+
 def q_curate_docs(sf_dir: str):
     """Composed curation pass (quality gate -> language gate -> exact
     dedup first-wins): every per-doc signal computed in ONE fused
@@ -4190,6 +4205,7 @@ QUERIES = {
     "user_event_bigrams": q_user_event_bigrams,
     "new_users_curve": q_new_users_curve,
     "curate_docs": q_curate_docs,
+    "curation_release": q_curation_release,
     "value_quartiles_cont": q_value_quartiles_cont,
     "login_streaks": q_login_streaks,
     "snapshot_chunk_delta": q_snapshot_chunk_delta,
@@ -5206,6 +5222,15 @@ WITH c AS (SELECT COUNT(*) AS n FROM documents),
 SELECT CAST((nm + 1) // 2 AS BIGINT) AS n_images,
        CAST((nm + 1) // 2 AS BIGINT) AS n_thumb_ok
 FROM m
+"""
+ORACLE_SQL["curation_release"] = f"""
+WITH curated AS ({CURATE_DOCS_SQL})
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs_in,
+       CAST((SELECT COUNT(*) FROM curated) AS BIGINT) AS n_curated,
+       CAST(1 AS BIGINT) AS keep_conserved,
+       CAST(1 AS BIGINT) AS split_conserved,
+       CAST(1 AS BIGINT) AS pack_conserved,
+       CAST(1 AS BIGINT) AS card_consistent
 """
 ORACLE_SQL["media_frames_gate"] = """
 WITH c AS (SELECT COUNT(*) AS n FROM documents),

@@ -1,6 +1,30 @@
 """Local replica of the driver's correctness gate: run every queries()
 entry and compare row count + order-insensitive value hash against
-oracle_sql() via DuckDB.  Usage: python tools/verify_queries.py [sf_dir]."""
+oracle_sql() via DuckDB.  Usage: python tools/verify_queries.py [sf_dir]
+[entry ...]; GRAFT_VERIFY_CPUS sets the replica's parallelism.
+
+STANDING CLOSE-OUT PROTOCOL (VERDICT r4 item 7 — this found BOTH
+round-4 bugs; do not shortcut it):
+
+  Every round's close sweep MUST run the FULL registry at BOTH
+  parallelisms and the LARGEST scale:
+
+      GRAFT_VERIFY_CPUS=8  python tools/verify_queries.py /root/testdata/sf0.001
+      GRAFT_VERIFY_CPUS=8  python tools/verify_queries.py /root/testdata/sf0.01
+      GRAFT_VERIFY_CPUS=8  python tools/verify_queries.py /root/testdata/sf0.1
+      GRAFT_VERIFY_CPUS=32 python tools/verify_queries.py /root/testdata/sf0.1
+      GRAFT_VERIFY_CPUS=32 python tools/verify_queries.py /root/testdata/sf0.01
+
+  Why 32 cpus matters: the driver gates at num_cpus=32, where reads
+  split into many tiny blocks and iter_batches COALESCES partial
+  blocks differently than at 8 cpus.  embed_outliers was red for two
+  driver rounds while every 8-cpu replica run was green (the merge
+  corrupted only under the 32-cpu block layout); the 32-cpu sf0.1
+  sweep also exposed cluster_terms_gate counting over the wrong
+  sub-corpus (embeddings:documents is 2:5 only at sf0.1).  A query is
+  NOT verified until it hash-matches at the driver's parallelism and
+  the largest scale.  Record the sweep results in BASELINE.md before
+  closing the round."""
 
 from __future__ import annotations
 
