@@ -160,23 +160,28 @@ def kcore_members_exchange_ds(edges_ds, k: int = KCORE_K,
     surviving member set is returned as a ``Dataset`` of (p_partkey)
     for downstream stages / ``write_parquet`` (VERDICT r4 item 2).
     The surviving subgraph lives as the canonical edge Dataset, and
-    each round is three keyed exchanges,
+    each round is TWO keyed exchanges (round 5 — fused from three: the
+    old plan paid a separate KR for the keep set; now the block-level
+    degree PARTIALS ride each endpoint-filter exchange and the filter
+    block sums them itself, since KR(node) co-locates every partial for
+    a node with every edge keyed on that node),
 
-      1. KR(node) degree reduction over the surviving edges (both
-         endpoints, block-pre-reduced);
-      2. tag-union KR on endpoint ``a``: keep-rows (deg >= k) + edge
-         rows; blocks drop edges whose a-endpoint was peeled;
-      3. the same on endpoint ``b``.
+      A. tag-union KR on endpoint ``a``: degree-partial rows (from the
+         START-of-round edge state) + edge rows keyed by ``a``; each
+         block reduces deg(a) exactly and drops edges with deg(a) < k;
+      B. the same on endpoint ``b`` over A's survivors, with the SAME
+         start-of-round degree partials — so both endpoint tests use
+         round-start degrees, exactly the synchronous batch-peel the
+         broadcast plan and the SQL oracle compute (parity-pytested
+         bit-identical).
 
     A node whose last edge disappears simply vanishes from the edge
     state — identical to the broadcast plan's deg-0 removal, because
     k-core members always carry >= k >= 1 edges.  The per-round driver
-    scalars are two Dataset counts (the removal check).  RAISES past
+    scalar is one Dataset count (the removal check).  RAISES past
     ``max_rounds`` exactly like the broadcast plan (the SQL oracle's
     unroll bound — agree-or-both-fail)."""
     deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
-    att = pa.schema([("key", pa.int64()), ("other", pa.int64()),
-                     ("tag", pa.int8())])
 
     def deg_partial(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -199,36 +204,43 @@ def kcore_members_exchange_ds(edges_ds, k: int = KCORE_K,
         return pa.table({"node": pa.array(u, pa.int64()),
                          "deg": pa.array(s, pa.int64())})
 
-    def keep_reduce(t: pa.Table, _k=k) -> pa.Table:
-        """deg_reduce fused with the keep filter: emits att-schema rows
-        for nodes with deg >= k only (one execution per round instead
-        of degs + keeps)."""
-        if len(t) == 0:
-            return att.empty_table()
-        r = deg_reduce(t)
-        node = r["node"].to_numpy(zero_copy_only=False)
-        deg = r["deg"].to_numpy(zero_copy_only=False)
-        kp = node[deg >= _k]
+    uF = pa.schema([("key", pa.int64()), ("other", pa.int64()),
+                    ("deg", pa.int64()), ("tag", pa.int8())])
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        z = np.zeros(len(t), np.int64)
         return pa.table({
-            "key": pa.array(kp, pa.int64()),
-            "other": pa.array(np.zeros(len(kp), np.int64), pa.int64()),
-            "tag": pa.array(np.zeros(len(kp), np.int8), pa.int8()),
-        }).cast(att)
+            "key": t["node"], "other": pa.array(z, pa.int64()),
+            "deg": t["deg"],
+            "tag": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+        }).cast(uF)
 
     def edge_rows(t: pa.Table, key_col: str, other_col: str) -> pa.Table:
+        z = np.zeros(len(t), np.int64)
         return pa.table({
             "key": t[key_col], "other": t[other_col],
+            "deg": pa.array(z, pa.int64()),
             "tag": pa.array(np.ones(len(t), np.int8), pa.int8()),
-        }).cast(att)
+        }).cast(uF)
 
-    def filter_block(t: pa.Table, out_key: str, out_other: str) -> pa.Table:
+    def filter_block(t: pa.Table, out_key: str, out_other: str,
+                     _k=k) -> pa.Table:
+        """Reduce the co-located degree partials per key and keep the
+        edges whose key-endpoint's total degree >= k — the keep set is
+        never materialized anywhere."""
         out_schema = pa.schema([(out_key, pa.int64()),
                                 (out_other, pa.int64())])
         if len(t) == 0:
             return out_schema.empty_table()
         key = t["key"].combine_chunks().to_numpy(zero_copy_only=False)
         tag = t["tag"].combine_chunks().to_numpy(zero_copy_only=False)
-        kept = np.unique(key[tag == 0])
+        dp = tag == 0
+        nodes, inv = np.unique(key[dp], return_inverse=True)
+        tot = np.zeros(len(nodes), np.int64)
+        np.add.at(tot, inv,
+                  t["deg"].combine_chunks().to_numpy(
+                      zero_copy_only=False)[dp])
+        kept = nodes[tot >= _k]
         ed = tag == 1
         if not ed.any() or not len(kept):
             return out_schema.empty_table()
@@ -244,20 +256,21 @@ def kcore_members_exchange_ds(edges_ds, k: int = KCORE_K,
     E = canonical_edges(edges_ds, num_partitions)
     n_edges = E.count()
     for _ in range(max_rounds):
-        # fused degree-reduce + keep filter: one KR execution per round
-        keeps = (E.map_batches(deg_partial, batch_format="pyarrow")
-                 .repartition(num_blocks=num_partitions, keys=["node"])
-                 .map_batches(keep_reduce, batch_format="pyarrow",
-                              batch_size=None)).materialize()
-        # drop edges with a peeled endpoint: KR on a, then on b (one
-        # chained execution — the contribution streams are small)
-        E = (keeps.union(E.map_batches(
-                lambda t: edge_rows(t, "a", "b"), batch_format="pyarrow"))
-             .repartition(num_blocks=num_partitions, keys=["key"])
-             .map_batches(lambda t: filter_block(t, "a", "b"),
-                          batch_format="pyarrow", batch_size=None))
-        E = (keeps.union(E.map_batches(
-                lambda t: edge_rows(t, "b", "a"), batch_format="pyarrow"))
+        # start-of-round degree partials feed BOTH endpoint exchanges
+        # (E is materialized, so re-deriving the cheap map per pipeline
+        # beats paying another execution floor to materialize it)
+        degp = E.map_batches(deg_partial, batch_format="pyarrow")
+        Ea = (degp.map_batches(deg_rows, batch_format="pyarrow")
+              .union(E.map_batches(
+                  lambda t: edge_rows(t, "a", "b"),
+                  batch_format="pyarrow"))
+              .repartition(num_blocks=num_partitions, keys=["key"])
+              .map_batches(lambda t: filter_block(t, "a", "b"),
+                           batch_format="pyarrow", batch_size=None))
+        E = (degp.map_batches(deg_rows, batch_format="pyarrow")
+             .union(Ea.map_batches(
+                 lambda t: edge_rows(t, "b", "a"),
+                 batch_format="pyarrow"))
              .repartition(num_blocks=num_partitions, keys=["key"])
              .map_batches(lambda t: filter_block(t, "b", "a"),
                           batch_format="pyarrow", batch_size=None)
