@@ -452,30 +452,20 @@ def pagerank_numpy_reference(src: np.ndarray, dst: np.ndarray,
 def _orient_exchange(ce, deg_partial, num_partitions: int):
     """Distinct canonical edges (a, b) -> oriented Dataset (lo, hi, dh)
     with dh = hi's undirected degree, through keyed exchanges only:
-    one KR(node) degree reduction, then two tag-union KR exchanges that
-    attach deg to each endpoint, then a stateless local orientation by
+    two tag-union KR exchanges that attach the (in-kernel-reduced)
+    degree to each endpoint, then a stateless local orientation by
     lexicographic (deg, node) comparison — no node-universe-sized driver
-    or broadcast state (triangle_count degree_mode="exchange")."""
-    deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
-
-    def deg_reduce(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return deg_schema.empty_table()
-        node = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
-        deg = t["deg"].combine_chunks().to_numpy(zero_copy_only=False)
-        u, inv = np.unique(node, return_inverse=True)
-        s = np.zeros(len(u), np.int64)
-        np.add.at(s, inv, deg)
-        return pa.table({"node": pa.array(u, pa.int64()),
-                         "deg": pa.array(s, pa.int64())})
-
-    degs = (ce.map_batches(deg_partial, batch_format="pyarrow")
-            .repartition(num_blocks=num_partitions, keys=["node"])
-            .map_batches(deg_reduce, batch_format="pyarrow",
-                         batch_size=None)).materialize()
-
+    or broadcast state (triangle_count degree_mode="exchange"; the
+    degree partials ride both exchanges, round-5 fusion)."""
     att = pa.schema([("key", pa.int64()), ("other", pa.int64()),
                      ("d", pa.int64()), ("tag", pa.int8())])
+
+    # degree PARTIALS ride both attach exchanges and are reduced inside
+    # the kernel (round 5 — the k-core fusion applied here): KR(node)
+    # co-locates every partial for a node with every edge keyed on it,
+    # so the old separate degree-reduction KR + materialize are gone
+    # (three exchanges + two executions -> two exchanges + one).
+    degp = ce.map_batches(deg_partial, batch_format="pyarrow")
 
     def _attach_kernel(t: pa.Table, out_cols) -> pa.Table:
         out_schema = pa.schema([(c, pa.int64()) for c in out_cols])
@@ -487,11 +477,11 @@ def _orient_exchange(ce, deg_partial, num_partitions: int):
         ed = ~st
         if not ed.any():
             return out_schema.empty_table()
-        node = key[st]
-        order = np.argsort(node)
-        node = node[order]
-        dv = t["d"].combine_chunks().to_numpy(zero_copy_only=False
-                                              )[st][order]
+        # reduce the co-located degree partials: exact total per node
+        node, inv = np.unique(key[st], return_inverse=True)
+        dv = np.zeros(len(node), np.int64)
+        np.add.at(dv, inv,
+                  t["d"].combine_chunks().to_numpy(zero_copy_only=False)[st])
         pos = np.searchsorted(node, key[ed])
         if (pos >= len(node)).any() or (node[np.minimum(
                 pos, len(node) - 1)] != key[ed]).any():
@@ -521,7 +511,7 @@ def _orient_exchange(ce, deg_partial, num_partitions: int):
             "tag": pa.array(np.ones(len(t), np.int8), pa.int8()),
         }).cast(att)
 
-    p1 = (degs.map_batches(deg_rows, batch_format="pyarrow")
+    p1 = (degp.map_batches(deg_rows, batch_format="pyarrow")
           .union(ce.map_batches(edge_rows_a, batch_format="pyarrow"))
           .repartition(num_blocks=num_partitions, keys=["key"])
           .map_batches(lambda t: _attach_kernel(t, ("a", "b", "da")),
@@ -534,7 +524,7 @@ def _orient_exchange(ce, deg_partial, num_partitions: int):
             "tag": pa.array(np.ones(len(t), np.int8), pa.int8()),
         }).cast(att)
 
-    p2 = (degs.map_batches(deg_rows, batch_format="pyarrow")
+    p2 = (degp.map_batches(deg_rows, batch_format="pyarrow")
           .union(p1.map_batches(edge_rows_b, batch_format="pyarrow"))
           .repartition(num_blocks=num_partitions, keys=["key"])
           .map_batches(lambda t: _attach_kernel(t, ("b", "a", "db", "da")),
