@@ -73,6 +73,26 @@ def copurchase_edges(lineitem_ds, num_partitions: int = 8):
     return ex.map_batches(edges, batch_format="pyarrow", batch_size=None)
 
 
+def _changed_total(mds) -> int:
+    """Sum the materialized state's ``changed`` column with one tiny raw
+    Ray task per block over the already-materialized refs — the
+    `_n_changed` pattern (stages/cc.py:172): a per-round
+    ``Dataset.sum()`` costs a full ~0.5 s execution floor, which
+    dominated pagerank_exchange's convergence check at toy scale."""
+    import ray
+
+    @ray.remote(num_cpus=0.25)
+    def block_sum(block) -> int:
+        t = block if isinstance(block, pa.Table) else \
+            pa.Table.from_batches([block])
+        if len(t) == 0:
+            return 0
+        return int(pc.sum(t["changed"]).as_py() or 0)
+
+    return sum(ray.get([block_sum.remote(r)
+                        for r in mds.to_arrow_refs()]))
+
+
 def _collect(ds) -> pa.Table:
     tables = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
               for b in ds.iter_batches(batch_format="pyarrow")]
@@ -388,7 +408,7 @@ def pagerank_exchange_ds(edges_ds, n_iter: int = 10, damping_pct: int = 85,
                  .repartition(num_blocks=num_partitions, keys=["key"])
                  .map_batches(newrank_block, batch_format="pyarrow",
                               batch_size=None)).materialize()
-        if state.sum("changed") == 0:
+        if _changed_total(state) == 0:
             break
 
     def project(t: pa.Table) -> pa.Table:
