@@ -28,7 +28,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .cc import _sever as _cc_sever
 
 SCALE = 1_000_000_000_000  # 1e12: rank unit = 1e-12 of total mass
 
@@ -833,6 +832,7 @@ def reachability_exchange_ds(edges_ds, source: int = 0, max_hops: int = 4,
     visited = rd.from_arrow(pa.table({
         "node": pa.array([source], pa.int64()),
         "dist": pa.array([0], pa.int64())})).materialize()
+    visited_refs = list(visited.to_arrow_refs())
     frontier = visited
 
     def frontier_rows(t: pa.Table) -> pa.Table:
@@ -917,13 +917,17 @@ def reachability_exchange_ds(edges_ds, source: int = 0, max_hops: int = 4,
                               batch_size=None)).materialize()
         if fresh.count() == 0:
             break
-        # _sever drops the logical-plan history each hop: the visited
-        # union otherwise grows the carried plan DAG linearly per hop —
-        # the exact shape of the round-2 CC plan-lineage blowup
-        # (stages/cc.py:114) — harmless at max_hops=4, exponential setup
-        # cost on a deep BFS (VERDICT r4 item 5; flat-wall pytest at
-        # max_hops=32 on a path graph).
-        visited = _cc_sever(visited.union(fresh).materialize())
+        # Zero-copy visited union: combine the two materialized block
+        # ref lists directly (the stages/cc.py:114 _sever idea, one step
+        # further) — no union().materialize() execution per hop AND no
+        # carried plan DAG, which otherwise grows linearly per hop (the
+        # round-2 CC plan-lineage blowup shape — harmless at max_hops=4,
+        # exponential setup on a deep BFS; VERDICT r4 item 5, flat-wall
+        # pytest at max_hops=32 on a path graph).
+        import ray.data as rd
+
+        visited_refs = visited_refs + list(fresh.to_arrow_refs())
+        visited = rd.from_arrow_refs(list(visited_refs))
         frontier = fresh
 
     return visited
