@@ -3987,7 +3987,8 @@ def q_part_kcore(sf_dir: str):
 
 def q_part_kcore_x(sf_dir: str):
     """k-core through kcore_members_exchange — the surviving subgraph
-    lives as the edge Dataset, three keyed exchanges per peel round
+    lives as the edge Dataset, two keyed exchanges per peel round
+    (round-5 fusion: degree partials ride the endpoint filters)
     (degree reduction + two endpoint-filter attaches), NO survivor
     broadcast (the 100 TB growth plan, closing the last
     broadcast-dimension assumption in the graph family).  Shares

@@ -47,21 +47,26 @@ def synth_edges(n_edges: int, seed: int = 7, avg_deg: int = 10):
     return slabs, n_nodes
 
 
-def run_one(plan: str, n_edges: int, n_iter: int, num_partitions: int):
+def _load_edges(n_edges: int):
+    import ray
     import ray.data as rd
 
+    slabs, n_nodes = synth_edges(n_edges)
+    if len(slabs) == 1:
+        edges = rd.from_arrow(slabs[0]).repartition(32).materialize()
+    else:
+        edges = rd.from_arrow_refs(
+            [ray.put(s) for s in slabs]).materialize()
+    return edges, n_nodes
+
+
+def run_one(plan: str, n_edges: int, n_iter: int, num_partitions: int):
     from fastcdc_rs_ray.stages.pagerank import (
         pagerank,
         pagerank_exchange_ds,
     )
 
-    slabs, n_nodes = synth_edges(n_edges)
-    ds = slabs[0] if len(slabs) == 1 else None
-    if ds is not None:
-        edges = rd.from_arrow(ds).repartition(32).materialize()
-    else:
-        edges = rd.from_arrow_refs(
-            [__import__("ray").put(s) for s in slabs]).materialize()
+    edges, n_nodes = _load_edges(n_edges)
     t0 = time.monotonic()
     if plan == "broadcast":
         out = pagerank(edges, n_iter=n_iter)
@@ -78,6 +83,34 @@ def run_one(plan: str, n_edges: int, n_iter: int, num_partitions: int):
             "rank_checksum": checksum}
 
 
+def run_one_kcore(plan: str, n_edges: int, k: int, num_partitions: int):
+    """k-core variant (--op kcore): same synthetic graphs, the fused
+    2-KR exchange plan vs the driver-peel broadcast plan; checksum =
+    sum of surviving member ids (order-insensitive parity)."""
+    from fastcdc_rs_ray.stages.kcore import (
+        kcore_members,
+        kcore_members_exchange_ds,
+    )
+
+    edges, n_nodes = _load_edges(n_edges)
+    t0 = time.monotonic()
+    if plan == "broadcast":
+        out = kcore_members(edges, k=k, num_partitions=num_partitions,
+                            max_rounds=200)
+        rows = len(out)
+        checksum = int(out["p_partkey"].to_numpy().sum())
+    else:
+        ds = kcore_members_exchange_ds(edges, k=k,
+                                       num_partitions=num_partitions,
+                                       max_rounds=200)
+        rows = ds.count()
+        checksum = int(ds.sum("p_partkey") or 0)
+    wall = time.monotonic() - t0
+    return {"plan": plan, "edges": n_edges, "k": k, "members": rows,
+            "approx_nodes": n_nodes, "wall_s": round(wall, 2),
+            "rank_checksum": checksum}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", default="1e6,1e7,5e7")
@@ -86,6 +119,10 @@ def main():
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--plans", default="broadcast,exchange")
+    ap.add_argument("--op", default="pagerank",
+                    choices=("pagerank", "kcore"))
+    ap.add_argument("--k", type=int, default=12,
+                    help="k for --op kcore (avg deg 10 -> nontrivial core)")
     args = ap.parse_args()
 
     import ray
@@ -97,7 +134,10 @@ def main():
     for e in args.edges.split(","):
         n_edges = int(float(e))
         for plan in args.plans.split(","):
-            r = run_one(plan, n_edges, args.n_iter, args.partitions)
+            if args.op == "kcore":
+                r = run_one_kcore(plan, n_edges, args.k, args.partitions)
+            else:
+                r = run_one(plan, n_edges, args.n_iter, args.partitions)
             results.append(r)
             print(json.dumps(r), flush=True)
     # checksums must agree between plans at each scale (parity at scale)
