@@ -135,21 +135,27 @@ def _distinct_count(ds, col: str, num_partitions: int) -> int:
     return total
 
 
-def _token_total(docs_ds) -> int:
-    """Independent exact token recount (same RE as pack_docs)."""
+def _token_total(docs_mds) -> int:
+    """Independent exact token recount (same RE as pack_docs) over a
+    MATERIALIZED dataset — one tiny raw task per block (the _n_changed
+    pattern: a Dataset execution would pay a ~0.5 s scheduling floor
+    for a pure scan)."""
+    import ray
+
     from ..stages.packing import TOKEN_RE
 
-    def partial(t: pa.Table) -> pa.Table:
-        n = pc.sum(pc.count_substring_regex(
+    @ray.remote(num_cpus=0.25)
+    def block_tokens(block) -> int:
+        t = block if isinstance(block, pa.Table) else \
+            pa.Table.from_batches([block])
+        if len(t) == 0:
+            return 0
+        return int(pc.sum(pc.count_substring_regex(
             t["text"].combine_chunks().cast(pa.string()),
-            TOKEN_RE)).as_py() or 0
-        return pa.table({"n": pa.array([int(n)], pa.int64())})
+            TOKEN_RE)).as_py() or 0)
 
-    total = 0
-    for b in docs_ds.map_batches(partial, batch_format="pyarrow"
-                                 ).iter_batches(batch_format="pyarrow"):
-        total += sum(b["n"].to_pylist())  # scalar stream sum (pattern C)
-    return total
+    return sum(ray.get([block_tokens.remote(r)
+                        for r in docs_mds.to_arrow_refs()]))
 
 
 def curation_release(sf_dir: str, budget: int = 512, n_groups: int = 16,
@@ -304,23 +310,27 @@ def curation_release(sf_dir: str, budget: int = 512, n_groups: int = 16,
         bad = int(((tot > _budget) & ~has_ov).sum())
         return pa.table({"bad": pa.array([bad], pa.int64())})
 
+    # pack_docs' output blocks are already pack_group-aligned (it
+    # repartitions on pack_group and packs per whole block;
+    # materialize() preserves block boundaries), so the budget check
+    # maps whole blocks directly — no second keyed exchange
     bad_bins = 0
-    for b in (packed.repartition(num_blocks=num_partitions,
-                                 keys=["pack_group"])
-              .map_batches(bin_check, batch_format="pyarrow",
-                           batch_size=None)
-              .iter_batches(batch_format="pyarrow")):
+    for b in packed.map_batches(bin_check, batch_format="pyarrow",
+                                batch_size=None
+                                ).iter_batches(batch_format="pyarrow"):
         bad_bins += sum(b["bad"].to_pylist())
     pack_conserved = int(n_packed == n_released
                          and tokens_packed == tokens_truth
                          and bad_bins == 0)
 
     # ---- stage 6: data card over the release -----------------------------
+    # materialized: data_card consumes its source TWICE (scalar pass +
+    # distinct-text exchange) — lazy, the semi-join KR would run twice
     card_src = _semi_join(
         rd.read_parquet(f"{sf_dir}/documents.parquet",
                         columns=["doc_id", "text", "lang", "source"]),
         "doc_id", released.select_columns(["doc_id"]), "doc_id",
-        num_partitions, str_cols=("text", "lang", "source"))
+        num_partitions, str_cols=("text", "lang", "source")).materialize()
     card = data_card(card_src, num_partitions=num_partitions)
     card_docs = int(card["n_docs"][0].as_py())
     if perturb == "card_off":

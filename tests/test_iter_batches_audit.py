@@ -22,7 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # with the table in docs/ITER_BATCHES_AUDIT.md.
 AUDITED = {
     "pipelines/neardup.py": 2,
-    "pipelines/release.py": 4,
+    "pipelines/release.py": 3,
     "pipelines/queries.py": 7,
     "sources/bloomskip.py": 1,
     "sources/bucketed.py": 1,
