@@ -67,3 +67,23 @@ def test_release_perturb_flips_exactly_one_law(ray_session, corpus_dir,
     for c, v in got.items():
         if c != col:
             assert v == 1, (knob, c, got)
+
+
+def test_release_all_rejected_corpus(ray_session, tmp_path):
+    """Degenerate release: every doc fails the curate predicate (no
+    English stopwords, too few words) — the chain must run end-to-end
+    with zero released docs and every conservation law still green."""
+    t = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array([f"zzz{i} qqq xxx" for i in range(40)],
+                         pa.string()),
+        "lang": pa.array(["xx"] * 40, pa.string()),
+        "source": pa.array(["s"] * 40, pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = curation_release(str(tmp_path), num_partitions=2)
+    assert out["n_docs_in"][0].as_py() == 40
+    assert out["n_curated"][0].as_py() == 0
+    for col in ("keep_conserved", "split_conserved", "pack_conserved",
+                "card_consistent"):
+        assert out[col][0].as_py() == 1, col
